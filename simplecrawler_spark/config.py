@@ -1,0 +1,65 @@
+"""Engine configuration.
+
+Mirrors the reference Crawler config surface
+(/root/reference/simple_crawler/crawler.py:59-101: user_agent,
+max_workers, timeout, obey_robots, check_head, trim_query,
+trim_fragment) and adds the scale knobs the north rule mandates
+(BASELINE.json:14): politeness budgeting, salted partitioning, bloom
+seen-filter sizing, checkpointing.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, asdict
+
+DEFAULT_USER_AGENT = "PySimpleCrawler"  # reference crawler.py:24
+
+
+@dataclass
+class CrawlConfig:
+    # --- reference-parity knobs (crawler.py:59-77) ---
+    user_agent: str = DEFAULT_USER_AGENT
+    obey_robots: bool = True
+    check_head: bool = False          # two-phase fetch (HEAD mime probe first)
+    trim_query: bool = True
+    trim_fragment: bool = True
+    mime_types: tuple = ("text/html",)  # requester.py:84 default gate
+    record_redirects: bool = False      # crawler.py:86 (3xx Location-as-link)
+    same_authority_only: bool = True    # crawler.py:140 filter_by(authority=…)
+
+    # --- engine/scale knobs (new; BASELINE.json:6,14) ---
+    max_rounds: int = 100             # BFS depth bound / runaway stop
+    # politeness: per-host fetch budget per round; a host with robots
+    # Crawl-delay d gets min(budget, max(1, floor(round_seconds/d))).
+    round_seconds: float = 60.0
+    max_per_host_per_round: int = 1_000_000
+    # partitioning
+    shuffle_partitions: int | None = None   # None → session default
+    salt_buckets: int = 0                   # >0 → salted repartition on host hash
+    # bloom seen-filter sidecar
+    bloom_enabled: bool = True
+    bloom_fpp: float = 0.001
+    bloom_min_items: int = 4096        # below this, exact anti-join only
+    # fetch
+    follow_redirects: bool = True
+    max_redirect_hops: int = 10
+    # checkpoint/resume
+    checkpoint: bool = True
+
+    def as_dict(self) -> dict:
+        return asdict(self)
+
+    # reference-visible config echo (crawler.py:90-101); max_workers /
+    # timeout have no meaning in the engine (parallelism is Spark's,
+    # termination is the frontier-empty fixpoint) but are echoed for
+    # CLI-parity (--debug prints config, cli.py:55-59).
+    def reference_config(self) -> dict:
+        return {
+            "user_agent": self.user_agent,
+            "max_workers": "spark",
+            "timeout": "frontier-fixpoint",
+            "obey_robots": self.obey_robots,
+            "check_head": self.check_head,
+            "trim_query": self.trim_query,
+            "trim_fragment": self.trim_fragment,
+        }

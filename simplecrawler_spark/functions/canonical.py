@@ -1,0 +1,260 @@
+"""URL canonicalisation — the engine's scalar-function family F1–F17.
+
+Semantics are pinned to the reference's normalisation module
+(/root/reference/simple_crawler/url_normalisation.py:20-242 and
+hyperlink.py:17-124); parity is achieved by calling the *same* stdlib
+primitives (`urllib.parse.quote/quote_plus/urlsplit/urljoin`) inside
+Arrow-batched pandas UDFs, never by re-implementing the quoting rules.
+Spark's built-in `url_encode` is quote_plus with the wrong safe-set, so
+it cannot be used for path/query normalisation.
+
+Design (SURVEY.md §2.2 F8): ONE pandas UDF produces the whole
+canonical struct `(url_norm, scheme, authority, host, path, query,
+fragment)` in a single Arrow pass — cheaper than five separate UDF
+calls — and the 64-bit key is the built-in `F.xxhash64(url_norm)`
+(JVM-side, whole-stage codegen friendly).
+
+At 100 TB scale this function runs once per discovered link; the Arrow
+batch boundary is the only Python crossing per ~10k URLs.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import quote, quote_plus, urljoin, urlsplit, urlunsplit
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# Pure-Python core (shared by driver-side constant folding and the UDFs)
+# ---------------------------------------------------------------------------
+
+
+def canon_authority(netloc: str) -> str:
+    """Normalise `userinfo@host` (reference url_normalisation.py:82-122).
+
+    Lowercases the host, strips surrounding dots, strips surrounding
+    ':' from userinfo, and drops an empty userinfo entirely.
+    """
+    if netloc == "":
+        return ""
+    userinfo, sep, host = netloc.partition("@")
+    if not sep:
+        userinfo, host = "", netloc
+    userinfo = userinfo.strip(":")
+    host = host.lower().strip(".")
+    return f"{userinfo}@{host}" if userinfo else host
+
+
+def canon_query(query: str, sort_params: bool = True) -> str:
+    """quote_plus with safe=':&=' then lexicographic param sort
+    (reference url_normalisation.py:147-182)."""
+    query = quote_plus(query, safe=":&=")
+    if sort_params:
+        return "&".join(sorted(query.split("&")))
+    return query
+
+
+def canon_path(path: str) -> str:
+    """quote with safe='/%' and a guaranteed leading slash
+    (reference url_normalisation.py:125-144; '%' is NOT re-encoded)."""
+    path = quote(path, safe="/%")
+    return path if path.startswith("/") else "/" + path
+
+
+def canon_fragment(fragment: str) -> str:
+    """quote_plus with safe=':~' (reference url_normalisation.py:185-207)."""
+    return quote_plus(fragment, safe=":~")
+
+
+def canon_scheme(scheme: str) -> str:
+    """lowercase (reference url_normalisation.py:20-35)."""
+    return scheme.lower()
+
+
+def canon_host(host: str) -> str:
+    """lowercase + strip surrounding dots (reference url_normalisation.py:38-58)."""
+    return host.lower().strip(".")
+
+
+def canon_userinfo(userinfo: str) -> str:
+    """strip surrounding ':' (reference url_normalisation.py:61-79)."""
+    return userinfo.strip(":")
+
+
+_COMPONENT_FNS = {
+    "scheme": canon_scheme,
+    "authority": canon_authority,
+    "host": canon_host,
+    "userinfo": canon_userinfo,
+    "path": canon_path,
+    "query": canon_query,
+    "fragment": canon_fragment,
+}
+
+
+def canon_component(name: str, value: str) -> str:
+    """Driver-side constant normalisation for filter predicates —
+    the reference normalises filter kwargs before comparing
+    (url_normalisation.py:245-263, used by HyperlinkSet.filter_by
+    hyperlink.py:195-209). We fold the constant once on the driver
+    instead of normalising it per row."""
+    return _COMPONENT_FNS[name](value)
+
+
+def canon_parts(raw: str) -> tuple[str, str, str, str, str, str, str]:
+    """Full canonicalisation of one raw URL.
+
+    Matches reference `normalise_url` (url_normalisation.py:210-242):
+    root-relative resolution of scheme-less urls via urljoin('/', url),
+    then urlsplit, per-component normalisation, urlunsplit.
+
+    Returns (url_norm, scheme, authority, host, path, query, fragment).
+    `host` is the authority minus userinfo (port kept — the reference
+    never normalises ports, url_normalisation.py:121 todo) and is the
+    politeness/partitioning key downstream.
+    """
+    rooted = urljoin("/", raw)
+    s = urlsplit(rooted)
+    scheme = s.scheme.lower()
+    authority = canon_authority(s.netloc)
+    path = canon_path(s.path)
+    query = canon_query(s.query)
+    fragment = canon_fragment(s.fragment)
+    url_norm = urlunsplit((scheme, authority, path, query, fragment))
+    host = authority.partition("@")[2] or authority
+    return url_norm, scheme, authority, host, path, query, fragment
+
+
+def trim_raw(raw: str, *, scheme=False, authority=False, path=False,
+             query=False, fragment=False) -> str:
+    """Rebuild a RAW url with selected raw components blanked — the
+    reference's Hyperlink.trim (hyperlink.py:60-81). Operates on raw
+    components; the result is re-canonicalised later by canon_parts.
+    """
+    s = urlsplit(raw)
+    return urlunsplit((
+        "" if scheme else s.scheme,
+        "" if authority else s.netloc,
+        "" if path else s.path,
+        "" if query else s.query,
+        "" if fragment else s.fragment,
+    ))
+
+
+def resolve_raw(base_raw: str, href_raw: str) -> str:
+    """RFC 3986 resolution on RAW urls (reference Hyperlink.join,
+    hyperlink.py:115-124 — resolution uses `_input_url`, never the
+    normalised form; trailing-dot hosts etc. must survive to here)."""
+    return urljoin(base_raw, href_raw)
+
+
+# ---------------------------------------------------------------------------
+# Spark surface
+# ---------------------------------------------------------------------------
+
+CANON_STRUCT = T.StructType([
+    T.StructField("url_norm", T.StringType()),
+    T.StructField("scheme", T.StringType()),
+    T.StructField("authority", T.StringType()),
+    T.StructField("host", T.StringType()),
+    T.StructField("path", T.StringType()),
+    T.StructField("query", T.StringType()),
+    T.StructField("fragment", T.StringType()),
+])
+
+
+@F.pandas_udf(CANON_STRUCT)
+def canonicalize(urls: pd.Series) -> pd.DataFrame:
+    """Arrow-batched canonicaliser: raw url → canonical struct."""
+    cols = ("url_norm", "scheme", "authority", "host", "path", "query",
+            "fragment")
+    out = {c: [] for c in cols}
+    for raw in urls:
+        if raw is None:
+            for c in cols:
+                out[c].append(None)
+            continue
+        parts = canon_parts(raw)
+        for c, v in zip(cols, parts):
+            out[c].append(v)
+    return pd.DataFrame(out)
+
+
+@F.pandas_udf(T.StringType())
+def resolve(base_raw: pd.Series, href_raw: pd.Series) -> pd.Series:
+    """Arrow-batched urljoin over (base, href) raw-string pairs —
+    columnar map, NOT a relational join (SURVEY.md §2.3 R2)."""
+    return pd.Series([
+        None if b is None or h is None else urljoin(b, h)
+        for b, h in zip(base_raw, href_raw)
+    ])
+
+
+def trim_query_fragment_expr(url: Column, trim_query: bool = True,
+                             trim_fragment: bool = True) -> Column:
+    """Fast JVM-side path for the crawl loop's only trim use:
+    `trim(query=…, fragment=…)` (reference crawler.py:136). Stripping
+    the first '#'-suffix then the first '?'-suffix of the RAW string is
+    exactly urlunsplit with those components blanked, with zero Python.
+
+    Only valid for the (query, fragment) subset; general trims go
+    through `trim_raw` in the resolve UDF path.
+    """
+    if not trim_query and not trim_fragment:
+        return url
+    # urlsplit takes the fragment as everything after the FIRST '#',
+    # and the query as the span between the first '?' and the fragment;
+    # split the fragment off first so a '?' inside a kept fragment is
+    # never mis-treated as a query.
+    before_frag = F.substring_index(url, "#", 1)
+    kept_frag = (
+        F.lit("") if trim_fragment
+        else F.when(
+            F.instr(url, "#") > 0,
+            F.concat(F.lit("#"), F.substr(url, F.instr(url, "#") + 1)),
+        ).otherwise(F.lit(""))
+    )
+    kept_head = (
+        F.substring_index(before_frag, "?", 1) if trim_query else before_frag
+    )
+    return F.concat(kept_head, kept_frag)
+
+
+def url_hash(url_norm: Column) -> Column:
+    """64-bit key for seen-set membership (BASELINE.json:6 mandates
+    xxhash64 keying; the reference has no hashing beyond Python hash,
+    hyperlink.py:96-97)."""
+    return F.xxhash64(url_norm)
+
+
+def canonicalize_df(df: DataFrame, url_col: str = "url_raw",
+                    keep_struct: bool = False) -> DataFrame:
+    """Attach canonical columns + url_hash to ``df`` in one Arrow pass.
+
+    Adds: url_norm, scheme, authority, host, path, query, fragment,
+    url_hash. The struct is projected immediately so downstream
+    filters/joins see plain columns (column pruning + predicate
+    pushdown stay effective).
+    """
+    struct_col = "_canon"
+    out = df.withColumn(struct_col, canonicalize(F.col(url_col)))
+    for field in CANON_STRUCT.fieldNames():
+        out = out.withColumn(field, F.col(f"{struct_col}.{field}"))
+    out = out.withColumn("url_hash", url_hash(F.col("url_norm")))
+    if not keep_struct:
+        out = out.drop(struct_col)
+    return out
+
+
+def domain_expr(scheme: Column, authority: Column) -> Column:
+    """scheme://authority (reference Hyperlink.domain, hyperlink.py:54-58)."""
+    return F.concat_ws("://", scheme, authority)
+
+
+def is_absolute_expr(scheme: Column) -> Column:
+    """Absolute ⟺ scheme non-empty (reference hyperlink.py:105-113;
+    note '//host/x' counts as relative under this rule)."""
+    return scheme != F.lit("")
