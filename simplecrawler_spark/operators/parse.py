@@ -1,0 +1,98 @@
+"""Link extraction — operators P1/P2/P3 (SURVEY.md §2.4).
+
+Reference: AnchorTagParser / get_hrefs_from_html
+(/root/reference/simple_crawler/parser.py:11-56): stdlib
+html.parser.HTMLParser, `<a>` tags only, every `href` attribute,
+parse errors ignored, page-level dedupe by *normalised* URL equality
+(the parser collects a set of Hyperlinks).
+
+Engine shape: one Arrow-batched pandas UDF `extract_hrefs` returning
+`array<string>` of RAW hrefs (first raw occurrence per normalised
+form, document order — deterministic where the reference's set
+iteration order is not), then `F.explode` to one link-row per href.
+The parse itself is per-document Python either way; Arrow batching
+removes per-row serialisation (north-rule vectorisation constraint,
+BASELINE.json:15).
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from simplecrawler_spark.functions.canonical import canon_parts
+
+
+class _HrefCollector(HTMLParser):
+    """Collect raw href values of <a> tags in document order."""
+
+    def __init__(self):
+        super().__init__()
+        self.hrefs: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "a":
+            for name, value in attrs:
+                if name == "href" and value is not None:
+                    self.hrefs.append(value)
+
+    def error(self, message):  # pragma: no cover — parity: ignore bad HTML
+        pass
+
+
+def hrefs_from_html(html: str) -> list[str]:
+    """Pure-Python core: raw hrefs, deduped by canonical form
+    (first raw spelling wins), document order."""
+    collector = _HrefCollector()
+    try:
+        collector.feed(html)
+    except Exception:
+        # reference ignores parse errors (parser.py:39-42)
+        pass
+    out: list[str] = []
+    seen_norm: set[str] = set()
+    for raw in collector.hrefs:
+        norm = canon_parts(raw)[0]
+        if norm not in seen_norm:
+            seen_norm.add(norm)
+            out.append(raw)
+    return out
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def extract_hrefs(bodies: pd.Series) -> pd.Series:
+    return pd.Series([
+        None if body is None else hrefs_from_html(body) for body in bodies
+    ])
+
+
+def explode_links(fetched: DataFrame, src_url_col: str = "url_norm",
+                  src_raw_col: str = "url_raw",
+                  body_col: str = "body",
+                  record_redirects: bool = False) -> DataFrame:
+    """fetched pages → `links(src_url, src_raw, href_raw)` rows.
+
+    P3 (reference crawler.py:120-128): when record_redirects is on and
+    the page is a 3xx, the Location header is the page's only link;
+    otherwise links come from the HTML body.
+    """
+    if record_redirects:
+        hrefs = F.when(
+            (F.col("status") >= 300) & (F.col("status") < 400)
+            & F.col("redirect_location").isNotNull(),
+            F.array(F.col("redirect_location")),
+        ).otherwise(extract_hrefs(F.col(body_col)))
+    else:
+        hrefs = extract_hrefs(F.col(body_col))
+    return (
+        fetched.withColumn("_hrefs", hrefs)
+        .select(
+            F.col(src_url_col).alias("src_url"),
+            F.col(src_raw_col).alias("src_raw"),
+            F.explode("_hrefs").alias("href_raw"),
+        )
+    )

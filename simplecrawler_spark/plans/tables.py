@@ -1,0 +1,151 @@
+"""Iceberg-shaped snapshot storage (SURVEY.md §7.1).
+
+No Iceberg runtime jar exists in this sandbox (and none can be
+fetched), so this module provides the engine's ONLY storage API —
+append / read / commit_snapshot / read_at / resume — backed by
+Parquet data files plus JSON snapshot manifests. Swapping in real
+Iceberg (`df.writeTo(tbl).append()`, `VERSION AS OF`) is a config
+change behind this same API, not an engine change.
+
+Iceberg-parity properties kept:
+  * append-only data files; a snapshot = immutable manifest listing
+    the file-set per table (time travel via read_at)
+  * per-append lineage: file paths + exact row counts (from parquet
+    footers — no extra Spark job) recorded in the manifest
+    (north rule "per-partition lineage + metrics", BASELINE.json:14)
+  * atomic commit: manifest written to a temp name then os.rename
+  * resume: open the latest manifest and continue from its round
+
+The reference has no storage at all (in-memory sets reset per crawl,
+/root/reference/simple_crawler/crawler.py:244-251); snapshots ARE the
+engine's history.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def _parquet_lineage(path: str) -> list[dict]:
+    """Exact per-file row counts from parquet footers (driver-side,
+    no Spark job)."""
+    import pyarrow.parquet as pq
+
+    entries = []
+    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        entries.append({"file": f, "rows": pq.read_metadata(f).num_rows})
+    return entries
+
+
+class SnapshotStore:
+    """Append-only multi-table store with snapshot manifests."""
+
+    def __init__(self, spark: SparkSession, root: str,
+                 schemas: dict[str, T.StructType] | None = None):
+        self.spark = spark
+        self.root = root
+        self.schemas = dict(schemas or {})
+        self._snap_dir = os.path.join(root, "snapshots")
+        os.makedirs(self._snap_dir, exist_ok=True)
+        # committed state: table -> list of data dirs
+        self._committed: dict[str, list[str]] = {}
+        self._pending: dict[str, list[dict]] = {}
+        self._last_snapshot: dict | None = None
+        latest = self._latest_manifest_path()
+        if latest:
+            with open(latest) as fh:
+                snap = json.load(fh)
+            self._committed = {k: list(v) for k, v in snap["tables"].items()}
+            self._last_snapshot = snap
+
+    # -- write ------------------------------------------------------------
+
+    def append(self, table: str, df: DataFrame) -> str:
+        """Write ``df`` as a new immutable data dir for ``table``.
+        Becomes visible to read() immediately, durable at commit."""
+        path = os.path.join(self.root, "data", table, uuid.uuid4().hex[:12])
+        df.write.mode("errorifexists").parquet(path)
+        self._pending.setdefault(table, []).append(
+            {"path": path, "lineage": _parquet_lineage(path)})
+        return path
+
+    def commit_snapshot(self, round_no: int, metrics: dict | None = None) -> str:
+        snap_id = (self._last_snapshot["id"] + 1) if self._last_snapshot else 1
+        tables = {k: list(v) for k, v in self._committed.items()}
+        lineage: dict[str, list] = {}
+        for table, appends in self._pending.items():
+            tables.setdefault(table, []).extend(a["path"] for a in appends)
+            lineage[table] = [
+                {"path": a["path"], "files": a["lineage"]} for a in appends
+            ]
+        snap = {
+            "id": snap_id,
+            "round": round_no,
+            "tables": tables,
+            "new_lineage": lineage,
+            "metrics": metrics or {},
+        }
+        tmp = os.path.join(self._snap_dir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump(snap, fh, indent=1)
+        final = os.path.join(self._snap_dir, f"snap-{snap_id:06d}.json")
+        os.rename(tmp, final)
+        self._committed = tables
+        self._pending = {}
+        self._last_snapshot = snap
+        return final
+
+    # -- read -------------------------------------------------------------
+
+    def _paths(self, table: str) -> list[str]:
+        return (self._committed.get(table, [])
+                + [a["path"] for a in self._pending.get(table, [])])
+
+    def read(self, table: str) -> DataFrame:
+        paths = self._paths(table)
+        if not paths:
+            schema = self.schemas.get(table)
+            if schema is None:
+                raise KeyError(f"empty table {table!r} with no schema registered")
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(*paths)
+
+    def read_at(self, table: str, snapshot_id: int) -> DataFrame:
+        snap = self._load_snapshot(snapshot_id)
+        paths = snap["tables"].get(table, [])
+        if not paths:
+            return self.spark.createDataFrame([], self.schemas[table])
+        return self.spark.read.parquet(*paths)
+
+    def is_empty(self, table: str) -> bool:
+        return not self._paths(table) or self.read(table).isEmpty()
+
+    # -- snapshot metadata --------------------------------------------------
+
+    def _latest_manifest_path(self) -> str | None:
+        manifests = sorted(glob.glob(os.path.join(self._snap_dir, "snap-*.json")))
+        return manifests[-1] if manifests else None
+
+    def _load_snapshot(self, snapshot_id: int) -> dict:
+        with open(os.path.join(self._snap_dir, f"snap-{snapshot_id:06d}.json")) as fh:
+            return json.load(fh)
+
+    def snapshots(self) -> list[dict]:
+        out = []
+        for p in sorted(glob.glob(os.path.join(self._snap_dir, "snap-*.json"))):
+            with open(p) as fh:
+                out.append(json.load(fh))
+        return out
+
+    @property
+    def last_snapshot(self) -> dict | None:
+        return self._last_snapshot
+
+    def latest_round(self) -> int | None:
+        return self._last_snapshot["round"] if self._last_snapshot else None
