@@ -73,12 +73,14 @@ def extract_hrefs(bodies: pd.Series) -> pd.Series:
 def explode_links(fetched: DataFrame, src_url_col: str = "url_norm",
                   src_raw_col: str = "url_raw",
                   body_col: str = "body",
-                  record_redirects: bool = False) -> DataFrame:
-    """fetched pages → `links(src_url, src_raw, href_raw)` rows.
+                  record_redirects: bool = False,
+                  passthrough: tuple[str, ...] = ()) -> DataFrame:
+    """fetched pages → `links(src_url, src_raw, href_raw, *passthrough)`.
 
     P3 (reference crawler.py:120-128): when record_redirects is on and
     the page is a 3xx, the Location header is the page's only link;
-    otherwise links come from the HTML body.
+    otherwise links come from the HTML body. ``passthrough`` columns
+    (e.g. the source row's authority/depth) ride along un-renamed.
     """
     if record_redirects:
         hrefs = F.when(
@@ -93,6 +95,7 @@ def explode_links(fetched: DataFrame, src_url_col: str = "url_norm",
         .select(
             F.col(src_url_col).alias("src_url"),
             F.col(src_raw_col).alias("src_raw"),
+            *[F.col(c) for c in passthrough],
             F.explode("_hrefs").alias("href_raw"),
         )
     )

@@ -1,0 +1,134 @@
+"""robots.txt — S4 source + G4 can_fetch gate + crawl_delay extraction.
+
+Reference semantics (crawler.py:182-194, 224-239):
+  * robots.txt fetched from `{domain}/robots.txt` with a `text/plain`
+    MIME gate; ANY error (4xx/5xx/wrong-mime) → empty rules (allow all).
+  * fetched unconditionally, even when obey_robots=False
+    (crawler.py:201-203) — the engine mirrors that: the robots table is
+    always built, the gate is applied only when obey_robots.
+  * can_fetch evaluated by stdlib urllib.robotparser — the engine uses
+    the SAME parser for exact parity, host-cached inside an Arrow
+    batch (host count ≪ URL count; the text is broadcast, the per-URL
+    work is a dict lookup + prefix match).
+  * crawl_delay feeds the politeness budget (G5) — extracted once per
+    (host, user_agent) driver-side.
+
+The reference is single-site (one robots fetch per crawl); the engine
+generalises to one robots row per authority, built by fetching
+`scheme://authority/robots.txt` through the same fetcher used for
+pages.
+"""
+
+from __future__ import annotations
+
+from urllib.robotparser import RobotFileParser
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from simplecrawler_spark.config import CrawlConfig
+from simplecrawler_spark.functions.canonical import canon_parts
+from simplecrawler_spark.sources.fetch import mime_ok_expr, status_class_expr
+
+
+def robots_urls_for(frontier: DataFrame) -> DataFrame:
+    """Distinct `scheme://authority/robots.txt` fetch rows for every
+    authority present in the frontier (reference Hyperlink.with_path,
+    hyperlink.py:83-85)."""
+    doms = (
+        frontier.select("authority", F.split("url_norm", "://")
+                        .getItem(0).alias("scheme"))
+        .where(F.col("authority") != "")
+        .distinct()
+    )
+    url = F.concat(F.col("scheme"), F.lit("://"), F.col("authority"),
+                   F.lit("/robots.txt"))
+    return doms.select(
+        url.alias("url_norm"), url.alias("url_raw"),
+        F.col("authority").alias("host"), "authority",
+        F.lit(0).alias("depth"), F.lit(0.0).alias("priority"),
+        F.lit(-1).alias("round"),
+    )
+
+
+def build_robots_table(frontier: DataFrame, fetcher,
+                       cfg: CrawlConfig) -> pd.DataFrame:
+    """Fetch+gate robots.txt per authority → small driver-side pandas
+    table (authority, robots_txt, crawl_delay). Empty rules on any
+    error (crawler.py:191-192)."""
+    fetched = fetcher(robots_urls_for(frontier))
+    ok = (status_class_expr(F.col("status")) == 2) & mime_ok_expr(
+        F.col("content_type"), ("text/plain",))
+    rows = (
+        fetched.select(
+            "authority",
+            F.when(ok, F.col("body")).otherwise(F.lit("")).alias("robots_txt"))
+        .toPandas()
+    )
+    delays = []
+    for txt in rows["robots_txt"]:
+        rp = RobotFileParser()
+        rp.parse((txt or "").splitlines())
+        try:
+            delay = rp.crawl_delay(cfg.user_agent)
+        except AttributeError:  # py3.6 bug parity (crawler.py:231-238)
+            delay = None
+        delays.append(float(delay) if delay else None)
+    rows["crawl_delay"] = delays
+    return rows
+
+
+def can_fetch_filter(frontier: DataFrame, robots_rows: pd.DataFrame,
+                     cfg: CrawlConfig) -> DataFrame:
+    """G4: keep frontier rows the robots rules allow for cfg.user_agent.
+
+    Evaluation is the stdlib RobotFileParser itself (exact reference
+    parity), one parser per distinct authority cached across the Arrow
+    batch; rule text rides in the UDF closure (broadcast-sized: one
+    row per authority)."""
+    if not cfg.obey_robots or robots_rows.empty:
+        return frontier
+    txt_by_auth = dict(zip(robots_rows["authority"], robots_rows["robots_txt"]))
+    agent = cfg.user_agent
+
+    @F.pandas_udf(T.BooleanType())
+    def allowed(authority: pd.Series, url_norm: pd.Series) -> pd.Series:
+        cache: dict[str, RobotFileParser] = {}
+        out = []
+        for auth, url in zip(authority, url_norm):
+            txt = txt_by_auth.get(auth, "")
+            rp = cache.get(auth)
+            if rp is None:
+                rp = RobotFileParser()
+                rp.parse((txt or "").splitlines())
+                cache[auth] = rp
+            out.append(bool(rp.can_fetch(agent, url)))
+        return pd.Series(out)
+
+    return frontier.filter(allowed(F.col("authority"), F.col("url_norm")))
+
+
+def crawl_delay_map(robots_rows: pd.DataFrame) -> dict[str, float]:
+    """authority → crawl_delay seconds (None rows dropped)."""
+    if robots_rows.empty:
+        return {}
+    out = {}
+    for auth, delay in zip(robots_rows["authority"], robots_rows["crawl_delay"]):
+        if delay is not None and not pd.isna(delay):
+            out[auth] = float(delay)
+    return out
+
+
+def parse_robots_text(txt: str, user_agent: str) -> RobotFileParser:
+    """Driver-side helper mirroring reference _get_robots result."""
+    rp = RobotFileParser()
+    rp.parse((txt or "").splitlines())
+    return rp
+
+
+__all__ = [
+    "robots_urls_for", "build_robots_table", "can_fetch_filter",
+    "crawl_delay_map", "parse_robots_text", "canon_parts",
+]

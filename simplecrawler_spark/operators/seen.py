@@ -1,0 +1,229 @@
+"""R4/R5 seen-set membership — exact anti-join + partitioned Bloom
+pre-filter, with a cuckoo-filter variant for deletion support
+(BASELINE.json:6,14; SURVEY.md §2.3 R4, §2.8).
+
+The reference keeps an exact in-memory Python set (crawler.py:81-83,
+160-163). At 10^10 URLs an exact set is a table, membership is an
+anti-join, and the Bloom sidecar exists to keep MOST candidate rows
+out of that shuffle:
+
+  candidates ──bloom──┬── definitely-new (bit miss) ──────────┐
+                      └── maybe-seen ── exact anti-join seen ─┴─ new
+
+Bloom bit positions are computed JVM-side (`xxhash64(url_norm, seed_i)
+mod m` — whole-stage codegen); Python only does vectorised numpy bit
+lookups per Arrow batch. False positives cost only a redundant exact
+check; false negatives are impossible, so correctness never depends on
+the filter (the exact anti-join on (url_hash, url_norm) is the
+backstop, and the norm equality guards hash collisions at 10^10 rows).
+
+Partitioning: bitsets are per host_bucket (pmod(xxhash64(host), B)) so
+at cluster scale each executor loads only its slice from the sidecar;
+in-sandbox they live in one broadcast dict.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+HOST_BUCKETS = 16
+
+
+def host_bucket_expr(host, n_buckets: int = HOST_BUCKETS):
+    return F.pmod(F.xxhash64(host), F.lit(n_buckets)).cast("int")
+
+
+class BloomSeen:
+    """Partitioned Bloom filter over canonical URLs.
+
+    Sized once from `expected_items` and `fpp`; saturation beyond the
+    estimate only raises the false-positive rate (never breaks
+    correctness — see module docstring).
+    """
+
+    def __init__(self, expected_items: int = 1 << 20, fpp: float = 1e-3,
+                 n_buckets: int = HOST_BUCKETS, seed: int = 7):
+        per_bucket = max(1024, expected_items // n_buckets)
+        m = int(-per_bucket * math.log(fpp) / (math.log(2) ** 2))
+        self.m = 1 << max(13, m.bit_length())       # power of two bits
+        self.k = max(1, round(-math.log2(fpp)))
+        self.n_buckets = n_buckets
+        self.seed = seed
+        self.bits = {b: np.zeros(self.m // 8, dtype=np.uint8)
+                     for b in range(n_buckets)}
+        self.added = 0
+
+    # -- position expressions (JVM-side) -----------------------------------
+
+    def positions_expr(self, url_norm):
+        return F.array(*[
+            F.pmod(F.xxhash64(url_norm, F.lit(self.seed + i)), F.lit(self.m))
+            for i in range(self.k)
+        ])
+
+    # -- updates ------------------------------------------------------------
+
+    def add_df(self, df: DataFrame, url_col: str = "url_norm",
+               host_col: str = "host") -> None:
+        """OR the bits for every row of ``df`` into the bitsets.
+        Positions are computed in the JVM; only (bucket, positions)
+        pairs cross to the driver."""
+        pdf = df.select(
+            host_bucket_expr(F.col(host_col), self.n_buckets).alias("b"),
+            self.positions_expr(F.col(url_col)).alias("p"),
+        ).toPandas()
+        if pdf.empty:
+            return
+        for b, grp in pdf.groupby("b"):
+            pos = np.concatenate(grp["p"].to_numpy())
+            bits = self.bits[int(b)]
+            np.bitwise_or.at(bits, pos >> 3,
+                             np.left_shift(1, (pos & 7)).astype(np.uint8))
+        self.added += len(pdf)
+
+    # -- membership ---------------------------------------------------------
+
+    def maybe_seen_col(self, df: DataFrame, url_col: str = "url_norm",
+                       host_col: str = "host"):
+        """Boolean column: True → possibly seen (needs exact check);
+        False → DEFINITELY new."""
+        bits_by_bucket = {b: a.copy() for b, a in self.bits.items()}
+        k = self.k
+
+        @F.pandas_udf(T.BooleanType())
+        def _maybe(bucket: pd.Series, positions: pd.Series) -> pd.Series:
+            if len(bucket) == 0:
+                return pd.Series([], dtype=bool)
+            pos = np.array(positions.tolist(), dtype=np.int64)  # (n, k)
+            bkt = bucket.to_numpy()
+            out = np.ones(len(bkt), dtype=bool)
+            for b in np.unique(bkt):
+                bits = bits_by_bucket[int(b)]
+                rows = bkt == b
+                p = pos[rows]
+                hit = (bits[p >> 3] & (1 << (p & 7)).astype(np.uint8)) != 0
+                out[rows] = hit.all(axis=1)
+            return pd.Series(out)
+
+        return _maybe(
+            host_bucket_expr(F.col(host_col), self.n_buckets),
+            self.positions_expr(F.col(url_col)),
+        )
+
+    # -- persistence (checkpoint sidecar) ------------------------------------
+
+    def save(self, path: str) -> None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        np.savez_compressed(
+            path, m=self.m, k=self.k, seed=self.seed, added=self.added,
+            **{f"b{b}": a for b, a in self.bits.items()})
+
+    @classmethod
+    def load(cls, path: str) -> "BloomSeen":
+        z = np.load(path)
+        obj = cls.__new__(cls)
+        obj.m = int(z["m"]); obj.k = int(z["k"]); obj.seed = int(z["seed"])
+        obj.added = int(z["added"])
+        obj.bits = {}
+        b = 0
+        while f"b{b}" in z:
+            obj.bits[b] = z[f"b{b}"]
+            b += 1
+        obj.n_buckets = b
+        return obj
+
+
+class CuckooSeen:
+    """Small cuckoo filter (fingerprint + two candidate buckets) for the
+    deletion path (recrawl/expiry) the Bloom can't serve
+    (BASELINE.json:14 "cuckoo-filter fallback for deletions").
+
+    Driver-side numpy implementation; membership/deletes are exercised
+    by the expiry tests, not the hot crawl path (which is Bloom+exact).
+    """
+
+    def __init__(self, capacity: int = 1 << 16, slots: int = 4,
+                 max_kicks: int = 500, seed: int = 11):
+        self.n = 1 << max(4, (capacity // slots).bit_length())
+        self.slots = slots
+        self.max_kicks = max_kicks
+        self.seed = seed
+        self.table = np.zeros((self.n, slots), dtype=np.uint16)  # 0 = empty
+
+    @staticmethod
+    def _h64(data: bytes, seed: int) -> int:
+        # deterministic across processes (unlike builtin hash())
+        import hashlib
+        d = hashlib.blake2b(data, digest_size=8,
+                            salt=seed.to_bytes(8, "little")).digest()
+        return int.from_bytes(d, "little")
+
+    def _fp_and_buckets(self, key: str) -> tuple[int, int, int]:
+        h = self._h64(key.encode("utf-8", "surrogatepass"), self.seed)
+        fp = (h & 0xFFFF) or 1
+        i1 = (h >> 16) % self.n
+        i2 = (i1 ^ self._h64(fp.to_bytes(2, "little"), self.seed)) % self.n
+        return fp, i1, i2
+
+    def add(self, key: str) -> bool:
+        import random
+        fp, i1, i2 = self._fp_and_buckets(key)
+        for i in (i1, i2):
+            row = self.table[i]
+            empty = np.flatnonzero(row == 0)
+            if empty.size:
+                row[empty[0]] = fp
+                return True
+        rng = random.Random(self._h64(key.encode("utf-8", "surrogatepass"),
+                                      self.seed + 1))
+        i = rng.choice((i1, i2))
+        for _ in range(self.max_kicks):
+            j = rng.randrange(self.slots)
+            fp, self.table[i][j] = self.table[i][j], fp
+            i = (i ^ self._h64(int(fp).to_bytes(2, "little"), self.seed)) % self.n
+            row = self.table[i]
+            empty = np.flatnonzero(row == 0)
+            if empty.size:
+                row[empty[0]] = fp
+                return True
+        return False  # table full
+
+    def __contains__(self, key: str) -> bool:
+        fp, i1, i2 = self._fp_and_buckets(key)
+        return bool((self.table[i1] == fp).any() or (self.table[i2] == fp).any())
+
+    def delete(self, key: str) -> bool:
+        fp, i1, i2 = self._fp_and_buckets(key)
+        for i in (i1, i2):
+            idx = np.flatnonzero(self.table[i] == fp)
+            if idx.size:
+                self.table[i][idx[0]] = 0
+                return True
+        return False
+
+
+def anti_join_seen(candidates: DataFrame, seen: DataFrame,
+                   bloom: BloomSeen | None = None) -> DataFrame:
+    """R4: rows of ``candidates`` whose url is NOT in ``seen``.
+
+    With a Bloom filter, definitely-new rows (bit miss) bypass the
+    anti-join shuffle entirely; only maybe-seen rows join against the
+    seen table. Exact keys: (url_hash, url_norm) — norm equality guards
+    hash collisions.
+    """
+    seen_keys = seen.select("url_hash", "url_norm")
+    if bloom is None or bloom.added == 0:
+        return candidates.join(seen_keys, ["url_hash", "url_norm"],
+                               "left_anti")
+    flagged = candidates.withColumn("_maybe", bloom.maybe_seen_col(candidates))
+    definitely_new = flagged.filter(~F.col("_maybe")).drop("_maybe")
+    maybe = flagged.filter(F.col("_maybe")).drop("_maybe")
+    checked = maybe.join(seen_keys, ["url_hash", "url_norm"], "left_anti")
+    return definitely_new.unionByName(checked)

@@ -9,26 +9,26 @@ image+caption input table mandated by BASELINE.json:15.
 from pyspark.sql import types as T
 
 FRONTIER = T.StructType([
-    T.StructField("url_norm", T.StringType(), False),
-    T.StructField("url_raw", T.StringType(), False),   # raw resolution string — urljoin input (hyperlink.py:115-124)
-    T.StructField("url_hash", T.LongType(), False),
+    T.StructField("url_norm", T.StringType(), True),
+    T.StructField("url_raw", T.StringType(), True),   # raw resolution string — urljoin input (hyperlink.py:115-124)
+    T.StructField("url_hash", T.LongType(), True),
     T.StructField("authority", T.StringType(), True),
     T.StructField("host", T.StringType(), True),
-    T.StructField("depth", T.IntegerType(), False),
-    T.StructField("priority", T.DoubleType(), False),
+    T.StructField("depth", T.IntegerType(), True),
+    T.StructField("priority", T.DoubleType(), True),
     T.StructField("discovered_from", T.StringType(), True),
-    T.StructField("round", T.IntegerType(), False),
+    T.StructField("round", T.IntegerType(), True),
 ])
 
 SEEN = T.StructType([
-    T.StructField("url_hash", T.LongType(), False),
-    T.StructField("url_norm", T.StringType(), False),
-    T.StructField("host_bucket", T.IntegerType(), False),
-    T.StructField("round_added", T.IntegerType(), False),
+    T.StructField("url_hash", T.LongType(), True),
+    T.StructField("url_norm", T.StringType(), True),
+    T.StructField("host_bucket", T.IntegerType(), True),
+    T.StructField("round_added", T.IntegerType(), True),
 ])
 
 RESULTS = T.StructType([
-    T.StructField("url_norm", T.StringType(), False),
+    T.StructField("url_norm", T.StringType(), True),
     T.StructField("status", T.IntegerType(), True),
     T.StructField("content_type", T.StringType(), True),
     T.StructField("parsed", T.BooleanType(), True),    # wrong-MIME 200s: done but parsed=false (crawler.py:176-180)
@@ -39,21 +39,21 @@ RESULTS = T.StructType([
 ])
 
 ROBOTS = T.StructType([
-    T.StructField("host", T.StringType(), False),
+    T.StructField("host", T.StringType(), True),
     T.StructField("robots_txt", T.StringType(), True),  # raw lines; evaluated by stdlib robotparser for parity
     T.StructField("crawl_delay", T.DoubleType(), True),
 ])
 
 LINKS = T.StructType([
-    T.StructField("src_url", T.StringType(), False),
-    T.StructField("src_raw", T.StringType(), False),
-    T.StructField("href_raw", T.StringType(), False),
+    T.StructField("src_url", T.StringType(), True),
+    T.StructField("src_raw", T.StringType(), True),
+    T.StructField("href_raw", T.StringType(), True),
 ])
 
 SITE_GRAPH = T.StructType([
-    T.StructField("url", T.StringType(), False),
-    T.StructField("url_norm", T.StringType(), False),
-    T.StructField("status", T.IntegerType(), False),
+    T.StructField("url", T.StringType(), True),
+    T.StructField("url_norm", T.StringType(), True),
+    T.StructField("status", T.IntegerType(), True),
     T.StructField("content_type", T.StringType(), True),
     T.StructField("body", T.StringType(), True),
     T.StructField("redirect_location", T.StringType(), True),
@@ -62,7 +62,7 @@ SITE_GRAPH = T.StructType([
 ])
 
 CORPUS = T.StructType([
-    T.StructField("image_id", T.StringType(), False),
+    T.StructField("image_id", T.StringType(), True),
     T.StructField("bytes", T.BinaryType(), True),
     T.StructField("w", T.IntegerType(), True),
     T.StructField("h", T.IntegerType(), True),
@@ -72,7 +72,7 @@ CORPUS = T.StructType([
 ])
 
 METRICS = T.StructType([
-    T.StructField("round", T.IntegerType(), False),
-    T.StructField("metric", T.StringType(), False),
+    T.StructField("round", T.IntegerType(), True),
+    T.StructField("metric", T.StringType(), True),
     T.StructField("value", T.DoubleType(), True),
 ])

@@ -1,0 +1,194 @@
+"""End-to-end crawl semantics — the reference's own expected sets
+(tests/test_crawler.py:45-60, 96-104, 171-239) replayed against the
+engine on table-driven site graphs (FIXTURES.md §1).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from simplecrawler_spark.config import CrawlConfig
+from simplecrawler_spark.plans.crawl import FrontierCrawler
+from simplecrawler_spark.sources.fetch import TableFetcher
+from simplecrawler_spark.sources.fixtures import (
+    ROBOTS_FIXTURE_TXT, cli_rows, crawler_server_rows, site_graph_df,
+)
+
+BASE = "http://fixture:9999"
+
+
+def crawl(spark, tmp_path, rows, seed, cfg=None):
+    cfg = cfg or CrawlConfig()
+    fetcher = TableFetcher(site_graph_df(spark, rows), cfg)
+    crawler = FrontierCrawler(spark, fetcher, cfg, root=str(tmp_path / "crawl"))
+    crawler.crawl(seed)
+    return crawler
+
+
+def test_crawler_find_all_links(spark, tmp_path):
+    # reference test_crawler.py:237-239 (and :258-261 multithreaded —
+    # parallelism never changes the set)
+    crawler = crawl(spark, tmp_path, crawler_server_rows(BASE), BASE)
+    assert crawler.result_urls() == {
+        BASE + "/", BASE + "/hello", BASE + "/world",
+        BASE + "/mime/text/pdf", BASE + "/mime/image/png",
+        BASE + "/mime/text/css",
+    }
+
+
+def test_wrong_mime_visited_not_parsed(spark, tmp_path):
+    crawler = crawl(spark, tmp_path, crawler_server_rows(BASE), BASE)
+    rows = {r.url_norm: r for r in crawler.results().collect()}
+    assert rows[BASE + "/mime/image/png"].parsed is False
+    assert rows[BASE + "/hello"].parsed is True
+    # errors are never done (crawler.py:168-174)
+    assert BASE + "/error/400" not in rows
+    assert BASE + "/error/500" not in rows
+
+
+def test_bfs_depths(spark, tmp_path):
+    crawler = crawl(spark, tmp_path, crawler_server_rows(BASE), BASE)
+    depth = {r.url_norm: r.depth for r in crawler.results().collect()}
+    assert depth[BASE + "/"] == 0
+    assert depth[BASE + "/hello"] == 1
+    assert depth[BASE + "/mime/text/css"] == 1
+    # /world linked from both / (depth1) and /hello (depth2) → BFS keeps 1
+    assert depth[BASE + "/world"] == 1
+
+
+def test_user_agent_gate(spark, tmp_path):
+    # reference test_crawler.py:96-104: /user-agent/<name> 500s unless
+    # the crawler's UA matches
+    rows = crawler_server_rows(BASE) + [{
+        "url": BASE + "/user-agent/TestAgent",
+        "url_norm": BASE + "/user-agent/TestAgent",
+        "status": 200, "content_type": "text/html", "body": "",
+        "redirect_location": None, "ua_required": "TestAgent",
+        "image_id": None,
+    }]
+    ok = crawl(spark, tmp_path / "a", rows, BASE + "/user-agent/TestAgent",
+               CrawlConfig(user_agent="TestAgent"))
+    assert ok.result_urls() == {BASE + "/user-agent/TestAgent"}
+    bad = crawl(spark, tmp_path / "b", rows, BASE + "/user-agent/TestAgent",
+                CrawlConfig(user_agent="NotTestAgent"))
+    assert bad.result_urls() == set()
+
+
+def test_redirects_followed_by_default(spark, tmp_path):
+    # GET /redirect/hello serves /hello's content (requests follows);
+    # the crawl visits it under its own url and discovers /world
+    crawler = crawl(spark, tmp_path, crawler_server_rows(BASE),
+                    BASE + "/redirect/hello")
+    urls = crawler.result_urls()
+    assert BASE + "/redirect/hello" in urls
+    assert BASE + "/world" in urls  # via /hello's body
+
+
+def test_record_redirects_location_is_the_link(spark, tmp_path):
+    # reference test_crawler.py:149-157
+    cfg = CrawlConfig(record_redirects=False)
+    cfg.record_redirects = True
+    cfg.follow_redirects = False
+    crawler = crawl(spark, tmp_path, crawler_server_rows(BASE),
+                    BASE + "/redirect/hello", cfg)
+    urls = crawler.result_urls()
+    assert BASE + "/redirect/hello" in urls
+    assert BASE + "/hello" in urls and BASE + "/world" in urls
+
+
+def test_trim_query_fragment_collapses_variants(spark, tmp_path):
+    # reference test_crawler.py:171-196 (_parse_hrefs table)
+    host = "https://www.example.com"
+    links = [
+        f"{host}#with-fragment", f"{host}?with=query",
+        f"{host}/?with=query#with-fragment", "#with-fragment", "?with=query",
+        "/?with=query#with-fragment", "/some/path", "/another/path",
+        f"{host}/", f"{host}/", f"{host}/third/path",
+        "https://www.dont-find.com", "https://www.subdomain.example.com",
+    ]
+    from simplecrawler_spark.sources.fixtures import make_html_from_links
+    rows = [{
+        "url": host, "url_norm": host + "/", "status": 200,
+        "content_type": "text/html", "body": make_html_from_links(links),
+        "redirect_location": None, "ua_required": None, "image_id": None,
+    }]
+    for p in ["/some/path", "/another/path", "/third/path"]:
+        rows.append({"url": host + p, "url_norm": host + p, "status": 200,
+                     "content_type": "text/html", "body": "",
+                     "redirect_location": None, "ua_required": None,
+                     "image_id": None})
+    crawler = crawl(spark, tmp_path, rows, host)
+    assert crawler.result_urls() == {
+        host + "/", host + "/some/path", host + "/another/path",
+        host + "/third/path",
+    }
+
+
+def test_robots_disallow_and_delay(spark, tmp_path):
+    # reference test_crawler.py:206-234 — Tester may not fetch
+    # /hello,/world; crawl-delay=1 budgets the host
+    rows = crawler_server_rows(BASE, robots_txt=ROBOTS_FIXTURE_TXT)
+    cfg = CrawlConfig(user_agent="Tester", round_seconds=10.0)
+    crawler = crawl(spark, tmp_path, rows, BASE, cfg)
+    urls = crawler.result_urls()
+    assert BASE + "/hello" not in urls
+    assert BASE + "/world" not in urls
+    assert BASE + "/" in urls
+    assert BASE + "/mime/text/css" in urls
+    # delay recorded for the politeness budget
+    assert crawler._delays.get("fixture:9999") == 1.0
+
+
+def test_robots_blocks_everything_for_other_agent(spark, tmp_path):
+    rows = crawler_server_rows(BASE, robots_txt=ROBOTS_FIXTURE_TXT)
+    cfg = CrawlConfig(user_agent="NotAnyOtherAgent")
+    crawler = crawl(spark, tmp_path, rows, BASE, cfg)
+    assert crawler.result_urls() == set()
+
+
+def test_disobey_robots(spark, tmp_path):
+    rows = crawler_server_rows(BASE, robots_txt=ROBOTS_FIXTURE_TXT)
+    cfg = CrawlConfig(user_agent="Tester", obey_robots=False)
+    crawler = crawl(spark, tmp_path, rows, BASE, cfg)
+    assert BASE + "/hello" in crawler.result_urls()
+
+
+def test_cli_graph(spark, tmp_path):
+    # reference tests/test_cli.py:80-143: 4 html pages crawled, pdf
+    # visited-not-parsed, /error excluded
+    crawler = crawl(spark, tmp_path, cli_rows(BASE), BASE)
+    assert crawler.result_urls() == {
+        BASE + "/", BASE + "/hello", BASE + "/world", BASE + "/hello/world",
+        BASE + "/hello.pdf",
+    }
+    rows = {r.url_norm: r for r in crawler.results().collect()}
+    assert rows[BASE + "/hello.pdf"].parsed is False
+
+
+def test_politeness_budget_defers_not_drops(spark, tmp_path):
+    # budget of 1/host/round must still visit everything eventually
+    cfg = CrawlConfig(max_per_host_per_round=1, max_rounds=50)
+    crawler = crawl(spark, tmp_path, crawler_server_rows(BASE), BASE, cfg)
+    assert len(crawler.result_urls()) == 6
+    # it must have taken extra rounds (6 pages, 1 fetch per round)
+    assert len(crawler.store.snapshots()) >= 6
+
+
+def test_resume_identical_final_state(spark, tmp_path):
+    cfg = CrawlConfig(max_per_host_per_round=2, max_rounds=2)
+    rows = crawler_server_rows(BASE)
+    crawler = crawl(spark, tmp_path / "killed", rows, BASE, cfg)
+    partial = crawler.result_urls()
+
+    # resume with the full budget from the same root
+    cfg2 = CrawlConfig(max_per_host_per_round=2, max_rounds=50)
+    fetcher = TableFetcher(site_graph_df(spark, rows), cfg2)
+    resumed = FrontierCrawler.resume(
+        spark, fetcher, str(tmp_path / "killed" / "crawl"), cfg2)
+    resumed.continue_crawl()
+
+    full = crawl(spark, tmp_path / "full", rows, BASE,
+                 CrawlConfig(max_per_host_per_round=2, max_rounds=50))
+    assert resumed.result_urls() == full.result_urls()
+    assert partial.issubset(resumed.result_urls())

@@ -1,0 +1,124 @@
+"""The BASELINE.json correctness gate, live: run the ACTUAL reference
+crawler (imported from /root/reference) against an in-process Flask
+copy of the fixture graph, run the engine against the table copy of the
+SAME graph, and assert visited-set equality.
+
+This replays the reference's own end-to-end scenario
+(tests/test_crawler.py:237-239) with both engines side by side.
+"""
+
+from __future__ import annotations
+
+import sys
+import threading
+from contextlib import contextmanager
+
+import pytest
+
+REF = "/root/reference"
+if REF not in sys.path:
+    sys.path.insert(0, REF)
+
+flask = pytest.importorskip("flask")
+werkzeug_serving = pytest.importorskip("werkzeug.serving")
+ref_crawler_mod = pytest.importorskip("simple_crawler.crawler")
+
+from simplecrawler_spark.config import CrawlConfig  # noqa: E402
+from simplecrawler_spark.plans.crawl import FrontierCrawler  # noqa: E402
+from simplecrawler_spark.sources.fetch import TableFetcher  # noqa: E402
+from simplecrawler_spark.sources.fixtures import (  # noqa: E402
+    crawler_server_rows, make_html_from_links, site_graph_df,
+)
+
+HOST, PORT = "127.0.0.1", 19999
+BASE = f"http://{HOST}:{PORT}"
+
+
+@contextmanager
+def live_server(app):
+    server = werkzeug_serving.make_server(HOST, PORT, app, threaded=True)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        yield
+    finally:
+        server.shutdown()
+        thread.join()
+
+
+def build_flask_app():
+    """Flask app serving EXACTLY the rows of crawler_server_rows(BASE)
+    (which themselves replicate /root/reference/tests/test_crawler.py:40-93)."""
+    app = flask.Flask("parity_server")
+    for row in crawler_server_rows(BASE):
+        path = row["url"][len(BASE):] or "/"
+
+        def make_view(r):
+            def view():
+                if 300 <= r["status"] < 400:
+                    return flask.redirect(r["redirect_location"])
+                if r["status"] >= 400:
+                    flask.abort(r["status"])
+                return (r["body"] or "", 200,
+                        {"Content-Type": r["content_type"]})
+            return view
+
+        app.add_url_rule(path, endpoint=path, view_func=make_view(row))
+    return app
+
+
+@pytest.mark.parametrize("max_workers", [1, 10])
+def test_visited_set_parity(spark, tmp_path, max_workers):
+    ref_found = {}
+
+    app = build_flask_app()
+    with live_server(app):
+        ref = ref_crawler_mod.Crawler(max_workers=max_workers, timeout=1)
+        ref_found = ref.crawl(BASE)
+
+    cfg = CrawlConfig()
+    fetcher = TableFetcher(site_graph_df(spark, crawler_server_rows(BASE)), cfg)
+    engine = FrontierCrawler(spark, fetcher, cfg, root=str(tmp_path / "c"))
+    engine.crawl(BASE)
+
+    assert engine.result_urls() == ref_found
+
+
+def test_visited_set_parity_trim_variants(spark, tmp_path):
+    """Query/fragment-variant collapsing, both engines, same graph."""
+    host_base = BASE
+    links = ["/a?x=1", "/a#frag", "/a", "/b?z=2#f", f"{host_base}/c",
+             "https://elsewhere.example.com/x"]
+    rows = [
+        {"url": host_base + "/", "url_norm": host_base + "/", "status": 200,
+         "content_type": "text/html", "body": make_html_from_links(links),
+         "redirect_location": None, "ua_required": None, "image_id": None},
+    ]
+    for p in ["/a", "/b", "/c"]:
+        rows.append({"url": host_base + p, "url_norm": host_base + p,
+                     "status": 200, "content_type": "text/html", "body": "",
+                     "redirect_location": None, "ua_required": None,
+                     "image_id": None})
+
+    app = flask.Flask("parity2")
+    for row in rows:
+        path = row["url"][len(host_base):] or "/"
+
+        def make_view(r):
+            def view():
+                return (r["body"] or "", 200,
+                        {"Content-Type": r["content_type"]})
+            return view
+
+        app.add_url_rule(path, endpoint=path, view_func=make_view(row))
+
+    with live_server(app):
+        ref = ref_crawler_mod.Crawler(timeout=1)
+        ref_found = ref.crawl(host_base)
+
+    cfg = CrawlConfig()
+    fetcher = TableFetcher(site_graph_df(spark, rows), cfg)
+    engine = FrontierCrawler(spark, fetcher, cfg, root=str(tmp_path / "c2"))
+    engine.crawl(host_base)
+
+    assert engine.result_urls() == ref_found
