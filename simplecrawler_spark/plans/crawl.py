@@ -266,6 +266,24 @@ class FrontierCrawler:
     def results(self) -> DataFrame:
         return self.store.read("results")
 
+    def validated_results(self, corpus: DataFrame,
+                          psnr_gate_db: float = 40.0) -> DataFrame:
+        """Results joined to the image+caption corpus with per-row
+        decoded-pixel PSNR + phash + caption validation (the graft's
+        payload invariant, BASELINE.json:15; SURVEY.md §1.3)."""
+        from simplecrawler_spark.functions.images import validate_corpus_join
+
+        pages = self.results()
+        with_imgs = pages.filter(F.col("image_id").isNotNull())
+        plain = pages.filter(F.col("image_id").isNull())
+        validated = validate_corpus_join(with_imgs, corpus, psnr_gate_db)
+        extra = [c for c in validated.columns if c not in plain.columns]
+        plain_padded = plain.select(
+            "*", *[F.lit(None).cast("double" if c == "psnr_db" else
+                         "long" if c == "phash_computed" else "boolean"
+                         ).alias(c) for c in extra])
+        return validated.unionByName(plain_padded)
+
     def result_urls(self) -> set[str]:
         """The reference's return shape: Set[str] of normalised urls
         (crawler.py:244-251)."""

@@ -1,0 +1,68 @@
+"""Image corpus codecs, phash, PSNR validation (BASELINE.json:15)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from simplecrawler_spark.functions import images as I
+from simplecrawler_spark.sources.fixtures import synthetic_corpus
+
+
+def test_raw_roundtrip_exact():
+    px = I.synth_pixels(4)
+    dec = I.decode_pixels(I.encode_pixels(px, "raw"), "raw",
+                          px.shape[1], px.shape[0])
+    assert np.array_equal(px, dec)
+
+
+def test_pngz_lossy_psnr_gate():
+    for k in range(0, 20):
+        px = I.synth_pixels(k)
+        dec = I.decode_pixels(I.encode_pixels(px, "pngz"), "pngz",
+                              px.shape[1], px.shape[0])
+        assert I.psnr(px, dec) >= 40.0, k
+
+
+def test_unknown_fmt_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        I.encode_pixels(I.synth_pixels(0), "jpeg")
+
+
+def test_phash_deterministic_and_robust():
+    px = I.synth_pixels(7)
+    h1 = I.phash64(px)
+    assert h1 == I.phash64(px.copy())
+    # quantisation must not flip the perceptual hash
+    dec = I.decode_pixels(I.encode_pixels(px, "pngz"), "pngz",
+                          px.shape[1], px.shape[0])
+    diff = bin((h1 ^ I.phash64(dec)) & ((1 << 64) - 1)).count("1")
+    assert diff <= 4
+    # a different image must differ
+    other = I.phash64(I.synth_pixels(8))
+    assert bin((h1 ^ other) & ((1 << 64) - 1)).count("1") > 10
+
+
+def test_corpus_validation_df(spark):
+    corpus = synthetic_corpus(spark, 16)
+    pages = spark.createDataFrame(
+        [(f"http://h/{k}", I.image_id_of(k)) for k in range(16)],
+        ["url_norm", "image_id"])
+    out = I.validate_corpus_join(pages, corpus)
+    rows = out.collect()
+    assert len(rows) == 16
+    for r in rows:
+        assert r.pixels_ok, r.image_id
+        assert r.phash_match, r.image_id
+        assert r.psnr_db >= 40.0
+        k = int(r.image_id.split("_")[1])
+        assert r.caption == I.synth_caption(k)
+
+
+def test_corpus_schema(spark):
+    corpus = synthetic_corpus(spark, 4)
+    assert [f.name for f in corpus.schema.fields] == [
+        "image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+    first = corpus.orderBy("image_id").first()
+    assert first.fmt == "raw" and isinstance(first.phash, int)

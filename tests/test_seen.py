@@ -1,0 +1,75 @@
+"""Bloom/cuckoo seen-filter semantics (R4; BASELINE.json:6,14)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from simplecrawler_spark.operators.seen import BloomSeen, CuckooSeen, anti_join_seen
+
+
+def _urls_df(spark, urls):
+    return (spark.createDataFrame([(u,) for u in urls], ["url_norm"])
+            .withColumn("url_hash", F.xxhash64("url_norm"))
+            .withColumn("host", F.split(F.col("url_norm"), "/").getItem(2)))
+
+
+def test_bloom_no_false_negatives(spark):
+    seen_urls = [f"http://h{i % 7}.test/p/{i}" for i in range(2000)]
+    bloom = BloomSeen(expected_items=4096, fpp=0.01)
+    bloom.add_df(_urls_df(spark, seen_urls))
+    flags = (
+        _urls_df(spark, seen_urls)
+        .withColumn("maybe", bloom.maybe_seen_col(_urls_df(spark, seen_urls)))
+        .collect()
+    )
+    assert all(r.maybe for r in flags)  # zero false negatives, always
+
+
+def test_bloom_filters_most_new(spark):
+    seen_urls = [f"http://h{i % 7}.test/p/{i}" for i in range(2000)]
+    new_urls = [f"http://h{i % 7}.test/q/{i}" for i in range(2000)]
+    bloom = BloomSeen(expected_items=4096, fpp=0.01)
+    bloom.add_df(_urls_df(spark, seen_urls))
+    df = _urls_df(spark, new_urls)
+    maybe = df.withColumn("maybe", bloom.maybe_seen_col(df))
+    fp = maybe.filter("maybe").count()
+    assert fp / len(new_urls) < 0.05  # FPR in the configured ballpark
+
+
+def test_anti_join_with_bloom_equals_exact(spark):
+    seen_urls = [f"http://h{i % 5}.test/p/{i}" for i in range(500)]
+    cand_urls = [f"http://h{i % 5}.test/p/{i}" for i in range(400, 900)]
+    seen = _urls_df(spark, seen_urls)
+    cand = _urls_df(spark, cand_urls)
+    bloom = BloomSeen(expected_items=2048, fpp=0.01)
+    bloom.add_df(seen)
+    with_bloom = {r.url_norm for r in
+                  anti_join_seen(cand, seen, bloom).collect()}
+    exact = {r.url_norm for r in anti_join_seen(cand, seen, None).collect()}
+    assert with_bloom == exact
+    assert exact == {f"http://h{i % 5}.test/p/{i}" for i in range(500, 900)}
+
+
+def test_bloom_save_load_roundtrip(spark, tmp_path):
+    urls = [f"http://h/{i}" for i in range(100)]
+    bloom = BloomSeen(expected_items=1024)
+    bloom.add_df(_urls_df(spark, urls))
+    path = str(tmp_path / "sidecar" / "bloom.npz")
+    bloom.save(path)
+    loaded = BloomSeen.load(path)
+    assert loaded.m == bloom.m and loaded.k == bloom.k
+    assert all((loaded.bits[b] == bloom.bits[b]).all() for b in bloom.bits)
+
+
+def test_cuckoo_add_contains_delete():
+    cf = CuckooSeen(capacity=4096)
+    keys = [f"http://h/{i}" for i in range(1000)]
+    for k in keys:
+        assert cf.add(k)
+    assert all(k in cf for k in keys)  # no false negatives
+    for k in keys[:500]:
+        assert cf.delete(k)
+    # deleted keys are (almost always) gone; all retained keys remain
+    assert all(k in cf for k in keys[500:])
+    present_after_delete = sum(1 for k in keys[:500] if k in cf)
+    assert present_after_delete < 25  # only fingerprint collisions remain
