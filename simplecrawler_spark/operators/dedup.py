@@ -1,0 +1,148 @@
+"""Deduplication operators for the training-data pipeline: exact,
+MinHash+LSH, SimHash, n-gram Jaccard.
+
+All hot paths are Spark built-ins (split/transform/slice/md5/array_min
+— whole-stage codegen); no Python UDFs anywhere. Each operator has a
+DuckDB-oracle twin in __spark_entry__.py built on the same portable
+hash primitives (functions/text.py).
+
+Scale notes:
+  * exact dedup = one hash-aggregate on the fingerprint (map-side
+    partial agg; no pre-shuffle of full text — only the 32-char md5 and
+    the min doc id move).
+  * MinHash-LSH: signatures are computed per-row (narrow); the only
+    shuffle is the band-bucket join, whose fan-in is bounded by band
+    width. Candidate verification is a second narrow pass.
+  * SimHash: per-row expressions then a bucket groupBy on the 16-bit
+    key — one small shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from simplecrawler_spark.functions.text import (
+    fingerprint_expr, hash_hex16, hash_long60, tokens_expr,
+)
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """One survivor (min id) per normalised-text fingerprint."""
+    return (
+        docs.select(F.col(id_col), fingerprint_expr(F.col(text_col))
+                    .alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def shingles_expr(text, k: int = 3):
+    """Token k-gram shingles (space-joined)."""
+    toks = tokens_expr(text)
+    return F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+            lambda i: F.array_join(F.slice(toks, i, k), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_signature(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n_hashes: int = 8,
+                      k: int = 3) -> DataFrame:
+    """MinHash signature per doc: for permutation p, the min 64-bit
+    (hex-string) hash over the doc's k-gram shingles. Docs with < k
+    tokens get null components."""
+    sh = shingles_expr(F.col(text_col), k)
+
+    def perm_hash(p):
+        # factory closure: transform's lambda must stay 1-ary, else
+        # pyspark binds the second param to the array index
+        return lambda s: hash_hex16(s, salt=f"mh{p}|")
+
+    cols = [
+        F.array_min(F.transform(sh, perm_hash(p))).alias(f"mh{p}")
+        for p in range(n_hashes)
+    ]
+    return docs.select(F.col(id_col), *cols)
+
+
+def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n_hashes: int = 8,
+                      band_rows: int = 2, k: int = 3) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any LSH band (bands of
+    `band_rows` consecutive signature components). Returns distinct
+    (id_a < id_b) pairs."""
+    assert n_hashes % band_rows == 0
+    sig = minhash_signature(docs, text_col, id_col, n_hashes, k)
+    n_bands = n_hashes // band_rows
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws("|", *[F.col(f"mh{b * band_rows + r}")
+                               for r in range(band_rows)]).alias("key"))
+        for b in range(n_bands)
+    ])
+    exploded = (
+        sig.where(F.col("mh0").isNotNull())
+        .select(F.col(id_col), F.explode(bands).alias("bk"))
+        .select(id_col, F.col("bk.band").alias("band"),
+                F.col("bk.key").alias("key"))
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(b, ["band", "key"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard(pairs: DataFrame, docs: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  k: int = 3) -> DataFrame:
+    """Exact k-gram Jaccard for (id_a, id_b) candidate pairs."""
+    sh = docs.select(
+        F.col(id_col),
+        F.array_distinct(shingles_expr(F.col(text_col), k)).alias("sh"))
+    out = (
+        pairs.join(sh.select(F.col(id_col).alias("id_a"),
+                             F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"),
+                        F.col("sh").alias("sh_b")), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return out.select(
+        "id_a", "id_b",
+        F.when(union > 0, inter.cast("double") / union)
+        .otherwise(F.lit(0.0)).alias("jaccard"))
+
+
+def simhash(docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id", n_bits: int = 16) -> DataFrame:
+    """SimHash over tokens: bit j of the hash is the sign of
+    Σ_tokens (2·bit_j(h(token)) − 1). Uses the portable 60-bit token
+    hash so the oracle can reproduce it bit-for-bit."""
+    toks = tokens_expr(F.col(text_col))
+    h = lambda t: hash_long60(t, salt="sh|")  # noqa: E731
+
+    def bit_sum(j):
+        # factory closure: F.aggregate's merge lambda must be 2-ary
+        return lambda acc, t: acc + (
+            F.shiftright(h(t), j).bitwiseAND(F.lit(1)) * 2 - 1)
+
+    bit_sums = [
+        F.aggregate(toks, F.lit(0).cast("long"), bit_sum(j)).alias(f"s{j}")
+        for j in range(n_bits)
+    ]
+    with_sums = docs.select(F.col(id_col), *bit_sums)
+    val = F.lit(0).cast("long")
+    for j in range(n_bits):
+        val = val + F.when(F.col(f"s{j}") > 0,
+                           F.lit(1 << j).cast("long")).otherwise(F.lit(0))
+    return with_sums.select(id_col, val.alias("simhash"))
