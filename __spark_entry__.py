@@ -1,38 +1,461 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: the FrontierCrawler BFS fixpoint over a
+site graph derived from sf0.001 lineitem edges.
+
+``queries()`` / ``oracle_sql()`` — one entry per operator family from
+SURVEY.md §2 plus the training-data pipeline ops; every oracle is exact
+ANSI SQL over the same parquet views. Portability contracts used
+throughout (see simplecrawler_spark/functions/text.py):
+  * md5 is identical in Spark and DuckDB;
+  * 64-bit hashes ride as 16-hex-char strings (lexicographic == numeric
+    order) or via hex→BIGINT casts;
+  * no cross-row float aggregation is ever compared (floats are
+    floor-scaled per row to integers);
+  * every computed column is aliased identically on both sides.
+
+q_ann_lsh has no oracle entry (bucketed ANN is not reasonably
+SQL-expressible); it is verified against brute-force cosine in
+tests/test_text_dedup.py instead.
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from simplecrawler_spark.config import CrawlConfig
+from simplecrawler_spark.functions import text as X
+from simplecrawler_spark.functions.canonical import (
+    canonicalize_df, resolve, trim_query_fragment_expr,
+)
+from simplecrawler_spark.operators import dedup as D
+from simplecrawler_spark.operators import similarity as SIM
+from simplecrawler_spark.operators.parse import extract_hrefs
+from simplecrawler_spark.operators.politeness import schedule_budget
+from simplecrawler_spark.operators.seen import anti_join_seen
+from simplecrawler_spark.plans.crawl import FrontierCrawler
+from simplecrawler_spark.sources.fetch import (
+    TableFetcher, mime_ok_expr, status_class_expr,
+)
+from simplecrawler_spark.sources.fixtures import graph_from_edges
+
+N_BFS_NODES = 500
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# shared derivations (Spark side)
+# --------------------------------------------------------------------------
+
+def _dirty_urls(orders: DataFrame) -> DataFrame:
+    """Deterministic 'dirty' URLs from orders — uppercase scheme/host,
+    trailing-dot host, space in path, unsorted query params."""
+    url_raw = F.concat(
+        F.lit("HTTP://SRC"), (F.col("o_custkey") % 20).cast("string"),
+        F.lit(".Example.COM./p "), (F.col("o_orderkey") % 50).cast("string"),
+        F.lit("?b="), (F.col("o_orderkey") % 3).cast("string"),
+        F.lit("&a="), (F.col("o_custkey") % 5).cast("string"),
+    )
+    return orders.select(url_raw.alias("url_raw"),
+                         "o_orderkey", "o_custkey")
+
+
+_ORACLE_URL_NORM = (
+    "'http://src' || (o_custkey % 20)::VARCHAR || '.example.com/p%20' || "
+    "(o_orderkey % 50)::VARCHAR || '?a=' || (o_custkey % 5)::VARCHAR || "
+    "'&b=' || (o_orderkey % 3)::VARCHAR"
+)
+
+_ORACLE_TOKS = ("list_filter(regexp_split_to_array(lower(text), "
+                "'[^a-z0-9]+'), x -> x <> '')")
+
+_ORACLE_FP = ("md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', "
+              "'g')))")
+
+
+def _bfs_crawler(spark: SparkSession, sf_dir: str, n_nodes: int,
+                 max_rounds: int = 20) -> FrontierCrawler:
+    edges = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % n_nodes).alias("src"),
+        (F.col("l_partkey") % n_nodes).alias("dst")).distinct()
+    graph = graph_from_edges(spark, edges, n_nodes)
+    cfg = CrawlConfig(max_rounds=max_rounds)
+    fetcher = TableFetcher(graph, cfg)
+    return FrontierCrawler(spark, fetcher, cfg,
+                           root=tempfile.mkdtemp(prefix="entry-crawl-"))
+
+
+# --------------------------------------------------------------------------
+# entry
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: frontier BFS crawl of the lineitem-derived site graph
+    at sf0.001 (SURVEY.md §3.4)."""
+    crawler = _bfs_crawler(spark, "/root/testdata/sf0.001", 200)
+    crawler.crawl("http://graph.test/p0")
+    return crawler.results().select("url_norm", "depth", "status")
 
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def q_canonicalize(spark, sf):
+        urls = _dirty_urls(_t(spark, sf, "orders"))
+        return (canonicalize_df(urls).groupBy("url_norm")
+                .agg(F.count("*").alias("n_raw")))
 
+    def q_url_dedupe(spark, sf):
+        urls = canonicalize_df(_dirty_urls(_t(spark, sf, "orders")))
+        return (urls.groupBy("host")
+                .agg(F.countDistinct("url_norm").alias("n_urls")))
+
+    def q_seen_antijoin(spark, sf):
+        urls = canonicalize_df(_dirty_urls(_t(spark, sf, "orders")))
+        frontier = (urls.where(F.col("o_orderkey") % 50 < 40)
+                    .select("url_norm", "url_hash").distinct())
+        seen = (urls.where(F.col("o_orderkey") % 50 < 20)
+                .select("url_norm", "url_hash").distinct())
+        return anti_join_seen(frontier, seen).select("url_norm")
+
+    def q_politeness_window(spark, sf):
+        ev = _t(spark, sf, "events").select(
+            F.col("user_id").cast("string").alias("host"),
+            F.col("user_id").cast("string").alias("authority"),
+            # ts is TIMESTAMP_NTZ in the parquet; cast for unix_micros.
+            # priority is only an ordering key, and the cast is a
+            # monotonic map, so order parity with epoch_us(ts) holds.
+            F.unix_micros(F.col("ts").cast("timestamp")).cast("double")
+            .alias("priority"),
+            F.col("event_id").alias("url_hash"),
+            F.col("event_id"))
+        cfg = CrawlConfig(max_per_host_per_round=5)
+        scheduled, _ = schedule_budget(ev, {}, cfg)
+        return scheduled.select("host", "event_id")
+
+    def q_crawl_bfs(spark, sf):
+        crawler = _bfs_crawler(spark, sf, N_BFS_NODES)
+        crawler.crawl("http://graph.test/p0")
+        return crawler.results().select("url_norm", "depth")
+
+    def q_mime_gate(spark, sf):
+        return _t(spark, sf, "part").select(
+            "p_partkey",
+            mime_ok_expr(F.col("p_type"), ("economy", "brush"))
+            .alias("mime_ok"))
+
+    def q_status_class(spark, sf):
+        status = (F.lit(200) + F.col("o_orderkey") % 400)
+        return (_t(spark, sf, "orders")
+                .select(status_class_expr(status).alias("status_class"))
+                .groupBy("status_class").agg(F.count("*").alias("n")))
+
+    def q_extract_hrefs(spark, sf):
+        docs = _t(spark, sf, "documents")
+        body = F.concat(
+            F.lit('<html><body><a href="/p/'),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit('">x</a><a href="/q/'),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit('">y</a></body></html>'))
+        return (docs.select(F.explode(extract_hrefs(body)).alias("href_raw"))
+                .groupBy("href_raw").agg(F.count("*").alias("n")))
+
+    def q_trim_resolve(spark, sf):
+        ev = _t(spark, sf, "events")
+        href = F.concat(F.lit("/p"), (F.col("event_id") % 7).cast("string"),
+                        F.lit("?q="), (F.col("event_id") % 3).cast("string"),
+                        F.lit("#sec"))
+        trimmed = trim_query_fragment_expr(href, trim_query=False,
+                                           trim_fragment=True)
+        resolved = resolve(F.lit("http://h.test/a/b"), trimmed)
+        return (canonicalize_df(ev.select(resolved.alias("url_resolved")),
+                                url_col="url_resolved")
+                .select("url_norm").distinct())
+
+    def q_dedup_exact(spark, sf):
+        return D.exact_dedup(_t(spark, sf, "documents"))
+
+    def q_minhash(spark, sf):
+        docs = _t(spark, sf, "documents").where(F.col("doc_id") < 100)
+        return D.minhash_signature(docs, n_hashes=4)
+
+    def q_lsh_pairs(spark, sf):
+        docs = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
+        return D.minhash_lsh_pairs(docs, n_hashes=4, band_rows=2)
+
+    def q_ngram_jaccard(spark, sf):
+        docs = _t(spark, sf, "documents")
+        pairs = (docs.where(F.col("doc_id") % 10 == 0)
+                 .select(F.col("doc_id").alias("id_a"),
+                         (F.col("doc_id") + 1).alias("id_b")))
+        j = D.ngram_jaccard(pairs, docs)
+        return j.select("id_a", "id_b",
+                        F.floor(F.col("jaccard") * 1000000)
+                        .cast("long").alias("jac_scaled"))
+
+    def q_simhash(spark, sf):
+        docs = _t(spark, sf, "documents").where(F.col("doc_id") < 100)
+        return D.simhash(docs, n_bits=16)
+
+    def q_lang_quality(spark, sf):
+        docs = _t(spark, sf, "documents")
+        q = X.quality_score_expr(F.col("text"))
+        return (docs.select(X.lang_id_expr(F.col("text")).alias("lang_pred"),
+                            (q >= 0.7).alias("high_q"))
+                .groupBy("lang_pred")
+                .agg(F.count("*").alias("n_docs"),
+                     F.sum(F.col("high_q").cast("long")).alias("n_highq")))
+
+    def q_token_stats(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return (docs.select(
+                    "lang", X.token_count_expr(F.col("text")).alias("tc"),
+                    X.fingerprint_expr(F.col("text")).alias("fp"))
+                .groupBy("lang")
+                .agg(F.sum(F.col("tc").cast("long")).alias("total_tokens"),
+                     F.countDistinct("fp").alias("n_fp")))
+
+    def q_cosine_topk(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        dim = len(emb.select("embedding").first().embedding)
+        query = [1.0] + [0.0] * (dim - 1)
+        c = SIM.cosine_expr(F.col("embedding"), query)
+        return (emb.select("vec_id", c.alias("c"))
+                .orderBy(F.col("c").desc(), "vec_id").limit(10)
+                .select("vec_id", F.floor(F.col("c") * 100000)
+                        .cast("long").alias("cos_scaled")))
+
+    def q_embedding_norms(spark, sf):
+        emb = _t(spark, sf, "embeddings").where(F.col("vec_id") < 50)
+        n = SIM._norm(F.col("embedding"))
+        return emb.select("vec_id", F.floor(n * 1000000)
+                          .cast("long").alias("norm_scaled"))
+
+    def q_ann_lsh(spark, sf):  # rows-only check (no SQL oracle)
+        emb = _t(spark, sf, "embeddings")
+        dim = len(emb.select("embedding").first().embedding)
+        query = [1.0] + [0.0] * (dim - 1)
+        return SIM.ann_lsh_topk(emb, query, k=10, n_planes=6)
+
+    return {
+        "q_canonicalize": q_canonicalize,
+        "q_url_dedupe": q_url_dedupe,
+        "q_seen_antijoin": q_seen_antijoin,
+        "q_politeness_window": q_politeness_window,
+        "q_crawl_bfs": q_crawl_bfs,
+        "q_mime_gate": q_mime_gate,
+        "q_status_class": q_status_class,
+        "q_extract_hrefs": q_extract_hrefs,
+        "q_trim_resolve": q_trim_resolve,
+        "q_dedup_exact": q_dedup_exact,
+        "q_minhash": q_minhash,
+        "q_lsh_pairs": q_lsh_pairs,
+        "q_ngram_jaccard": q_ngram_jaccard,
+        "q_simhash": q_simhash,
+        "q_lang_quality": q_lang_quality,
+        "q_token_stats": q_token_stats,
+        "q_cosine_topk": q_cosine_topk,
+        "q_embedding_norms": q_embedding_norms,
+        "q_ann_lsh": q_ann_lsh,
+    }
+
+
+# --------------------------------------------------------------------------
+# oracles
+# --------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    toks = _ORACLE_TOKS
+    sh = ("list_transform(range(1, len(toks) - 1), "
+          "i -> array_to_string(toks[i:i+2], ' '))")
+    mh = {p: (f"list_min(list_transform(sh, x -> substr(md5('mh{p}|' || x)"
+              f", 1, 16))) AS mh{p}") for p in range(4)}
+    sig_cte = f"""
+        WITH t AS (
+          SELECT doc_id, {toks} AS toks FROM documents WHERE doc_id < {{lim}}
+        ), s AS (
+          SELECT doc_id, {sh} AS sh FROM t
+        ), sig AS (
+          SELECT doc_id, {mh[0]}, {mh[1]}, {mh[2]}, {mh[3]} FROM s
+        )
     """
-    return {}
+    simhash_bits = 16
+    sim_sums = ", ".join(
+        f"sum(case when (hv >> {j}) & 1 = 1 then 1 else -1 end) AS s{j}"
+        for j in range(simhash_bits))
+    sim_val = " + ".join(
+        f"(case when s{j} > 0 then {1 << j} else 0 end)"
+        for j in range(simhash_bits))
+    markers = ", ".join(f"'{m}'" for m in X.EN_MARKERS)
+    marker_ratio = (
+        f"case when len(toks) > 0 then "
+        f"len(list_filter(toks, x -> list_contains([{markers}], x)))"
+        f"::DOUBLE / len(toks) else 0.0 end")
+    quality = (
+        "round(0.4 * (case when length(text) between 100 and 10000 then 1.0 "
+        "when length(text) >= 20 then 0.5 else 0.0 end) "
+        "+ 0.3 * (case when length(text) > 0 then "
+        "length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE "
+        "/ length(text) else 0.0 end) "
+        "+ 0.3 * (case when len(toks) > 0 and "
+        "(list_aggregate(list_transform(toks, x -> length(x)), 'sum')"
+        "::DOUBLE / len(toks)) between 3.0 and 12.0 then 1.0 else 0.3 end)"
+        ", 6)")
+    vnorm = ("sqrt(list_aggregate(list_transform(embedding::DOUBLE[], "
+             "x -> x * x), 'sum'))")
+
+    return {
+        "q_canonicalize": f"""
+            SELECT {_ORACLE_URL_NORM} AS url_norm, count(*) AS n_raw
+            FROM orders GROUP BY 1
+        """,
+        "q_url_dedupe": f"""
+            SELECT 'src' || (o_custkey % 20)::VARCHAR || '.example.com'
+                     AS host,
+                   count(DISTINCT {_ORACLE_URL_NORM}) AS n_urls
+            FROM orders GROUP BY 1
+        """,
+        "q_seen_antijoin": f"""
+            WITH u AS (SELECT {_ORACLE_URL_NORM} AS url_norm,
+                              o_orderkey % 50 AS k FROM orders)
+            SELECT DISTINCT url_norm FROM u WHERE k < 40
+            AND url_norm NOT IN (SELECT url_norm FROM u WHERE k < 20)
+        """,
+        "q_politeness_window": """
+            SELECT host, event_id FROM (
+              SELECT user_id::VARCHAR AS host, event_id,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id) AS rn
+              FROM events) WHERE rn <= 5
+        """,
+        "q_crawl_bfs": f"""
+            WITH RECURSIVE edges AS (
+              SELECT DISTINCT (l_orderkey % {N_BFS_NODES}) AS src,
+                              (l_partkey % {N_BFS_NODES}) AS dst
+              FROM lineitem
+            ), reach(node, d) AS (
+              SELECT CAST(0 AS BIGINT), 0
+              UNION
+              SELECT e.dst, r.d + 1 FROM reach r
+              JOIN edges e ON e.src = r.node WHERE r.d < 8
+            )
+            SELECT 'http://graph.test/p' || node::VARCHAR AS url_norm,
+                   MIN(d)::INT AS depth
+            FROM reach GROUP BY node
+        """,
+        "q_mime_gate": """
+            SELECT p_partkey,
+                   (contains(lower(p_type), 'economy')
+                    OR contains(lower(p_type), 'brush')) AS mime_ok
+            FROM part
+        """,
+        "q_status_class": """
+            SELECT floor((200 + o_orderkey % 400) / 100)::INT
+                     AS status_class,
+                   count(*) AS n
+            FROM orders GROUP BY 1
+        """,
+        "q_extract_hrefs": """
+            SELECT href_raw, count(*) AS n FROM (
+              SELECT '/p/' || (doc_id % 50)::VARCHAR AS href_raw
+              FROM documents
+              UNION ALL
+              SELECT '/q/' || (doc_id % 7)::VARCHAR FROM documents
+            ) GROUP BY 1
+        """,
+        "q_trim_resolve": """
+            SELECT DISTINCT 'http://h.test/p' || (event_id % 7)::VARCHAR
+                   || '?q=' || (event_id % 3)::VARCHAR AS url_norm
+            FROM events
+        """,
+        "q_dedup_exact": f"""
+            SELECT {_ORACLE_FP} AS fingerprint,
+                   min(doc_id) AS keep_id, count(*) AS n_dups
+            FROM documents GROUP BY 1
+        """,
+        "q_minhash": sig_cte.format(lim=100) + "SELECT * FROM sig",
+        "q_lsh_pairs": sig_cte.format(lim=200) + """
+            , bands AS (
+              SELECT doc_id, 0 AS band, mh0 || '|' || mh1 AS key FROM sig
+              WHERE mh0 IS NOT NULL
+              UNION ALL
+              SELECT doc_id, 1, mh2 || '|' || mh3 FROM sig
+              WHERE mh0 IS NOT NULL
+            )
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.key = b.key
+              AND a.doc_id < b.doc_id
+        """,
+        "q_ngram_jaccard": f"""
+            WITH t AS (
+              SELECT doc_id, list_distinct({sh.replace('toks', _ORACLE_TOKS)})
+                       AS sh
+              FROM documents
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              floor(1000000 * (
+                len(list_filter(a.sh, x -> list_contains(b.sh, x)))::DOUBLE
+                / nullif(len(a.sh) + len(b.sh)
+                  - len(list_filter(a.sh, x -> list_contains(b.sh, x))), 0)
+              ))::BIGINT AS jac_scaled
+            FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+            WHERE a.doc_id % 10 = 0
+        """,
+        "q_simhash": f"""
+            WITH t AS (
+              SELECT doc_id, {toks} AS toks FROM documents WHERE doc_id < 100
+            ), u AS (
+              SELECT doc_id, unnest(toks) AS tok FROM t
+            ), h AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5('sh|' || tok), 1, 15))::BIGINT AS hv
+              FROM u
+            ), s AS (
+              SELECT doc_id, {sim_sums} FROM h GROUP BY doc_id
+            )
+            SELECT doc_id, ({sim_val})::BIGINT AS simhash FROM s
+        """,
+        "q_lang_quality": f"""
+            WITH t AS (
+              SELECT text, {toks} AS toks FROM documents
+            ), c AS (
+              SELECT case when {marker_ratio} >= 0.15 then 'en'
+                          else 'other' end AS lang_pred,
+                     case when {quality} >= 0.7 then 1 else 0 end AS high_q
+              FROM t
+            )
+            SELECT lang_pred, count(*) AS n_docs,
+                   sum(high_q)::BIGINT AS n_highq
+            FROM c GROUP BY 1
+        """,
+        "q_token_stats": f"""
+            SELECT lang,
+                   sum(len({toks}))::BIGINT AS total_tokens,
+                   count(DISTINCT {_ORACLE_FP}) AS n_fp
+            FROM documents GROUP BY 1
+        """,
+        "q_cosine_topk": f"""
+            SELECT vec_id,
+                   floor(100000 * (embedding[1]::DOUBLE / {vnorm}))::BIGINT
+                     AS cos_scaled
+            FROM embeddings
+            ORDER BY (embedding[1]::DOUBLE / {vnorm}) DESC, vec_id
+            LIMIT 10
+        """,
+        "q_embedding_norms": f"""
+            SELECT vec_id, floor(1000000 * {vnorm})::BIGINT AS norm_scaled
+            FROM embeddings WHERE vec_id < 50
+        """,
+    }

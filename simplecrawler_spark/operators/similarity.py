@@ -24,13 +24,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _dbl(a):
+    # float32 embeddings → float64 before arithmetic: matches the
+    # DuckDB oracle (embedding::DOUBLE[]) bit-for-bit and avoids
+    # accumulation drift
+    return F.transform(a, lambda x: x.cast("double"))
+
+
 def _dot(a, b):
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+    return F.aggregate(F.zip_with(_dbl(a), _dbl(b), lambda x, y: x * y),
                        F.lit(0.0), lambda acc, v: acc + v)
 
 
 def _norm(a):
-    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+    return F.sqrt(F.aggregate(F.transform(_dbl(a), lambda x: x * x),
                               F.lit(0.0), lambda acc, v: acc + v))
 
 

@@ -107,6 +107,35 @@ Disallow: /
 """
 
 
+def graph_from_edges(spark: SparkSession, edges: DataFrame, n_nodes: int,
+                     base: str = "http://graph.test") -> DataFrame:
+    """site_graph with one page per node 0..n_nodes-1; page i's body
+    links to its out-neighbours (relative hrefs). Edge endpoints must
+    already be in [0, n_nodes). Built with expressions + one groupBy —
+    scales with the edge table."""
+    pages = spark.range(n_nodes).select(F.col("id").alias("node"))
+    adj = (edges.groupBy(F.col("src").alias("node"))
+           .agg(F.collect_set("dst").alias("dsts")))
+    joined = pages.join(adj, "node", "left")
+    hrefs = F.transform(
+        F.coalesce("dsts", F.array().cast("array<long>")),
+        lambda d: F.concat(F.lit("/p"), d.cast("string")))
+    body = F.concat(
+        F.lit("<html><head></head><body>"),
+        F.array_join(F.transform(
+            hrefs, lambda h: F.concat(F.lit('<a href="'), h,
+                                      F.lit('">x</a>'))), "<br>"),
+        F.lit("</body></html>"))
+    url = F.concat(F.lit(base + "/p"), F.col("node").cast("string"))
+    return joined.select(
+        url.alias("url"), url.alias("url_norm"),
+        F.lit(200).alias("status"),
+        F.lit("text/html").alias("content_type"), body.alias("body"),
+        F.lit(None).cast("string").alias("redirect_location"),
+        F.lit(None).cast("string").alias("ua_required"),
+        F.lit(None).cast("string").alias("image_id"))
+
+
 def synthetic_corpus(spark: SparkSession, n_images: int,
                      seed: int = 42) -> DataFrame:
     """Deterministic image+caption corpus (input_hint schema,

@@ -1,0 +1,74 @@
+"""Replicates the driver's correctness gate locally: every queries()
+entry runs on Spark and its oracle_sql() twin on DuckDB over the same
+parquet tables; row sets must match exactly (order-insensitive,
+column-name-sorted) — plus an entry() smoke check.
+
+Runs at sf0.001 for speed (the driver runs sf0.01).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import __spark_entry__ as E
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _duck(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _normalize(val):
+    if isinstance(val, float):
+        return round(val, 9)
+    return val
+
+
+def _rowset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        tuple(_normalize(r[i]) for i in order) for r in rows)
+
+
+QUERIES = E.queries()
+ORACLES = E.oracle_sql()
+
+
+def test_every_query_has_callable_shape():
+    assert set(ORACLES) <= set(QUERIES)
+    # rows-only ops are the documented exceptions
+    assert set(QUERIES) - set(ORACLES) == {"q_ann_lsh"}
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, sf001_dir, name):
+    sdf = QUERIES[name](spark, sf001_dir)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    con = _duck(sf001_dir)
+    res = con.execute(ORACLES[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), name
+    assert _rowset(spark_cols, spark_rows) == _rowset(duck_cols, duck_rows), name
+
+
+def test_rows_only_queries_run(spark, sf001_dir):
+    df = QUERIES["q_ann_lsh"](spark, sf001_dir)
+    assert df.count() > 0
+
+
+def test_entry_smoke(spark):
+    df = E.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert {"url_norm", "depth", "status"} <= set(df.columns)
