@@ -14,9 +14,10 @@ throughout (see simplecrawler_spark/functions/text.py):
     floor-scaled per row to integers);
   * every computed column is aliased identically on both sides.
 
-q_ann_lsh has no oracle entry (bucketed ANN is not reasonably
-SQL-expressible); it is verified against brute-force cosine in
-tests/test_text_dedup.py instead.
+q_ann_lsh and q_image_features have no oracle entry (bucketed ANN and
+binary image decode are not reasonably SQL-expressible); they are
+verified against brute-force cosine / plain-numpy recomputation in
+tests/test_text_dedup.py and tests/test_multimodal.py instead.
 """
 
 from __future__ import annotations
@@ -248,6 +249,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         query = [1.0] + [0.0] * (dim - 1)
         return SIM.ann_lsh_topk(emb, query, k=10, n_planes=6)
 
+    def q_cosine_pairs(spark, sf):
+        emb = _t(spark, sf, "embeddings").where(F.col("vec_id") < 200)
+        pairs = SIM.cosine_pairs_exact(emb, threshold=0.3)
+        return pairs.select(
+            "id_a", "id_b",
+            F.floor(F.col("cosine") * 100000).cast("long")
+            .alias("cos_scaled"))
+
+    def q_ivf_assign(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        cents = SIM.ivf_centroids(emb, n_cells=8)
+        return (SIM.ivf_assign(emb, cents)
+                .groupBy("cell").agg(F.count("*").alias("n")))
+
+    def q_image_features(spark, sf):  # rows-only (binary decode ≠ SQL)
+        from simplecrawler_spark.functions.multimodal import image_features
+        from simplecrawler_spark.sources.fixtures import synthetic_corpus
+
+        corpus = synthetic_corpus(spark, n_images=64)
+        feats = image_features(corpus)
+        return (feats.groupBy("fmt")
+                .agg(F.count("*").alias("n"),
+                     F.sum(F.col("decode_ok").cast("long")).alias("n_ok"),
+                     F.countDistinct("phash").alias("n_phash")))
+
     return {
         "q_canonicalize": q_canonicalize,
         "q_url_dedupe": q_url_dedupe,
@@ -268,6 +294,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cosine_topk": q_cosine_topk,
         "q_embedding_norms": q_embedding_norms,
         "q_ann_lsh": q_ann_lsh,
+        "q_cosine_pairs": q_cosine_pairs,
+        "q_ivf_assign": q_ivf_assign,
+        "q_image_features": q_image_features,
     }
 
 
@@ -457,5 +486,39 @@ def oracle_sql() -> dict[str, str]:
         "q_embedding_norms": f"""
             SELECT vec_id, floor(1000000 * {vnorm})::BIGINT AS norm_scaled
             FROM embeddings WHERE vec_id < 50
+        """,
+        "q_cosine_pairs": """
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v,
+                     sqrt(list_aggregate(list_transform(
+                       embedding::DOUBLE[], x -> x * x), 'sum')) AS nm
+              FROM embeddings WHERE vec_id < 200
+            ), p AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     list_aggregate(list_transform(range(1, len(a.v) + 1),
+                       i -> a.v[i] * b.v[i]), 'sum') / (a.nm * b.nm) AS c
+              FROM e a JOIN e b ON b.vec_id > a.vec_id
+            )
+            SELECT id_a, id_b, floor(100000 * c)::BIGINT AS cos_scaled
+            FROM p WHERE c >= 0.3
+        """,
+        "q_ivf_assign": """
+            WITH c AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                     embedding::DOUBLE[] AS cv
+              FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+            ), e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), d AS (
+              SELECT e.vec_id, c.cell,
+                     list_aggregate(list_transform(range(1, len(v) + 1),
+                       i -> (v[i] - cv[i]) * (v[i] - cv[i])), 'sum') AS dist
+              FROM e CROSS JOIN c
+            ), a AS (
+              SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+                       ORDER BY dist, cell) AS rn
+              FROM d
+            )
+            SELECT cell, count(*) AS n FROM a WHERE rn = 1 GROUP BY cell
         """,
     }

@@ -1,0 +1,215 @@
+"""Multimodal column operators: decode / feature-extract / resize /
+frame-sample over opaque `binary` payload columns with typed metadata.
+
+The reference gates every non-HTML payload out
+(/root/reference/simple_crawler/requester.py:75-79); a training-data
+pipeline at 100 TB instead carries media as binary columns and runs
+batched Python only in well-shaped Arrow stages. This module is that
+plumbing: every operator is `mapInPandas` with an explicit output
+schema, pixels/samples never survive past the stage that needs them,
+and the decode kernels are swappable.
+
+Codec reality in this sandbox (no Pillow / soundfile / av): images use
+the real numpy+zlib codecs from functions.images ('raw', 'pngz');
+video is modelled as concatenated raw frames (fmt 'rawvid'); audio as
+int16 PCM (fmt 'pcm16'). Real JPEG/H.264/FLAC decode raises
+NotImplementedError at the clearly-marked kernel seam — the Spark
+side (schemas, batch iteration, partitioning, output shape) is
+identical either way and is what the tests pin.
+
+Scale notes: each operator is a narrow map (no shuffle); binary rows
+make Arrow batches heavy, so callers cap
+spark.sql.execution.arrow.maxRecordsPerBatch (the crawl configs use
+256 for image rows). Outputs carry features/stats, never raw media,
+so downstream shuffles stay small.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from simplecrawler_spark.functions.images import (
+    decode_pixels, encode_pixels, phash64,
+)
+
+# ---------------------------------------------------------------------------
+# decode + per-image features
+# ---------------------------------------------------------------------------
+
+IMAGE_FEATURES_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType()),
+    T.StructField("w", T.IntegerType()),
+    T.StructField("h", T.IntegerType()),
+    T.StructField("fmt", T.StringType()),
+    T.StructField("mean_luma", T.DoubleType()),
+    T.StructField("std_luma", T.DoubleType()),
+    T.StructField("phash", T.LongType()),
+    T.StructField("decode_ok", T.BooleanType()),
+])
+
+
+def image_features(corpus: DataFrame) -> DataFrame:
+    """Decode each image and emit cheap per-image features (luma
+    mean/std, phash). Unknown fmts are reported decode_ok=false rather
+    than failing the stage (poison-pill tolerance matters at 10^10
+    rows)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in IMAGE_FEATURES_SCHEMA}
+            for iid, b, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                         pdf["w"], pdf["h"], pdf["fmt"]):
+                row = dict(image_id=iid, w=int(w), h=int(h), fmt=fmt,
+                           mean_luma=None, std_luma=None, phash=None,
+                           decode_ok=False)
+                try:
+                    px = decode_pixels(bytes(b), fmt, int(w), int(h))
+                    luma = px.astype(np.float64).mean(axis=2)
+                    row.update(mean_luma=float(luma.mean()),
+                               std_luma=float(luma.std()),
+                               phash=phash64(px), decode_ok=True)
+                except NotImplementedError:
+                    pass  # real codec seam — see module docstring
+                for k, v in row.items():
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    cols = ["image_id", "bytes", "w", "h", "fmt"]
+    return corpus.select(*cols).mapInPandas(run, IMAGE_FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# resize
+# ---------------------------------------------------------------------------
+
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType()),
+    T.StructField("bytes", T.BinaryType()),
+    T.StructField("w", T.IntegerType()),
+    T.StructField("h", T.IntegerType()),
+    T.StructField("fmt", T.StringType()),
+])
+
+
+def resize_images(corpus: DataFrame, out_w: int, out_h: int,
+                  out_fmt: str = "raw") -> DataFrame:
+    """Nearest-neighbour resize to (out_w, out_h), re-encoded as
+    `out_fmt`. The thumbnailing step of a vision-pretraining pipeline:
+    output rows are fixed-size, so downstream Arrow batches have
+    predictable memory."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in RESIZED_SCHEMA}
+            for iid, b, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                         pdf["w"], pdf["h"], pdf["fmt"]):
+                px = decode_pixels(bytes(b), fmt, int(w), int(h))
+                ri = (np.arange(out_h) * int(h)) // out_h
+                ci = (np.arange(out_w) * int(w)) // out_w
+                small = px[np.ix_(ri, ci)]
+                out["image_id"].append(iid)
+                out["bytes"].append(encode_pixels(small, out_fmt))
+                out["w"].append(out_w)
+                out["h"].append(out_h)
+                out["fmt"].append(out_fmt)
+            yield pd.DataFrame(out)
+
+    cols = ["image_id", "bytes", "w", "h", "fmt"]
+    return corpus.select(*cols).mapInPandas(run, RESIZED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# video frame sampling
+# ---------------------------------------------------------------------------
+
+FRAMES_SCHEMA = T.StructType([
+    T.StructField("video_id", T.StringType()),
+    T.StructField("frame_no", T.IntegerType()),
+    T.StructField("bytes", T.BinaryType()),
+    T.StructField("w", T.IntegerType()),
+    T.StructField("h", T.IntegerType()),
+    T.StructField("fmt", T.StringType()),
+])
+
+
+def sample_frames(videos: DataFrame, every_n: int = 10) -> DataFrame:
+    """Explode videos into every-Nth-frame rows (1 video row → many
+    frame rows — mapInPandas because the fan-out is data-dependent).
+    fmt 'rawvid' = concatenated raw H×W×3 frames; real containers
+    (mp4/webm) hit the NotImplementedError codec seam."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in FRAMES_SCHEMA}
+            for vid, b, w, h, fmt, nf in zip(
+                    pdf["video_id"], pdf["bytes"], pdf["w"], pdf["h"],
+                    pdf["fmt"], pdf["n_frames"]):
+                if fmt != "rawvid":
+                    raise NotImplementedError(
+                        f"fmt {fmt!r}: real video demux needs an AV "
+                        "library not present in this sandbox — plug in "
+                        "here")
+                frame_len = int(w) * int(h) * 3
+                data = bytes(b)
+                for fno in range(0, int(nf), every_n):
+                    out["video_id"].append(vid)
+                    out["frame_no"].append(fno)
+                    out["bytes"].append(
+                        data[fno * frame_len:(fno + 1) * frame_len])
+                    out["w"].append(int(w))
+                    out["h"].append(int(h))
+                    out["fmt"].append("raw")
+            yield pd.DataFrame(out)
+
+    cols = ["video_id", "bytes", "w", "h", "fmt", "n_frames"]
+    return videos.select(*cols).mapInPandas(run, FRAMES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# audio features
+# ---------------------------------------------------------------------------
+
+AUDIO_FEATURES_SCHEMA = T.StructType([
+    T.StructField("audio_id", T.StringType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("duration_s", T.DoubleType()),
+    T.StructField("rms", T.DoubleType()),
+    T.StructField("peak", T.DoubleType()),
+    T.StructField("zero_crossings", T.LongType()),
+])
+
+
+def audio_features(audio: DataFrame) -> DataFrame:
+    """Waveform-level features from int16 PCM (fmt 'pcm16'). Real
+    compressed audio (flac/mp3/opus) hits the NotImplementedError
+    codec seam."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in AUDIO_FEATURES_SCHEMA}
+            for aid, b, fmt, sr in zip(pdf["audio_id"], pdf["bytes"],
+                                       pdf["fmt"], pdf["sample_rate"]):
+                if fmt != "pcm16":
+                    raise NotImplementedError(
+                        f"fmt {fmt!r}: real audio decode needs a codec "
+                        "library not present in this sandbox — plug in "
+                        "here")
+                wave = np.frombuffer(bytes(b), dtype=np.int16)
+                w = wave.astype(np.float64) / 32768.0
+                out["audio_id"].append(aid)
+                out["n_samples"].append(len(wave))
+                out["duration_s"].append(len(wave) / float(sr))
+                out["rms"].append(float(np.sqrt(np.mean(w * w)))
+                                  if len(w) else 0.0)
+                out["peak"].append(float(np.abs(w).max()) if len(w) else 0.0)
+                out["zero_crossings"].append(
+                    int(np.count_nonzero(np.diff(np.signbit(w)))))
+            yield pd.DataFrame(out)
+
+    cols = ["audio_id", "bytes", "fmt", "sample_rate"]
+    return audio.select(*cols).mapInPandas(run, AUDIO_FEATURES_SCHEMA)

@@ -104,3 +104,132 @@ def ann_lsh_topk(embeddings: DataFrame, query: list[float], k: int = 10,
         "_sig", lsh_signature_expr(F.col(vec_col), planes))
     candidates = sig.where(F.col("_sig").isin(list(probe)))
     return cosine_topk(candidates, query, k, vec_col, id_col)
+
+
+# ---------------------------------------------------------------------------
+# pairwise cosine near-duplicates (embedding-based dedup)
+# ---------------------------------------------------------------------------
+
+def _pairwise_cosine(pairs: DataFrame) -> DataFrame:
+    """cosine(va, vb) over a pairs frame carrying va/vb arrays."""
+    num = _dot(F.col("va"), F.col("vb"))
+    den = _norm(F.col("va")) * _norm(F.col("vb"))
+    return pairs.withColumn(
+        "cosine", F.when(den > 0, num / den).otherwise(F.lit(0.0)))
+
+
+def cosine_pairs_exact(embeddings: DataFrame, threshold: float = 0.9,
+                       vec_col: str = "embedding",
+                       id_col: str = "vec_id") -> DataFrame:
+    """Brute-force cosine near-dup pairs (id_a < id_b, cosine ≥
+    threshold). O(N²) — the exact baseline / oracle twin; use
+    embedding_near_dup() for the LSH-blocked scale path."""
+    lhs = embeddings.select(F.col(id_col).alias("id_a"),
+                            F.col(vec_col).alias("va"))
+    rhs = embeddings.select(F.col(id_col).alias("id_b"),
+                            F.col(vec_col).alias("vb"))
+    pairs = lhs.join(rhs, F.col("id_a") < F.col("id_b"))
+    return (_pairwise_cosine(pairs)
+            .where(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))
+
+
+def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.9,
+                       n_planes: int = 8, seed: int = 42,
+                       vec_col: str = "embedding", id_col: str = "vec_id",
+                       multiprobe_bits: int = 1) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs at scale: block by
+    random-hyperplane LSH signature (plus single-bit multiprobe
+    neighbours), then verify candidates with the exact cosine.
+
+    The blocked join's fan-in is per-bucket — at 10^10 rows the
+    pairwise explosion is bounded by bucket occupancy (2^n_planes
+    buckets) instead of N². Recall vs the brute-force baseline is
+    asserted in tests/test_text_dedup.py."""
+    head = embeddings.select(vec_col).first()
+    if head is None:  # empty input → empty pairs, stable schema
+        return embeddings.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cosine double")
+    dim = len(head[0])
+    planes = hyperplanes(dim, n_planes, seed)
+    sig = embeddings.select(
+        F.col(id_col), F.col(vec_col),
+        lsh_signature_expr(F.col(vec_col), planes).alias("_sig"))
+    probes = [F.col("_sig")]
+    if multiprobe_bits >= 1:
+        # a pair within Hamming distance 1 collides when either side
+        # flips the differing bit — probing each single-bit flip on ONE
+        # side covers it (canonical bucket = min(sig, flipped))
+        probes += [F.col("_sig").bitwiseXOR(F.lit(1 << b))
+                   for b in range(n_planes)]
+    exploded = sig.select(
+        id_col, vec_col, F.col("_sig"),
+        F.explode(F.array(*[F.least(F.col("_sig"), p) for p in probes]))
+        .alias("bucket")).dropDuplicates([id_col, "bucket"])
+    a = exploded.select(F.col(id_col).alias("id_a"),
+                        F.col(vec_col).alias("va"), F.col("bucket"))
+    b = exploded.select(F.col(id_col).alias("id_b"),
+                        F.col(vec_col).alias("vb"), F.col("bucket"))
+    cand = (a.join(b, "bucket")
+            .where(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    return (_pairwise_cosine(cand)
+            .where(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantiser scale path
+# ---------------------------------------------------------------------------
+
+def ivf_assign(embeddings: DataFrame, centroids: list[list[float]],
+               vec_col: str = "embedding") -> DataFrame:
+    """Assign each row to its nearest centroid (squared-L2 argmin) as a
+    `cell` column. Pure expressions: the centroid list is tiny and
+    inlined into the plan (broadcast-by-literal), so assignment is a
+    narrow map — no shuffle."""
+    dists = [
+        F.struct(
+            F.aggregate(
+                F.zip_with(_dbl(F.col(vec_col)),
+                           F.array(*[F.lit(float(x)) for x in c]),
+                           lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0), lambda acc, v: acc + v).alias("d"),
+            F.lit(i).alias("cell"))
+        for i, c in enumerate(centroids)
+    ]
+    return embeddings.withColumn(
+        "cell", F.array_min(F.array(*dists)).getField("cell"))
+
+
+def ivf_centroids(embeddings: DataFrame, n_cells: int = 16,
+                  vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> list[list[float]]:
+    """Deterministic centroid pick: the n_cells lowest-id vectors.
+    (A k-means refinement would iterate ivf_assign + groupBy-avg; the
+    sampled pick keeps the oracle/test story deterministic and is the
+    standard 'IVF with sampled coarse quantiser' bootstrap.)"""
+    rows = (embeddings.select(id_col, vec_col)
+            .orderBy(id_col).limit(n_cells).collect())
+    return [[float(x) for x in r[1]] for r in rows]
+
+
+def ann_ivf_topk(embeddings: DataFrame, query: list[float], k: int = 10,
+                 n_cells: int = 16, nprobe: int = 4,
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 centroids: list[list[float]] | None = None) -> DataFrame:
+    """IVF-flat ANN: partition vectors into n_cells inverted lists by
+    nearest centroid; a query scores only the nprobe cells whose
+    centroids are closest to it. At scale the assignment is computed
+    once and the table is written partitioned by `cell`, so a probe is
+    a partition-pruned scan of nprobe/n_cells of the data."""
+    if centroids is None:
+        centroids = ivf_centroids(embeddings, n_cells, vec_col, id_col)
+    qd = [
+        (i, sum((x - y) ** 2 for x, y in zip(query, c)))
+        for i, c in enumerate(centroids)
+    ]
+    probe_cells = [i for i, _ in sorted(qd, key=lambda t: t[1])[:nprobe]]
+    assigned = ivf_assign(embeddings, centroids, vec_col)
+    candidates = assigned.where(F.col("cell").isin(probe_cells))
+    return cosine_topk(candidates, query, k, vec_col, id_col)

@@ -44,7 +44,7 @@ ORACLES = E.oracle_sql()
 def test_every_query_has_callable_shape():
     assert set(ORACLES) <= set(QUERIES)
     # rows-only ops are the documented exceptions
-    assert set(QUERIES) - set(ORACLES) == {"q_ann_lsh"}
+    assert set(QUERIES) - set(ORACLES) == {"q_ann_lsh", "q_image_features"}
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
@@ -62,8 +62,9 @@ def test_query_matches_oracle(spark, sf001_dir, name):
     assert _rowset(spark_cols, spark_rows) == _rowset(duck_cols, duck_rows), name
 
 
-def test_rows_only_queries_run(spark, sf001_dir):
-    df = QUERIES["q_ann_lsh"](spark, sf001_dir)
+@pytest.mark.parametrize("name", ["q_ann_lsh", "q_image_features"])
+def test_rows_only_queries_run(spark, sf001_dir, name):
+    df = QUERIES[name](spark, sf001_dir)
     assert df.count() > 0
 
 

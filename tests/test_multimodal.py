@@ -1,0 +1,162 @@
+"""Multimodal plumbing (functions/multimodal.py) + the new similarity
+ops (embedding near-dup, IVF ANN): Spark-side shape and numeric
+correctness against plain-numpy recomputation / brute force."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from simplecrawler_spark.functions import multimodal as MM
+from simplecrawler_spark.functions.images import (
+    decode_pixels, phash64, synth_pixels,
+)
+from simplecrawler_spark.operators import similarity as SIM
+from simplecrawler_spark.sources.fixtures import synthetic_corpus
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    df = synthetic_corpus(spark, n_images=24)
+    df.persist().count()
+    yield df
+    df.unpersist()
+
+
+def test_image_features_matches_numpy(corpus):
+    rows = {r.image_id: r for r in MM.image_features(corpus).collect()}
+    assert len(rows) == 24
+    for k in (0, 7, 13):
+        iid = f"img_{k:08d}"
+        r = rows[iid]
+        assert r.decode_ok
+        src = next(c for c in corpus.collect() if c.image_id == iid)
+        px = decode_pixels(bytes(src.bytes), src.fmt, src.w, src.h)
+        luma = px.astype(np.float64).mean(axis=2)
+        assert r.mean_luma == pytest.approx(float(luma.mean()))
+        assert r.std_luma == pytest.approx(float(luma.std()))
+        assert r.phash == phash64(px)
+
+
+def test_resize_shape_and_content(corpus):
+    out = MM.resize_images(corpus, 16, 12).collect()
+    assert len(out) == 24
+    for r in out:
+        assert (r.w, r.h, r.fmt) == (16, 12, "raw")
+        px = np.frombuffer(bytes(r.bytes), dtype=np.uint8)
+        assert px.shape == (12 * 16 * 3,)
+    # spot-check nearest-neighbour correctness for one image
+    r0 = next(r for r in out if r.image_id == "img_00000000")
+    full = synth_pixels(0)
+    h, w = full.shape[:2]
+    ri = (np.arange(12) * h) // 12
+    ci = (np.arange(16) * w) // 16
+    expect = full[np.ix_(ri, ci)]
+    got = np.frombuffer(bytes(r0.bytes), dtype=np.uint8).reshape(12, 16, 3)
+    assert np.array_equal(expect, got)
+
+
+def test_sample_frames_explodes_every_nth(spark):
+    w, h, nf = 8, 6, 25
+    rng = np.random.Generator(np.random.PCG64(7))
+    frames = rng.integers(0, 255, size=(nf, h, w, 3), dtype=np.uint8)
+    vid = spark.createDataFrame(
+        [("v0", frames.tobytes(), w, h, "rawvid", nf)],
+        "video_id string, bytes binary, w int, h int, fmt string, "
+        "n_frames int")
+    out = MM.sample_frames(vid, every_n=10).collect()
+    assert [r.frame_no for r in sorted(out, key=lambda r: r.frame_no)] == \
+        [0, 10, 20]
+    for r in out:
+        got = np.frombuffer(bytes(r.bytes), dtype=np.uint8).reshape(h, w, 3)
+        assert np.array_equal(frames[r.frame_no], got)
+
+
+def test_sample_frames_unknown_fmt_raises(spark):
+    vid = spark.createDataFrame(
+        [("v0", b"xx", 1, 1, "mp4", 1)],
+        "video_id string, bytes binary, w int, h int, fmt string, "
+        "n_frames int")
+    with pytest.raises(Exception, match="NotImplementedError|mp4"):
+        MM.sample_frames(vid).collect()
+
+
+def test_audio_features_pcm16(spark):
+    sr = 8000
+    t = np.arange(sr) / sr
+    wave = (np.sin(2 * np.pi * 440 * t) * 16384).astype(np.int16)
+    adf = spark.createDataFrame(
+        [("a0", wave.tobytes(), "pcm16", sr)],
+        "audio_id string, bytes binary, fmt string, sample_rate int")
+    r = MM.audio_features(adf).collect()[0]
+    assert r.n_samples == sr
+    assert r.duration_s == pytest.approx(1.0)
+    assert r.rms == pytest.approx(0.5 / np.sqrt(2), rel=1e-3)
+    assert r.peak == pytest.approx(0.5, rel=1e-3)
+    assert abs(r.zero_crossings - 880) <= 2
+
+
+# ---------------------------------------------------------------------------
+# similarity: near-dup pairs + IVF
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    """40 base vectors + 10 planted near-duplicates (tiny noise)."""
+    rng = np.random.Generator(np.random.PCG64(11))
+    base = rng.normal(size=(40, 16))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    rows += [(100 + i,
+              [float(x) for x in base[i] + rng.normal(0, 0.01, 16)])
+             for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    df.persist().count()
+    yield df
+    df.unpersist()
+
+
+def test_cosine_pairs_exact_finds_planted(embeddings):
+    got = {(r.id_a, r.id_b)
+           for r in SIM.cosine_pairs_exact(embeddings, 0.99).collect()}
+    planted = {(i, 100 + i) for i in range(10)}
+    assert planted <= got
+
+
+def test_embedding_near_dup_recall_vs_exact(embeddings):
+    exact = {(r.id_a, r.id_b)
+             for r in SIM.cosine_pairs_exact(embeddings, 0.99).collect()}
+    blocked = {(r.id_a, r.id_b)
+               for r in SIM.embedding_near_dup(
+                   embeddings, 0.99, n_planes=6).collect()}
+    assert blocked <= exact  # verification step: no false positives
+    assert len(blocked & exact) / max(len(exact), 1) >= 0.8
+
+
+def test_ann_ivf_matches_bruteforce_topk(embeddings):
+    query = [1.0] + [0.0] * 15
+    brute = [r.vec_id
+             for r in SIM.cosine_topk(embeddings, query, k=5).collect()]
+    ivf = [r.vec_id
+           for r in SIM.ann_ivf_topk(embeddings, query, k=5, n_cells=8,
+                                     nprobe=8).collect()]
+    # nprobe == n_cells → exhaustive → exact parity
+    assert ivf == brute
+
+
+def test_embedding_near_dup_empty_input(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    df = SIM.embedding_near_dup(empty, 0.9)
+    assert df.count() == 0
+    assert df.columns == ["id_a", "id_b", "cosine"]
+
+
+def test_ann_ivf_prunes_cells(embeddings):
+    cents = SIM.ivf_centroids(embeddings, n_cells=8)
+    assigned = SIM.ivf_assign(embeddings, cents)
+    n_cells_used = assigned.select("cell").distinct().count()
+    assert 1 < n_cells_used <= 8
+    query = [1.0] + [0.0] * 15
+    pruned = SIM.ann_ivf_topk(embeddings, query, k=5, n_cells=8, nprobe=2,
+                              centroids=cents)
+    assert pruned.count() <= 5
