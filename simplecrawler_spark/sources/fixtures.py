@@ -197,7 +197,8 @@ def synthetic_graph(spark: SparkSession, n_pages: int, n_hosts: int = 64,
     df = spark.range(n_pages).select(
         pid.alias("pid"), host_of(pid).alias("hid"))
     targets = F.array(*[
-        F.pmod(F.xxhash64(pid, F.lit(seed + 1000 + j)), F.lit(n_pages))
+        F.pmod(F.xxhash64(F.col("pid"), F.lit(seed + 1000 + j)),
+               F.lit(n_pages))
         for j in range(out_degree)
     ])
     df = df.withColumn("targets", targets)
