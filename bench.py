@@ -54,6 +54,9 @@ def crawl_bench(spark, n_pages: int, n_hosts: int = 64):
                             out_degree=8)
     graph = graph.repartition(spark.sparkContext.defaultParallelism)
     graph.persist().count()  # materialise outside the timed window
+    # seed must be a real page of the hashed-host graph
+    from pyspark.sql import functions as F
+    seed = graph.agg(F.min("url")).first()[0]
 
     cfg = CrawlConfig(same_authority_only=False, max_rounds=8,
                       bloom_enabled=True)
@@ -64,7 +67,7 @@ def crawl_bench(spark, n_pages: int, n_hosts: int = 64):
     crawler = FrontierCrawler(spark, fetcher, cfg, root=root)
 
     t0 = time.monotonic()
-    crawler.crawl("http://h0.test/p/0")
+    crawler.crawl(seed)
     wall = time.monotonic() - t0
     snaps = crawler.store.snapshots()
     done = sum(s["metrics"].get("done_new", 0) for s in snaps)

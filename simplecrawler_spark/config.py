@@ -36,6 +36,9 @@ class CrawlConfig:
     # partitioning
     shuffle_partitions: int | None = None   # None → session default
     salt_buckets: int = 0                   # >0 → salted repartition on host hash
+    # target frontier rows per fetch/parse task — caps the fan-out for
+    # small rounds (a 10-row round should not launch 32 Python workers)
+    rows_per_task: int = 2048
     # bloom seen-filter sidecar
     bloom_enabled: bool = True
     bloom_fpp: float = 0.001

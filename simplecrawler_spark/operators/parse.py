@@ -24,7 +24,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from simplecrawler_spark.functions.canonical import canon_parts
+from simplecrawler_spark.functions.canonical import (
+    canon_parts, resolve_raw, trim_raw,
+)
 
 
 class _HrefCollector(HTMLParser):
@@ -68,6 +70,67 @@ def extract_hrefs(bodies: pd.Series) -> pd.Series:
     return pd.Series([
         None if body is None else hrefs_from_html(body) for body in bodies
     ])
+
+
+LINKS_CANON = T.StructType([
+    T.StructField("src_url", T.StringType()),
+    T.StructField("src_authority", T.StringType()),
+    T.StructField("depth", T.IntegerType()),
+    T.StructField("href_raw", T.StringType()),
+    T.StructField("url_resolved", T.StringType()),
+    T.StructField("url_norm", T.StringType()),
+    T.StructField("scheme", T.StringType()),
+    T.StructField("authority", T.StringType()),
+    T.StructField("host", T.StringType()),
+    T.StructField("path", T.StringType()),
+    T.StructField("query", T.StringType()),
+    T.StructField("fragment", T.StringType()),
+])
+
+
+def extract_links_canonical(fetched: DataFrame, *, trim_query: bool = True,
+                            trim_fragment: bool = True,
+                            record_redirects: bool = False) -> DataFrame:
+    """Fused P1/P2/P3 → F12 trim → F16 resolve → F8 canonicalize in ONE
+    mapInPandas stage.
+
+    The chain parse → trim → resolve → canonicalise is per-row Python
+    either way (stdlib HTMLParser / urljoin / quote for exact reference
+    parity — SURVEY.md §7.3); running it as separate pandas UDFs costs
+    one Arrow serialisation round-trip and one Python-worker stage
+    each. Fusing them turns four Python stages per crawl round into
+    one, with the explode happening inside the batch. Semantics are
+    identical to explode_links + trim_raw + resolve_raw + canon_parts
+    (pinned by tests/test_crawl.py and the reference-parity suites).
+    """
+    cols = ["url_norm", "url_raw", "authority", "depth", "status",
+            "redirect_location", "body"]
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for (src_norm, src_raw, src_auth, depth, status, loc,
+                 body) in zip(pdf["url_norm"], pdf["url_raw"],
+                              pdf["authority"], pdf["depth"],
+                              pdf["status"], pdf["redirect_location"],
+                              pdf["body"]):
+                if (record_redirects and status is not None
+                        and 300 <= int(status) < 400 and loc is not None):
+                    hrefs = [loc]
+                else:
+                    hrefs = [] if body is None else hrefs_from_html(body)
+                base = src_raw if src_raw is not None else src_norm
+                for raw in hrefs:
+                    trimmed = trim_raw(raw, query=trim_query,
+                                       fragment=trim_fragment)
+                    resolved = resolve_raw(base, trimmed)
+                    parts = canon_parts(resolved)
+                    rows.append((src_norm, src_auth,
+                                 None if depth is None else int(depth),
+                                 raw, resolved, *parts))
+            yield pd.DataFrame(rows, columns=LINKS_CANON.fieldNames())
+
+    return fetched.select(*cols).mapInPandas(gen, LINKS_CANON)
 
 
 def explode_links(fetched: DataFrame, src_url_col: str = "url_norm",

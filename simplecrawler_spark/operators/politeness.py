@@ -26,12 +26,23 @@ from pyspark.sql import functions as F
 
 from simplecrawler_spark.config import CrawlConfig
 
+# cfg.max_per_host_per_round at/above this means "unconstrained" —
+# matches the CrawlConfig default; set a smaller cap to force the window
+UNLIMITED_BUDGET = 1_000_000
+
 
 def schedule_budget(frontier: DataFrame, delay_by_auth: dict[str, float],
                     cfg: CrawlConfig) -> tuple[DataFrame, DataFrame]:
     """Split a round's frontier into (scheduled, deferred) by per-host
     budget. Returns both; deferred must be re-appended to the next
-    round's frontier."""
+    round's frontier.
+
+    Fast path: with no crawl delays and an unconstrained per-host cap,
+    every row is scheduled — the per-host window (a shuffle on host)
+    is skipped entirely.
+    """
+    if not delay_by_auth and cfg.max_per_host_per_round >= UNLIMITED_BUDGET:
+        return frontier, frontier.limit(0)
     budget = F.lit(int(cfg.max_per_host_per_round))
     if delay_by_auth:
         mapping = F.create_map(*[

@@ -53,20 +53,46 @@ def robots_urls_for(frontier: DataFrame) -> DataFrame:
     )
 
 
-def build_robots_table(frontier: DataFrame, fetcher,
-                       cfg: CrawlConfig) -> pd.DataFrame:
-    """Fetch+gate robots.txt per authority → small driver-side pandas
-    table (authority, robots_txt, crawl_delay). Empty rules on any
-    error (crawler.py:191-192)."""
-    fetched = fetcher(robots_urls_for(frontier))
+def _gate_robots_fetch(fetched: DataFrame) -> pd.DataFrame:
     ok = (status_class_expr(F.col("status")) == 2) & mime_ok_expr(
         F.col("content_type"), ("text/plain",))
-    rows = (
+    return (
         fetched.select(
             "authority",
             F.when(ok, F.col("body")).otherwise(F.lit("")).alias("robots_txt"))
         .toPandas()
     )
+
+
+def fetch_robots_for(spark, auth_scheme: dict[str, str], fetcher,
+                     cfg: CrawlConfig) -> pd.DataFrame:
+    """Like build_robots_table but from a driver-side
+    {authority: scheme} dict — no frontier scan at all. The round loop
+    tracks authorities driver-side, so robots discovery costs zero
+    Spark jobs on the frontier."""
+    rows = [
+        (f"{scheme}://{auth}/robots.txt", f"{scheme}://{auth}/robots.txt",
+         auth, auth, 0, 0.0, -1)
+        for auth, scheme in sorted(auth_scheme.items()) if auth
+    ]
+    if not rows:
+        return pd.DataFrame(columns=["authority", "robots_txt", "crawl_delay"])
+    df = spark.createDataFrame(
+        rows, "url_norm string, url_raw string, host string, "
+              "authority string, depth int, priority double, round int")
+    return _with_delays(_gate_robots_fetch(fetcher(df)), cfg)
+
+
+def build_robots_table(frontier: DataFrame, fetcher,
+                       cfg: CrawlConfig) -> pd.DataFrame:
+    """Fetch+gate robots.txt per authority → small driver-side pandas
+    table (authority, robots_txt, crawl_delay). Empty rules on any
+    error (crawler.py:191-192)."""
+    rows = _gate_robots_fetch(fetcher(robots_urls_for(frontier)))
+    return _with_delays(rows, cfg)
+
+
+def _with_delays(rows: pd.DataFrame, cfg: CrawlConfig) -> pd.DataFrame:
     delays = []
     for txt in rows["robots_txt"]:
         rp = RobotFileParser()
@@ -89,6 +115,10 @@ def can_fetch_filter(frontier: DataFrame, robots_rows: pd.DataFrame,
     batch; rule text rides in the UDF closure (broadcast-sized: one
     row per authority)."""
     if not cfg.obey_robots or robots_rows.empty:
+        return frontier
+    if not any((txt or "") for txt in robots_rows["robots_txt"]):
+        # every authority has empty rules — RobotFileParser allows all
+        # (crawler.py:191-192 error→empty parity); skip the UDF stage
         return frontier
     txt_by_auth = dict(zip(robots_rows["authority"], robots_rows["robots_txt"]))
     agent = cfg.user_agent

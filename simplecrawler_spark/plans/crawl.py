@@ -47,12 +47,12 @@ from pyspark.sql import functions as F
 
 from simplecrawler_spark.config import CrawlConfig
 from simplecrawler_spark.functions.canonical import (
-    canon_parts, canonicalize_df, resolve, trim_query_fragment_expr, url_hash,
+    canon_parts, url_hash,
 )
-from simplecrawler_spark.operators.parse import explode_links
+from simplecrawler_spark.operators.parse import extract_links_canonical
 from simplecrawler_spark.operators.politeness import schedule_budget
 from simplecrawler_spark.operators.robots import (
-    build_robots_table, can_fetch_filter, crawl_delay_map,
+    can_fetch_filter, crawl_delay_map, fetch_robots_for,
 )
 from simplecrawler_spark.operators.seen import (
     BloomSeen, anti_join_seen, host_bucket_expr,
@@ -86,6 +86,20 @@ class FrontierCrawler:
         self._bloom_path = os.path.join(self.root, "sidecar", "bloom.npz")
         self._robots: pd.DataFrame | None = None
         self._delays: dict[str, float] = {}
+        # R5 done-skip state. The ONLY urls that can be both done and
+        # re-enter the frontier are seeds (a seed is never added to
+        # seen — crawler.py:198-199, SURVEY.md §2.6.1 — so a page
+        # linking back to it re-enqueues it once). Tracking the
+        # handful of seed urls driver-side replaces a per-round
+        # anti-join against the ever-growing results table.
+        self._seed_norms: set[str] = set()
+        self._done_seeds: set[str] = set()
+        # S4 robots state: authorities are tracked driver-side
+        # ({authority: scheme}), so robots discovery never scans the
+        # frontier. New authorities surface from the (persisted,
+        # already-small) `new` DF each round — and only when the
+        # same-authority filter is off (otherwise none can appear).
+        self._auth_pending: dict[str, str] = {}
 
     # ------------------------------------------------------------------ #
 
@@ -96,30 +110,51 @@ class FrontierCrawler:
             if norm in seen_norm:
                 continue  # seed set semantics
             seen_norm.add(norm)
+            if authority:
+                self._auth_pending.setdefault(authority, scheme or "http")
             rows.append((norm, s, None, authority, host, 0, 0.0, None, 0))
+        self._seed_norms = seen_norm
         df = self.spark.createDataFrame(rows, schemas.FRONTIER)
         return df.withColumn("url_hash", url_hash(F.col("url_norm")))
 
-    def _ensure_robots(self, frontier_r: DataFrame) -> None:
-        """Fetch robots.txt for authorities not yet covered. The
-        reference fetches robots unconditionally, once per crawl
+    def _ensure_robots(self) -> None:
+        """Fetch robots.txt for pending authorities. The reference
+        fetches robots unconditionally, once per crawl
         (crawler.py:201-203); multi-authority crawls extend that to
-        once per authority."""
+        once per authority. Pending authorities are tracked
+        driver-side, so this never scans the frontier."""
         if self._robots is None:
             self._robots = pd.DataFrame(
                 columns=["authority", "robots_txt", "crawl_delay"])
-        known = set(self._robots["authority"])
-        missing = frontier_r.filter(F.col("authority") != "")
-        if known:
-            missing = missing.filter(~F.col("authority").isin(list(known)))
-        if missing.isEmpty():
+        missing = {a: s for a, s in self._auth_pending.items()
+                   if a not in set(self._robots["authority"])}
+        self._auth_pending = {}
+        if not missing:
             return
-        new_rows = build_robots_table(missing, self.fetcher, self.cfg)
+        new_rows = fetch_robots_for(self.spark, missing, self.fetcher,
+                                    self.cfg)
         if not new_rows.empty:
             self._robots = (new_rows if self._robots.empty else
                             pd.concat([self._robots, new_rows],
                                       ignore_index=True))
             self._delays = crawl_delay_map(self._robots)
+
+    def _note_new_authorities(self, new: DataFrame) -> None:
+        """Collect authorities first seen in this round's `new` rows
+        (one small job on an already-persisted DF). Skipped entirely
+        when same_authority_only — no new authority can appear."""
+        if self.cfg.same_authority_only:
+            return
+        known = (set(self._robots["authority"])
+                 if self._robots is not None else set())
+        rows = (new.select(
+                    "authority",
+                    F.split("url_norm", "://").getItem(0).alias("scheme"))
+                .where(F.col("authority") != "").distinct().collect())
+        for row in rows:
+            if row.authority not in known:
+                self._auth_pending.setdefault(row.authority,
+                                              row.scheme or "http")
 
     # ------------------------------------------------------------------ #
 
@@ -133,33 +168,57 @@ class FrontierCrawler:
         if cfg.bloom_enabled:
             self.bloom = BloomSeen(expected_items=max(cfg.bloom_min_items, 1 << 20),
                                    fpp=cfg.bloom_fpp)
-        self.store.append("frontier", self._seed_frontier(seeds))
+        self.store.append("frontier", self._seed_frontier(seeds),
+                          partition="r0")
         return self._run_rounds(start_round=0)
 
     def _run_rounds(self, start_round: int) -> DataFrame:
         cfg = self.cfg
         r = start_round
+        first = True
+        row_count = None  # frontier row count, known from the prior round
         while r < cfg.max_rounds:
-            frontier_r = self.store.read("frontier").where(F.col("round") == r)
-            if frontier_r.isEmpty():
+            # partition-pruned scan: only round r's data dirs are read
+            # (the .where is a pushed-down guard for untagged dirs)
+            frontier_r = (self.store.read("frontier", partition=f"r{r}")
+                          .where(F.col("round") == r))
+            if first and frontier_r.isEmpty():
+                # only the entry round needs an emptiness probe — every
+                # later round's count comes back from _round() itself
                 break
-            next_count = self._round(frontier_r, r)
+            first = False
+            next_count = self._round(frontier_r, r, row_count)
             if next_count == 0:  # R7/R8 fixpoint
                 break
+            row_count = next_count
             r += 1
         return self.results()
 
-    def _round(self, frontier_r: DataFrame, r: int) -> int:
+    def _round(self, frontier_r: DataFrame, r: int,
+               row_count: int | None = None) -> int:
         """One BFS round. Returns the next frontier's row count."""
         cfg = self.cfg
         t0 = time.monotonic()
+        phases: dict[str, float] = {}
+        _prev = [t0]
 
-        # R5: skip anything already done (re-discovered seeds)
-        done_keys = self.store.read("results").select("url_norm")
-        eligible = frontier_r.join(done_keys, "url_norm", "left_anti")
+        def _mark(name: str) -> None:
+            now = time.monotonic()
+            phases[name] = round(now - _prev[0], 3)
+            _prev[0] = now
 
-        # S4/G4: robots
-        self._ensure_robots(eligible)
+        # R5: skip anything already done. Only re-discovered seeds can
+        # be done-but-in-frontier (see __init__ note), so the done-skip
+        # is a driver-side literal filter, not a scan of results.
+        if self._done_seeds:
+            eligible = frontier_r.filter(
+                ~F.col("url_norm").isin(sorted(self._done_seeds)))
+        else:
+            eligible = frontier_r
+
+        # S4/G4: robots — pending authorities were noted driver-side
+        # (seeds at crawl(), discoveries via _note_new_authorities)
+        self._ensure_robots()
         allowed = can_fetch_filter(eligible, self._robots, cfg)
 
         # G5: per-host politeness budget
@@ -168,9 +227,14 @@ class FrontierCrawler:
         deferred = deferred.persist()
 
         # rebalance the fetch stage on url_hash — hot hosts spread
-        # uniformly (north-rule salted repartition, BASELINE.json:6)
+        # uniformly (north-rule salted repartition, BASELINE.json:6).
+        # Partition count adapts to the round's known row count so tiny
+        # rounds don't fan out into near-empty Python-worker tasks.
         n_parts = (cfg.shuffle_partitions
                    or self.spark.sparkContext.defaultParallelism)
+        if row_count is not None:
+            n_parts = max(1, min(
+                n_parts, -(-row_count // cfg.rows_per_task)))
         fetch_in = scheduled.repartition(n_parts, F.col("url_hash"))
 
         fetched = self.fetcher(fetch_in).persist()
@@ -187,26 +251,31 @@ class FrontierCrawler:
             F.lit(r).alias("round"), "image_id",
             F.lit(None).cast("string").alias("caption"),
         )
-        self.store.append("results", results_new)
+        self.store.append("results", results_new, partition=f"r{r}")
+        _mark("fetch_and_results")
 
-        # P1/P2/P3 + F12/F16/F8 + R3: page → candidate child urls
+        # R5 upkeep: record which seeds completed this round (a seed
+        # that errored stays pending and is refetchable if
+        # re-discovered — exact reference semantics, crawler.py:168-174)
+        pending_seeds = self._seed_norms - self._done_seeds
+        if pending_seeds:
+            hit = (fetched.filter(F.col("url_norm").isin(sorted(pending_seeds)))
+                   .filter(done_cond).select("url_norm").collect())
+            self._done_seeds.update(row.url_norm for row in hit)
+        _mark("seed_check")
+
+        # P1/P2/P3 + F12/F16/F8 + R3: page → candidate child urls —
+        # the whole Python chain fused into one mapInPandas stage
         parse_cond = done_cond & (
             mime_ok | ((cls == 3) & F.lit(cfg.record_redirects)))
         pages = fetched.filter(parse_cond)
-        links = explode_links(
-            pages, record_redirects=cfg.record_redirects,
-            passthrough=("authority", "depth"))
-        links = links.withColumn(
-            "href_trimmed",
-            trim_query_fragment_expr(
-                F.col("href_raw"), cfg.trim_query, cfg.trim_fragment))
-        links = links.withColumn(
-            "url_resolved", resolve(F.col("src_raw"), F.col("href_trimmed")))
-        cand = canonicalize_df(
-            links.withColumnRenamed("authority", "src_authority"),
-            url_col="url_resolved")
+        cand = extract_links_canonical(
+            pages, trim_query=cfg.trim_query,
+            trim_fragment=cfg.trim_fragment,
+            record_redirects=cfg.record_redirects)
         if cfg.same_authority_only:
             cand = cand.filter(F.col("authority") == F.col("src_authority"))
+        cand = cand.withColumn("url_hash", url_hash(F.col("url_norm")))
 
         # R1: within-round dedupe, deterministic min-pick per url_norm
         cand = (
@@ -225,11 +294,14 @@ class FrontierCrawler:
         # R4: global dedupe against seen (bloom prefilter + exact)
         seen_df = self.store.read("seen")
         new = anti_join_seen(cand, seen_df, self.bloom).persist()
+        self._note_new_authorities(new)
+        _mark("parse_canon_antijoin")
 
         self.store.append("seen", new.select(
             "url_hash", "url_norm",
             host_bucket_expr(F.col("host")).alias("host_bucket"),
-            F.lit(r).alias("round_added")))
+            F.lit(r).alias("round_added")), partition=f"r{r}")
+        _mark("seen_write")
         next_frontier = new.select(
             "url_norm", "url_raw", "url_hash", "authority", "host",
             "depth", F.lit(0.0).alias("priority"), "discovered_from",
@@ -237,11 +309,13 @@ class FrontierCrawler:
         ).unionByName(
             deferred.withColumn("round", F.lit(r + 1))
         )
-        self.store.append("frontier", next_frontier)
+        self.store.append("frontier", next_frontier, partition=f"r{r + 1}")
+        _mark("frontier_write")
 
         if self.bloom is not None:
             self.bloom.add_df(new)
             self.bloom.save(self._bloom_path)
+        _mark("bloom")
 
         # metrics from parquet footers (no extra jobs)
         pend = self.store._pending
@@ -254,6 +328,7 @@ class FrontierCrawler:
             "new_urls": counts["seen"],
             "frontier_next": counts["frontier"],
             "wall_secs": time.monotonic() - t0,
+            "phases": phases,
         }
         if cfg.checkpoint:
             self.store.commit_snapshot(r, metrics)
@@ -308,6 +383,28 @@ class FrontierCrawler:
         if last is None:
             raise RuntimeError("nothing to resume — no committed snapshot")
         cfg = self.cfg
+        # recover the R5 seed state from the checkpoint (two tiny jobs,
+        # once per resume): seeds = round-0 frontier; done = those
+        # already present in results
+        seed_df = (self.store.read("frontier", partition="r0")
+                   .where(F.col("round") == 0).select("url_norm").distinct())
+        self._seed_norms = {row.url_norm for row in seed_df.collect()}
+        if self._seed_norms:
+            done = (self.store.read("results")
+                    .filter(F.col("url_norm").isin(sorted(self._seed_norms)))
+                    .select("url_norm").distinct().collect())
+            self._done_seeds = {row.url_norm for row in done}
+        # robots state is in-memory only — re-note every authority in
+        # the resume round's frontier (one small distinct-collect)
+        resume_frontier = (self.store.read("frontier",
+                                           partition=f"r{last + 1}")
+                           .where(F.col("round") == last + 1))
+        for row in (resume_frontier.select(
+                        "authority",
+                        F.split("url_norm", "://").getItem(0).alias("scheme"))
+                    .where(F.col("authority") != "").distinct().collect()):
+            self._auth_pending.setdefault(row.authority,
+                                          row.scheme or "http")
         if cfg.bloom_enabled and self.bloom is None:
             # sidecar missing → rebuild the filter from the seen table
             self.bloom = BloomSeen(expected_items=max(cfg.bloom_min_items, 1 << 20),

@@ -55,6 +55,9 @@ class SnapshotStore:
         os.makedirs(self._snap_dir, exist_ok=True)
         # committed state: table -> list of data dirs
         self._committed: dict[str, list[str]] = {}
+        # table -> {data dir -> partition tag} (Iceberg partition-spec
+        # analogue: read(partition=...) prunes to matching dirs)
+        self._partitions: dict[str, dict[str, str]] = {}
         self._pending: dict[str, list[dict]] = {}
         self._last_snapshot: dict | None = None
         latest = self._latest_manifest_path()
@@ -62,32 +65,45 @@ class SnapshotStore:
             with open(latest) as fh:
                 snap = json.load(fh)
             self._committed = {k: list(v) for k, v in snap["tables"].items()}
+            self._partitions = {k: dict(v)
+                                for k, v in snap.get("partitions", {}).items()}
             self._last_snapshot = snap
 
     # -- write ------------------------------------------------------------
 
-    def append(self, table: str, df: DataFrame) -> str:
+    def append(self, table: str, df: DataFrame,
+               partition: str | None = None) -> str:
         """Write ``df`` as a new immutable data dir for ``table``.
-        Becomes visible to read() immediately, durable at commit."""
+        Becomes visible to read() immediately, durable at commit.
+        ``partition`` tags the dir for pruned reads (every row in the
+        append must belong to that partition — the writer's contract,
+        as with an Iceberg partition spec)."""
         path = os.path.join(self.root, "data", table, uuid.uuid4().hex[:12])
         df.write.mode("errorifexists").parquet(path)
         self._pending.setdefault(table, []).append(
-            {"path": path, "lineage": _parquet_lineage(path)})
+            {"path": path, "partition": partition,
+             "lineage": _parquet_lineage(path)})
         return path
 
     def commit_snapshot(self, round_no: int, metrics: dict | None = None) -> str:
         snap_id = (self._last_snapshot["id"] + 1) if self._last_snapshot else 1
         tables = {k: list(v) for k, v in self._committed.items()}
+        partitions = {k: dict(v) for k, v in self._partitions.items()}
         lineage: dict[str, list] = {}
         for table, appends in self._pending.items():
             tables.setdefault(table, []).extend(a["path"] for a in appends)
+            for a in appends:
+                if a.get("partition") is not None:
+                    partitions.setdefault(table, {})[a["path"]] = a["partition"]
             lineage[table] = [
-                {"path": a["path"], "files": a["lineage"]} for a in appends
+                {"path": a["path"], "partition": a.get("partition"),
+                 "files": a["lineage"]} for a in appends
             ]
         snap = {
             "id": snap_id,
             "round": round_no,
             "tables": tables,
+            "partitions": partitions,
             "new_lineage": lineage,
             "metrics": metrics or {},
         }
@@ -97,18 +113,28 @@ class SnapshotStore:
         final = os.path.join(self._snap_dir, f"snap-{snap_id:06d}.json")
         os.rename(tmp, final)
         self._committed = tables
+        self._partitions = partitions
         self._pending = {}
         self._last_snapshot = snap
         return final
 
     # -- read -------------------------------------------------------------
 
-    def _paths(self, table: str) -> list[str]:
-        return (self._committed.get(table, [])
-                + [a["path"] for a in self._pending.get(table, [])])
+    def _paths(self, table: str, partition: str | None = None) -> list[str]:
+        paths = (self._committed.get(table, [])
+                 + [a["path"] for a in self._pending.get(table, [])])
+        if partition is None:
+            return paths
+        tags = dict(self._partitions.get(table, {}))
+        for a in self._pending.get(table, []):
+            if a.get("partition") is not None:
+                tags[a["path"]] = a["partition"]
+        # untagged dirs are kept (conservative — pruning is an
+        # optimisation, never a correctness dependency)
+        return [p for p in paths if tags.get(p, partition) == partition]
 
-    def read(self, table: str) -> DataFrame:
-        paths = self._paths(table)
+    def read(self, table: str, partition: str | None = None) -> DataFrame:
+        paths = self._paths(table, partition)
         if not paths:
             schema = self.schemas.get(table)
             if schema is None:

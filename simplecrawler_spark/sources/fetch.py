@@ -60,12 +60,38 @@ def status_class_expr(status) -> F.Column:
 
 
 class TableFetcher:
-    """Deterministic fetch = broadcast-or-shuffle equi-join against the
-    redirect-resolved site_graph closure."""
+    """Deterministic fetch = equi-join against the redirect-resolved
+    site_graph closure.
 
-    def __init__(self, site_graph: DataFrame, cfg: CrawlConfig):
+    Join strategy is decided ONCE at construction from the closure's
+    actual size (one count over the graph, amortised across all
+    rounds):
+
+    * small graph → explicit broadcast; every round's fetch is a
+      shuffle-free broadcast-hash join.
+    * large graph → the closure is hash-partitioned on the join key
+      and persisted; each round's left join then only exchanges the
+      (small) frontier side — the graph side's partitioning already
+      satisfies the join, so it is never shuffled again. (A left-outer
+      join cannot broadcast its preserved side, so "just broadcast the
+      frontier" is not an option; at real web scale the network
+      HttpFetcher replaces this join entirely.)
+    """
+
+    def __init__(self, site_graph: DataFrame, cfg: CrawlConfig,
+                 broadcast_max_rows: int = 2_000_000):
         self.cfg = cfg
         self._closure = self._resolve_closure(site_graph, cfg)
+        served = self._closure.select(
+            F.col("url_norm").alias("g_url_norm"), "status", "content_type",
+            "body", "redirect_location", "image_id")
+        n_parts = site_graph.sparkSession.sparkContext.defaultParallelism
+        self._broadcast = served.count() <= broadcast_max_rows
+        if self._broadcast:
+            self._served = served
+        else:
+            self._served = served.repartition(
+                n_parts, F.col("g_url_norm")).persist()
 
     @staticmethod
     def _ua_gated(graph: DataFrame, cfg: CrawlConfig) -> DataFrame:
@@ -139,9 +165,7 @@ class TableFetcher:
         return out.unionByName(pending)  # hop budget exhausted → as-is
 
     def __call__(self, frontier: DataFrame) -> DataFrame:
-        g = F.broadcast(self._closure.select(
-            F.col("url_norm").alias("g_url_norm"), "status", "content_type",
-            "body", "redirect_location", "image_id"))
+        g = F.broadcast(self._served) if self._broadcast else self._served
         fetched = frontier.join(
             g, frontier.url_norm == F.col("g_url_norm"), "left")
         return fetched.select(
