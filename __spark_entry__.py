@@ -263,6 +263,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (SIM.ivf_assign(emb, cents)
                 .groupBy("cell").agg(F.count("*").alias("n")))
 
+    def q_robots_gate(spark, sf):
+        """G4: stdlib-robotparser can_fetch gate vs a first-match-wins
+        prefix-rule oracle (rule order matters: Allow /p/12 precedes
+        Disallow /p/1, so /p/12* stays fetchable)."""
+        import pandas as pd
+
+        robots_txt = ("User-agent: *\n"
+                      "Allow: /p/12\n"
+                      "Disallow: /p/1\n"
+                      "Disallow: /q\n")
+        urls = _t(spark, sf, "events").select(
+            F.concat(
+                F.lit("http://rb.test"),
+                F.when(F.col("event_id") % 3 == 0, F.lit("/p/"))
+                 .otherwise(F.lit("/q/")),
+                (F.col("event_id") % 25).cast("string")).alias("url_norm"),
+            F.lit("rb.test").alias("authority"),
+            "event_id")
+        robots_rows = pd.DataFrame({
+            "authority": ["rb.test"], "robots_txt": [robots_txt],
+            "crawl_delay": [None]})
+        from simplecrawler_spark.operators.robots import can_fetch_filter
+        return (can_fetch_filter(urls, robots_rows, CrawlConfig())
+                .select("event_id"))
+
     def q_image_features(spark, sf):  # rows-only (binary decode ≠ SQL)
         from simplecrawler_spark.functions.multimodal import image_features
         from simplecrawler_spark.sources.fixtures import synthetic_corpus
@@ -296,6 +321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_lsh": q_ann_lsh,
         "q_cosine_pairs": q_cosine_pairs,
         "q_ivf_assign": q_ivf_assign,
+        "q_robots_gate": q_robots_gate,
         "q_image_features": q_image_features,
     }
 
@@ -520,5 +546,20 @@ def oracle_sql() -> dict[str, str]:
               FROM d
             )
             SELECT cell, count(*) AS n FROM a WHERE rn = 1 GROUP BY cell
+        """,
+        "q_robots_gate": """
+            WITH u AS (
+              SELECT event_id,
+                     (CASE WHEN event_id % 3 = 0 THEN '/p/' ELSE '/q/' END)
+                       || (event_id % 25)::VARCHAR AS path
+              FROM events
+            ), r(ord, prefix, allow) AS (
+              VALUES (1, '/p/12', TRUE), (2, '/p/1', FALSE),
+                     (3, '/q', FALSE)
+            )
+            SELECT event_id FROM u
+            WHERE COALESCE((SELECT allow FROM r
+                            WHERE u.path LIKE r.prefix || '%'
+                            ORDER BY r.ord LIMIT 1), TRUE)
         """,
     }

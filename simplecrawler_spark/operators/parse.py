@@ -117,17 +117,55 @@ def extract_links_canonical(fetched: DataFrame, *, trim_query: bool = True,
                 if (record_redirects and status is not None
                         and 300 <= int(status) < 400 and loc is not None):
                     hrefs = [loc]
+                elif body is None:
+                    hrefs = []
                 else:
-                    hrefs = [] if body is None else hrefs_from_html(body)
+                    collector = _HrefCollector()
+                    try:
+                        collector.feed(body)
+                    except Exception:
+                        pass  # parity: bad HTML ignored (parser.py:39-42)
+                    hrefs = collector.hrefs
                 base = src_raw if src_raw is not None else src_norm
+                # page-level dedupe happens on the FINAL canonical form
+                # (one canon_parts per href instead of two — the
+                # reference's pre-trim set-dedupe and this collapse to
+                # the same visited set because the cross-page groupBy
+                # dedupes on url_norm anyway; first spelling wins,
+                # document order, deterministic)
+                page_seen: set[str] = set()
                 for raw in hrefs:
-                    trimmed = trim_raw(raw, query=trim_query,
-                                       fragment=trim_fragment)
-                    resolved = resolve_raw(base, trimmed)
+                    # string-level trim — same semantics as the JVM
+                    # trim_query_fragment_expr fast path (the crawl's
+                    # only trim use, crawler.py:136)
+                    if trim_query or trim_fragment:
+                        head, _, frag = raw.partition("#")
+                        if trim_query:
+                            head = head.partition("?")[0]
+                        trimmed = (head if trim_fragment or not frag
+                                   else f"{head}#{frag}")
+                    else:
+                        trimmed = raw
+                    # urljoin returns already-lowercase-absolute hrefs
+                    # verbatim — skip it for the common case
+                    if trimmed.startswith(("http://", "https://")):
+                        resolved = trimmed
+                    else:
+                        resolved = resolve_raw(base, trimmed)
                     parts = canon_parts(resolved)
+                    if parts[0] in page_seen:
+                        continue
+                    page_seen.add(parts[0])
+                    # url_resolved rides as NULL when it equals the
+                    # canonical form (the overwhelming majority):
+                    # downstream resolution bases coalesce to url_norm,
+                    # and the dedupe/anti-join shuffles carry one wide
+                    # string instead of two
                     rows.append((src_norm, src_auth,
                                  None if depth is None else int(depth),
-                                 raw, resolved, *parts))
+                                 raw,
+                                 None if resolved == parts[0] else resolved,
+                                 *parts))
             yield pd.DataFrame(rows, columns=LINKS_CANON.fieldNames())
 
     return fetched.select(*cols).mapInPandas(gen, LINKS_CANON)

@@ -71,36 +71,79 @@ class BloomSeen:
     # -- updates ------------------------------------------------------------
 
     def add_df(self, df: DataFrame, url_col: str = "url_norm",
-               host_col: str = "host") -> None:
+               host_col: str = "host",
+               row_count: int | None = None) -> None:
         """OR the bits for every row of ``df`` into the bitsets.
-        Positions are computed in the JVM; only (bucket, positions)
-        pairs cross to the driver."""
-        pdf = df.select(
-            host_bucket_expr(F.col(host_col), self.n_buckets).alias("b"),
-            self.positions_expr(F.col(url_col)).alias("p"),
-        ).toPandas()
-        if pdf.empty:
+
+        Distributed build: positions are computed in the JVM, the
+        per-bucket bitsets are OR-ed executor-side inside an
+        applyInPandas over host_bucket groups, and only the (tiny)
+        partial bitsets — n_buckets × m/8 bytes, NOT one row per URL —
+        come back to the driver. Per-URL driver work would serialise
+        the whole crawl at 10^10 scale.
+
+        Small batches (``row_count`` hint below ~64k) skip the shuffle:
+        positions come straight to the driver in one Arrow pass.
+        """
+        if row_count is not None and row_count < 65536:
+            pdf = df.select(
+                host_bucket_expr(F.col(host_col), self.n_buckets).alias("b"),
+                self.positions_expr(F.col(url_col)).alias("p"),
+            ).toPandas()
+            if pdf.empty:
+                return
+            for b, grp in pdf.groupby("b"):
+                pos = np.concatenate(grp["p"].to_numpy())
+                bits = self.bits[int(b)]
+                np.bitwise_or.at(bits, pos >> 3,
+                                 np.left_shift(1, (pos & 7)).astype(np.uint8))
+            self.added += len(pdf)
             return
-        for b, grp in pdf.groupby("b"):
-            pos = np.concatenate(grp["p"].to_numpy())
-            bits = self.bits[int(b)]
+        m = self.m
+
+        def build(pdf: pd.DataFrame) -> pd.DataFrame:
+            pos = np.array(pdf["p"].tolist(), dtype=np.int64).ravel()
+            bits = np.zeros(m // 8, dtype=np.uint8)
             np.bitwise_or.at(bits, pos >> 3,
                              np.left_shift(1, (pos & 7)).astype(np.uint8))
-        self.added += len(pdf)
+            return pd.DataFrame({"b": [int(pdf["b"].iloc[0])],
+                                 "bits": [bits.tobytes()],
+                                 "n": [len(pdf)]})
+
+        rows = (
+            df.select(
+                host_bucket_expr(F.col(host_col), self.n_buckets).alias("b"),
+                self.positions_expr(F.col(url_col)).alias("p"))
+            .groupBy("b")
+            .applyInPandas(build, "b int, bits binary, n long")
+            .collect()
+        )
+        for row in rows:
+            np.bitwise_or(self.bits[int(row.b)],
+                          np.frombuffer(row.bits, dtype=np.uint8),
+                          out=self.bits[int(row.b)])
+            self.added += row.n
 
     # -- membership ---------------------------------------------------------
 
     def maybe_seen_col(self, df: DataFrame, url_col: str = "url_norm",
                        host_col: str = "host"):
         """Boolean column: True → possibly seen (needs exact check);
-        False → DEFINITELY new."""
-        bits_by_bucket = {b: a.copy() for b, a in self.bits.items()}
-        k = self.k
+        False → DEFINITELY new.
+
+        Bitsets ride to executors as a real Spark broadcast (one
+        transfer per executor), not inside the UDF closure (which
+        would be re-shipped per task)."""
+        bc = df.sparkSession.sparkContext.broadcast(
+            {b: a.tobytes() for b, a in self.bits.items()})
 
         @F.pandas_udf(T.BooleanType())
         def _maybe(bucket: pd.Series, positions: pd.Series) -> pd.Series:
             if len(bucket) == 0:
                 return pd.Series([], dtype=bool)
+            bits_by_bucket = {
+                b: np.frombuffer(raw, dtype=np.uint8)
+                for b, raw in bc.value.items()}
             pos = np.array(positions.tolist(), dtype=np.int64)  # (n, k)
             bkt = bucket.to_numpy()
             out = np.ones(len(bkt), dtype=bool)
@@ -225,5 +268,14 @@ def anti_join_seen(candidates: DataFrame, seen: DataFrame,
     flagged = candidates.withColumn("_maybe", bloom.maybe_seen_col(candidates))
     definitely_new = flagged.filter(~F.col("_maybe")).drop("_maybe")
     maybe = flagged.filter(F.col("_maybe")).drop("_maybe")
+    # The exact check shuffles both sides on the join key; the bloom
+    # split keeps the definitely-new majority out of that shuffle, and
+    # AQE converts to a broadcast join when either side is small at
+    # runtime. (A semi-join rewrite that scans-but-never-shuffles seen
+    # was tried and LOSES whenever rounds rediscover many URLs — the
+    # maybe side exceeds broadcast size and the plan degrades to three
+    # shuffles instead of one. At 10^10 scale the right fix is
+    # host-bucketed storage co-partitioned with the candidates, not a
+    # join rewrite.)
     checked = maybe.join(seen_keys, ["url_hash", "url_norm"], "left_anti")
     return definitely_new.unionByName(checked)

@@ -209,12 +209,19 @@ class FrontierCrawler:
 
         # R5: skip anything already done. Only re-discovered seeds can
         # be done-but-in-frontier (see __init__ note), so the done-skip
-        # is a driver-side literal filter, not a scan of results.
-        if self._done_seeds:
+        # never scans the results table: a literal filter for a few
+        # seeds, a broadcast anti-join for many (a large isin-literal
+        # list bloats every job's plan and is O(|seeds|) per row).
+        if not self._done_seeds:
+            eligible = frontier_r
+        elif len(self._done_seeds) <= 64:
             eligible = frontier_r.filter(
                 ~F.col("url_norm").isin(sorted(self._done_seeds)))
         else:
-            eligible = frontier_r
+            done_df = self.spark.createDataFrame(
+                [(s,) for s in sorted(self._done_seeds)], "url_norm string")
+            eligible = frontier_r.join(F.broadcast(done_df), "url_norm",
+                                       "left_anti")
 
         # S4/G4: robots — pending authorities were noted driver-side
         # (seeds at crawl(), discoveries via _note_new_authorities)
@@ -258,8 +265,14 @@ class FrontierCrawler:
         # that errored stays pending and is refetchable if
         # re-discovered — exact reference semantics, crawler.py:168-174)
         pending_seeds = self._seed_norms - self._done_seeds
-        if pending_seeds:
+        if pending_seeds and len(pending_seeds) <= 64:
             hit = (fetched.filter(F.col("url_norm").isin(sorted(pending_seeds)))
+                   .filter(done_cond).select("url_norm").collect())
+            self._done_seeds.update(row.url_norm for row in hit)
+        elif pending_seeds:
+            pend_df = self.spark.createDataFrame(
+                [(s,) for s in sorted(pending_seeds)], "url_norm string")
+            hit = (fetched.join(F.broadcast(pend_df), "url_norm", "left_semi")
                    .filter(done_cond).select("url_norm").collect())
             self._done_seeds.update(row.url_norm for row in hit)
         _mark("seed_check")
@@ -290,6 +303,10 @@ class FrontierCrawler:
             .select("url_norm", "url_hash", "s.url_raw", "s.authority",
                     "s.host", "s.depth", "s.discovered_from")
         )
+        # cand is consumed twice by the bloom-split anti-join (the
+        # definitely-new branch and the maybe-seen semi/anti pair) —
+        # cache it so the Python parse chain runs exactly once
+        cand = cand.persist()
 
         # R4: global dedupe against seen (bloom prefilter + exact)
         seen_df = self.store.read("seen")
@@ -312,16 +329,16 @@ class FrontierCrawler:
         self.store.append("frontier", next_frontier, partition=f"r{r + 1}")
         _mark("frontier_write")
 
-        if self.bloom is not None:
-            self.bloom.add_df(new)
-            self.bloom.save(self._bloom_path)
-        _mark("bloom")
-
-        # metrics from parquet footers (no extra jobs)
+        # row counts from parquet footers (no extra jobs)
         pend = self.store._pending
         counts = {t: sum(f["rows"] for a in pend.get(t, [])
                          for f in a["lineage"])
                   for t in ("results", "seen", "frontier")}
+
+        if self.bloom is not None:
+            self.bloom.add_df(new, row_count=counts["seen"])
+            self.bloom.save(self._bloom_path)
+        _mark("bloom")
         metrics = {
             "round": r,
             "done_new": counts["results"],
@@ -333,7 +350,7 @@ class FrontierCrawler:
         if cfg.checkpoint:
             self.store.commit_snapshot(r, metrics)
         scheduled.unpersist(); deferred.unpersist()
-        fetched.unpersist(); new.unpersist()
+        fetched.unpersist(); cand.unpersist(); new.unpersist()
         return counts["frontier"]
 
     # ------------------------------------------------------------------ #
@@ -390,8 +407,10 @@ class FrontierCrawler:
                    .where(F.col("round") == 0).select("url_norm").distinct())
         self._seed_norms = {row.url_norm for row in seed_df.collect()}
         if self._seed_norms:
+            sdf = self.spark.createDataFrame(
+                [(s,) for s in sorted(self._seed_norms)], "url_norm string")
             done = (self.store.read("results")
-                    .filter(F.col("url_norm").isin(sorted(self._seed_norms)))
+                    .join(F.broadcast(sdf), "url_norm", "left_semi")
                     .select("url_norm").distinct().collect())
             self._done_seeds = {row.url_norm for row in done}
         # robots state is in-memory only — re-note every authority in

@@ -79,7 +79,7 @@ class TableFetcher:
     """
 
     def __init__(self, site_graph: DataFrame, cfg: CrawlConfig,
-                 broadcast_max_rows: int = 2_000_000):
+                 broadcast_max_rows: int = 150_000):
         self.cfg = cfg
         self._closure = self._resolve_closure(site_graph, cfg)
         served = self._closure.select(
@@ -90,8 +90,13 @@ class TableFetcher:
         if self._broadcast:
             self._served = served
         else:
-            self._served = served.repartition(
-                n_parts, F.col("g_url_norm")).persist()
+            # hash-partitioned AND sorted within partitions on the join
+            # key: the cached plan reports both outputPartitioning and
+            # outputOrdering, so each round's sort-merge join neither
+            # exchanges nor re-sorts the graph side
+            self._served = (served.repartition(n_parts, F.col("g_url_norm"))
+                            .sortWithinPartitions("g_url_norm").persist())
+            self._served.count()  # materialise at init, not in round 0
 
     @staticmethod
     def _ua_gated(graph: DataFrame, cfg: CrawlConfig) -> DataFrame:

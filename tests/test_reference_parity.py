@@ -21,8 +21,9 @@ from simplecrawler_spark.functions import canonical as C  # noqa: E402
 
 SCHEMES = ["", "http://", "HTTPS://", "ftp://"]
 AUTHS = ["", "www.Example.COM", "example.com.", "hello:@ex.com", "@ex.com",
-         "a.b.c.co.uk", "HOST.com:8080"]
-PATHS = ["", "/", "/a/b", "a b", "/x%20y", "/Ünïcode/päth", "/p!@$^&*()"]
+         "a.b.c.co.uk", "HOST.com:8080", "h0.test", "sub-1.h2.example"]
+PATHS = ["", "/", "/a/b", "a b", "/x%20y", "/Ünïcode/päth", "/p!@$^&*()",
+         "/a%2Fb", "/x~y_z-9.html", "/a/../b", "/a/./b", "/p+q"]
 QUERIES = ["", "?a=b", "?z=y&a=b", "?greeting=hi there", "?x=1+2", "?k"]
 FRAGS = ["", "#f", "#hello world", "#a+b", "#x:~y"]
 
