@@ -87,10 +87,23 @@ LINKS_CANON = T.StructType([
     T.StructField("fragment", T.StringType()),
 ])
 
+# What the crawl loop actually consumes — mapInPandas cannot be
+# column-pruned by Catalyst, so the narrow schema is opt-in here
+LINKS_CANON_MIN = T.StructType([
+    T.StructField("src_url", T.StringType()),
+    T.StructField("src_authority", T.StringType()),
+    T.StructField("depth", T.IntegerType()),
+    T.StructField("url_resolved", T.StringType()),
+    T.StructField("url_norm", T.StringType()),
+    T.StructField("authority", T.StringType()),
+    T.StructField("host", T.StringType()),
+])
+
 
 def extract_links_canonical(fetched: DataFrame, *, trim_query: bool = True,
                             trim_fragment: bool = True,
-                            record_redirects: bool = False) -> DataFrame:
+                            record_redirects: bool = False,
+                            minimal: bool = False) -> DataFrame:
     """Fused P1/P2/P3 → F12 trim → F16 resolve → F8 canonicalize in ONE
     mapInPandas stage.
 
@@ -105,6 +118,7 @@ def extract_links_canonical(fetched: DataFrame, *, trim_query: bool = True,
     """
     cols = ["url_norm", "url_raw", "authority", "depth", "status",
             "redirect_location", "body"]
+    schema = LINKS_CANON_MIN if minimal else LINKS_CANON
 
     def gen(batches):
         for pdf in batches:
@@ -161,14 +175,16 @@ def extract_links_canonical(fetched: DataFrame, *, trim_query: bool = True,
                     # downstream resolution bases coalesce to url_norm,
                     # and the dedupe/anti-join shuffles carry one wide
                     # string instead of two
-                    rows.append((src_norm, src_auth,
-                                 None if depth is None else int(depth),
-                                 raw,
-                                 None if resolved == parts[0] else resolved,
-                                 *parts))
-            yield pd.DataFrame(rows, columns=LINKS_CANON.fieldNames())
+                    d = None if depth is None else int(depth)
+                    rv = None if resolved == parts[0] else resolved
+                    if minimal:
+                        rows.append((src_norm, src_auth, d, rv, parts[0],
+                                     parts[2], parts[3]))
+                    else:
+                        rows.append((src_norm, src_auth, d, raw, rv, *parts))
+            yield pd.DataFrame(rows, columns=schema.fieldNames())
 
-    return fetched.select(*cols).mapInPandas(gen, LINKS_CANON)
+    return fetched.select(*cols).mapInPandas(gen, schema)
 
 
 def explode_links(fetched: DataFrame, src_url_col: str = "url_norm",

@@ -285,7 +285,7 @@ class FrontierCrawler:
         cand = extract_links_canonical(
             pages, trim_query=cfg.trim_query,
             trim_fragment=cfg.trim_fragment,
-            record_redirects=cfg.record_redirects)
+            record_redirects=cfg.record_redirects, minimal=True)
         if cfg.same_authority_only:
             cand = cand.filter(F.col("authority") == F.col("src_authority"))
         cand = cand.withColumn("url_hash", url_hash(F.col("url_norm")))
