@@ -109,8 +109,9 @@ def pipeline_benches(spark, sf_dir: str) -> dict[str, float]:
 
 
 def scale_pages(sf: float) -> int:
-    # ~600k lineitem rows at sf0.1 ↔ 100k synthetic pages (×8 links)
-    return max(10_000, int(1_000_000 * sf))
+    # sf0.1 → 400k pages (×8 links ≈ 3.2M edges): large enough that
+    # data-parallel rounds dominate the fixed per-round driver overhead
+    return max(10_000, int(4_000_000 * sf))
 
 
 def run_default():
@@ -206,7 +207,7 @@ def run_scaling():
         "contention that no multi-machine cluster would see, so "
         f"local[{lo}]→local[{hi}] with headroom is the honest "
         "single-node stand-in for N→4N executors.\n")
-    for path in ("BENCH/SCALING.md + BENCH/BASELINE.md., "BENCH/BASELINE.md"):
+    for path in ("BENCH/SCALING.md", "BENCH/BASELINE.md"):
         with open(path, "w") as fh:
             fh.write(body)
     print(json.dumps({f"t{lo}_urls_per_sec": t_lo,

@@ -50,6 +50,7 @@ from simplecrawler_spark.functions.canonical import (
     canon_parts, url_hash,
 )
 from simplecrawler_spark.operators.parse import extract_links_canonical
+from simplecrawler_spark.operators.partitioning import repartition_salted
 from simplecrawler_spark.operators.politeness import schedule_budget
 from simplecrawler_spark.operators.robots import (
     can_fetch_filter, crawl_delay_map, fetch_robots_for,
@@ -242,7 +243,8 @@ class FrontierCrawler:
         if row_count is not None:
             n_parts = max(1, min(
                 n_parts, -(-row_count // cfg.rows_per_task)))
-        fetch_in = scheduled.repartition(n_parts, F.col("url_hash"))
+        fetch_in = repartition_salted(scheduled, n_parts,
+                                      salt_buckets=cfg.salt_buckets)
 
         fetched = self.fetcher(fetch_in).persist()
 
