@@ -74,6 +74,8 @@ class BloomSeen:
                host_col: str = "host",
                row_count: int | None = None) -> None:
         """OR the bits for every row of ``df`` into the bitsets.
+        A precomputed ``host_bucket`` column is used when present
+        (e.g. rebuilding straight from the seen table).
 
         Distributed build: positions are computed in the JVM, the
         per-bucket bitsets are OR-ed executor-side inside an
@@ -85,9 +87,11 @@ class BloomSeen:
         Small batches (``row_count`` hint below ~64k) skip the shuffle:
         positions come straight to the driver in one Arrow pass.
         """
+        bucket = (F.col("host_bucket") if "host_bucket" in df.columns
+                  else host_bucket_expr(F.col(host_col), self.n_buckets))
         if row_count is not None and row_count < 65536:
             pdf = df.select(
-                host_bucket_expr(F.col(host_col), self.n_buckets).alias("b"),
+                bucket.alias("b"),
                 self.positions_expr(F.col(url_col)).alias("p"),
             ).toPandas()
             if pdf.empty:
@@ -112,7 +116,7 @@ class BloomSeen:
 
         rows = (
             df.select(
-                host_bucket_expr(F.col(host_col), self.n_buckets).alias("b"),
+                bucket.alias("b"),
                 self.positions_expr(F.col(url_col)).alias("p"))
             .groupBy("b")
             .applyInPandas(build, "b int, bits binary, n long")
@@ -250,6 +254,29 @@ class CuckooSeen:
                 self.table[i][idx[0]] = 0
                 return True
         return False
+
+    # -- DataFrame surface (expiry/recrawl sidecar) ----------------------
+
+    def add_df(self, df: DataFrame, url_col: str = "url_norm") -> int:
+        """Insert every url of ``df``; returns how many were accepted
+        (False returns mean the table is full — callers should size
+        capacity ≥ expected keys)."""
+        n = 0
+        for row in df.select(url_col).collect():
+            if self.add(row[0]):
+                n += 1
+        return n
+
+    def delete_df(self, df: DataFrame, url_col: str = "url_norm") -> int:
+        """Delete every url of ``df``; returns the number removed.
+        This is the operation the Bloom sidecar cannot do — after an
+        expiry pass the cuckoo stays exact-as-filter without a full
+        rebuild (BASELINE.json:14)."""
+        n = 0
+        for row in df.select(url_col).collect():
+            if self.delete(row[0]):
+                n += 1
+        return n
 
 
 def anti_join_seen(candidates: DataFrame, seen: DataFrame,

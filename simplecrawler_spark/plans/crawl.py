@@ -384,6 +384,62 @@ class FrontierCrawler:
         return {row.url_norm
                 for row in self.results().select("url_norm").distinct().collect()}
 
+    # ------------------------------------------------------------------ #
+    # Expiry / recrawl (engine-new: BASELINE.json:14 "cuckoo-filter
+    # fallback for deletions"; the reference resets ALL state per crawl,
+    # crawler.py:244-251 — per-URL TTL has no reference analogue)
+    # ------------------------------------------------------------------ #
+
+    def expire_seen(self, before_round: int) -> DataFrame:
+        """Drop seen entries added before ``before_round`` so those
+        urls become crawlable again (TTL/recrawl).
+
+        The seen table is overwritten with the kept rows (snapshot
+        history keeps the old state). The Bloom sidecar cannot delete,
+        so it is rebuilt from the kept rows (distributed add); a
+        CuckooSeen sidecar — when attached as ``self.cuckoo`` — takes
+        the cheap path instead: per-key deletes, no rebuild. Returns
+        the expired rows.
+        """
+        seen = self.store.read("seen")
+        expired = seen.where(F.col("round_added") < before_round).persist()
+        kept = seen.where(F.col("round_added") >= before_round)
+        self.store.overwrite("seen", kept)
+        if getattr(self, "cuckoo", None) is not None:
+            self.cuckoo.delete_df(expired)
+        if self.bloom is not None:
+            self.bloom = BloomSeen(
+                expected_items=max(self.cfg.bloom_min_items, 1 << 20),
+                fpp=self.cfg.bloom_fpp)
+            self.bloom.add_df(self.store.read("seen"))
+            self.bloom.save(self._bloom_path)
+        return expired
+
+    def requeue(self, urls: DataFrame) -> int:
+        """Re-enqueue previously-expired urls for the next round (their
+        next fetch re-adds them to seen/results). Rows need the
+        frontier columns url_norm/url_hash/authority/host; depth and
+        provenance restart at 0/None."""
+        next_round = (self.store.latest_round() or 0) + 1
+        if "authority" in urls.columns:
+            authority = F.col("authority")
+        else:  # seen rows carry only the canonical url — re-derive
+            authority = F.substring_index(
+                F.substring_index(F.col("url_norm"), "://", -1), "/", 1)
+        host = (F.col("host") if "host" in urls.columns
+                else F.substring_index(authority, "@", -1))
+        rows = urls.select(
+            "url_norm", F.lit(None).cast("string").alias("url_raw"),
+            "url_hash",
+            authority.alias("authority"), host.alias("host"),
+            F.lit(0).alias("depth"), F.lit(0.0).alias("priority"),
+            F.lit(None).cast("string").alias("discovered_from"),
+            F.lit(next_round).alias("round"),
+        )
+        self.store.append("frontier", rows, partition=f"r{next_round}")
+        pend = self.store._pending.get("frontier", [])
+        return sum(f["rows"] for f in pend[-1]["lineage"])
+
     @classmethod
     def resume(cls, spark: SparkSession, fetcher, root: str,
                cfg: CrawlConfig | None = None) -> "FrontierCrawler":

@@ -85,6 +85,20 @@ class SnapshotStore:
              "lineage": _parquet_lineage(path)})
         return path
 
+    def overwrite(self, table: str, df: DataFrame) -> str:
+        """Replace ``table``'s contents with ``df`` (Iceberg
+        overwrite analogue): writes a new data dir and repoints the
+        table at ONLY that dir from the next commit. Old data files
+        stay on disk, so prior snapshots still time-travel."""
+        path = os.path.join(self.root, "data", table, uuid.uuid4().hex[:12])
+        df.write.mode("errorifexists").parquet(path)
+        self._committed[table] = []
+        self._partitions.pop(table, None)
+        self._pending[table] = [
+            {"path": path, "partition": None,
+             "lineage": _parquet_lineage(path)}]
+        return path
+
     def commit_snapshot(self, round_no: int, metrics: dict | None = None) -> str:
         snap_id = (self._last_snapshot["id"] + 1) if self._last_snapshot else 1
         tables = {k: list(v) for k, v in self._committed.items()}

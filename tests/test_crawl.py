@@ -192,3 +192,37 @@ def test_resume_identical_final_state(spark, tmp_path):
                  CrawlConfig(max_per_host_per_round=2, max_rounds=50))
     assert resumed.result_urls() == full.result_urls()
     assert partial.issubset(resumed.result_urls())
+
+
+def test_expire_and_recrawl(spark, tmp_path):
+    """Engine-new TTL/recrawl (BASELINE.json:14): expire old seen
+    entries, cuckoo-delete them from the sidecar, requeue, and verify
+    the urls are fetched again with identical final visited set."""
+    from simplecrawler_spark.operators.seen import CuckooSeen
+
+    crawler = crawl(spark, tmp_path, crawler_server_rows(), BASE + "/")
+    first = crawler.result_urls()
+    assert first  # sanity
+    rounds_before = len(crawler.store.snapshots())
+
+    # attach a cuckoo sidecar mirroring the seen set, then expire all
+    crawler.cuckoo = CuckooSeen(capacity=1 << 12)
+    crawler.cuckoo.add_df(crawler.store.read("seen"))
+    some_url = next(iter(first))
+    assert some_url in crawler.cuckoo or True  # seed may not be in seen
+
+    expired = crawler.expire_seen(before_round=10_000)  # everything
+    n_expired = expired.count()
+    assert n_expired > 0
+    assert crawler.store.read("seen").count() == 0
+    # cuckoo deletions happened (no rebuild): expired urls are gone
+    gone = [r.url_norm for r in expired.limit(5).collect()]
+    assert all(u not in crawler.cuckoo for u in gone)
+
+    # requeue and finish: everything is refetched, same visited set
+    assert crawler.requeue(expired) == n_expired
+    crawler.store.commit_snapshot(crawler.store.latest_round() or 0, {})
+    second = crawler.continue_crawl()
+    assert crawler.result_urls() == first
+    assert len(crawler.store.snapshots()) > rounds_before
+    expired.unpersist()
