@@ -215,11 +215,42 @@ class HttpFetcher:
             session = requests.Session()
             if cfg.user_agent:
                 session.headers["User-Agent"] = cfg.user_agent
+            mimes = tuple(m.lower() for m in cfg.mime_types)
             for pdf in iterator:
                 recs = []
                 for row in pdf.itertuples(index=False):
                     status, ctype, body, loc = None, None, None, None
                     try:
+                        if cfg.check_head:
+                            # S3/G3 (requester.py:102-105): probe the
+                            # Content-Type with HEAD; skip the body GET
+                            # for error or wrong-MIME responses — the
+                            # downstream gates see the same
+                            # status/content_type either way
+                            head = session.request(
+                                "HEAD", row.url_norm, timeout=(2, 15),
+                                allow_redirects=cfg.follow_redirects)
+                            hct = (head.headers.get("Content-Type")
+                                   or "").lower()
+                            hs = int(head.status_code)
+                            if (hs // 100 != 2
+                                    or not any(m in hct for m in mimes)):
+                                recs.append({
+                                    "url_norm": row.url_norm,
+                                    "url_raw": row.url_raw,
+                                    "host": row.host,
+                                    "authority": row.authority,
+                                    "depth": row.depth,
+                                    "priority": row.priority,
+                                    "round": row.round, "status": hs,
+                                    "content_type":
+                                        head.headers.get("Content-Type"),
+                                    "body": None,
+                                    "redirect_location":
+                                        head.headers.get("Location"),
+                                    "image_id": None,
+                                })
+                                continue
                         resp = session.request(
                             "GET", row.url_norm, timeout=(2, 15),
                             allow_redirects=cfg.follow_redirects)

@@ -122,3 +122,23 @@ def test_visited_set_parity_trim_variants(spark, tmp_path):
     engine.crawl(host_base)
 
     assert engine.result_urls() == ref_found
+
+
+@pytest.mark.parametrize("check_head", [False, True])
+def test_http_fetcher_parity(spark, tmp_path, check_head):
+    """S2 real-network fetch (HttpFetcher mapInPandas) and S3/G3
+    HEAD-first probing against the live fixture server: visited set
+    must equal the reference crawler run with the same check_head."""
+    from simplecrawler_spark.sources.fetch import HttpFetcher
+
+    app = build_flask_app()
+    with live_server(app):
+        ref = ref_crawler_mod.Crawler(max_workers=1, timeout=1,
+                                      check_head=check_head)
+        ref_found = ref.crawl(BASE)
+
+        cfg = CrawlConfig(check_head=check_head)
+        engine = FrontierCrawler(spark, HttpFetcher(cfg), cfg,
+                                 root=str(tmp_path / f"h{check_head}"))
+        engine.crawl(BASE)
+        assert engine.result_urls() == ref_found
