@@ -99,13 +99,39 @@ def pipeline_benches(spark, sf_dir: str) -> dict[str, float]:
     timings: dict[str, float] = {}
     names = ["q_canonicalize", "q_seen_antijoin", "q_politeness_window",
              "q_dedup_exact", "q_lsh_pairs", "q_simhash", "q_lang_quality",
-             "q_cosine_topk", "q_ann_lsh"]
+             "q_cosine_topk", "q_ann_lsh", "q_robots_gate"]
     qs = E.queries()
     for name in names:
         t0 = time.monotonic()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.monotonic() - t0, 3)
+    timings["image_validate"] = image_bench(spark)
     return timings
+
+
+def image_bench(spark, n_images: int = 4096) -> float:
+    """Image+caption payload path (the graft's axis B): decode pixels,
+    PSNR against the corpus bytes, phash recompute + caption check for
+    n_images synthetic images; returns wall seconds."""
+    from pyspark.sql import functions as F
+
+    from simplecrawler_spark.functions.images import validate_corpus_join
+    from simplecrawler_spark.sources.fixtures import synthetic_corpus
+
+    corpus = synthetic_corpus(spark, n_images=n_images)
+    corpus = corpus.repartition(
+        spark.sparkContext.defaultParallelism).persist()
+    corpus.count()  # materialise generation outside the timed window
+    results_like = corpus.select(
+        F.col("image_id"),
+        F.concat(F.lit("http://img.test/"), "image_id").alias("url_norm"))
+    t0 = time.monotonic()
+    v = validate_corpus_join(results_like, corpus)
+    ok = v.filter(F.col("pixels_ok")).count()
+    wall = time.monotonic() - t0
+    assert ok == n_images, f"payload validation failed: {ok}/{n_images}"
+    corpus.unpersist()
+    return round(wall, 3)
 
 
 def scale_pages(sf: float) -> int:

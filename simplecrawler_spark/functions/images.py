@@ -191,9 +191,12 @@ def validate_corpus_join(results: DataFrame, corpus: DataFrame,
     only metrics + caption (SURVEY.md §7.3: keep binary out of
     shuffles)."""
     validate = make_validate_udf(psnr_gate_db, seed)
-    joined = results.join(F.broadcast(corpus.select(
+    # no broadcast hint: the corpus carries the pixel bytes and can be
+    # arbitrarily large — AQE broadcasts whichever side is actually
+    # small at runtime, else plans a shuffle equi-join on image_id
+    joined = results.join(corpus.select(
         F.col("image_id").alias("c_image_id"), "bytes", "w", "h", "fmt",
-        F.col("caption").alias("corpus_caption"), "phash")),
+        F.col("caption").alias("corpus_caption"), "phash"),
         results.image_id == F.col("c_image_id"), "left")
     v = validate(
         F.col("image_id"), F.col("bytes"), F.col("fmt"), F.col("w"),

@@ -77,3 +77,58 @@ def test_trim_parity():
             got = C.canon_parts(C.trim_raw(u, **fl))[0]
             want = str(ref_hyperlink.make_hyperlink(u).trim(**fl))
             assert got == want, (u, fl)
+
+
+# ---------------------------------------------------------------------------
+# Property-based parity (hypothesis): random urls from a grammar that
+# covers the fast path, near-misses, and hostile inputs
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _scheme = st.sampled_from(["", "http://", "https://", "HTTP://", "ftp://"])
+    _label = st.text(alphabet="abcdefghijklmnopqrstuvwxyzABC019-", min_size=1,
+                     max_size=8)
+    _host = st.lists(_label, min_size=1, max_size=3).map(".".join)
+    _hostish = st.one_of(
+        _host,
+        _host.map(lambda h: h + "."),
+        _host.map(lambda h: "user:pw@" + h),
+        _host.map(lambda h: h + ":8080"),
+    )
+    _pathseg = st.text(
+        alphabet="abcXYZ019_.~%+- /!$&'()*,;=:@", max_size=12)
+    _query = st.one_of(
+        st.just(""),
+        st.lists(st.tuples(st.text("abz19", min_size=1, max_size=4),
+                           st.text("abz19 +&=", max_size=6)),
+                 min_size=1, max_size=4)
+        .map(lambda kv: "?" + "&".join(f"{k}={v}" for k, v in kv)))
+    _frag = st.one_of(st.just(""),
+                      st.text("abz19 +:~#", max_size=8).map(lambda f: "#" + f))
+
+    @st.composite
+    def _urls(draw):
+        s = draw(_scheme)
+        h = draw(_hostish) if s else ""
+        p = draw(_pathseg)
+        if h and p and not p.startswith("/"):
+            p = "/" + p
+        return f"{s}{h}{p}{draw(_query)}{draw(_frag)}"
+
+    @given(_urls())
+    @settings(max_examples=500, deadline=None)
+    def test_normalise_url_parity_property(url):
+        assert C.canon_parts(url)[0] == ref.normalise_url(url), url
+
+    @given(_urls(), _urls())
+    @settings(max_examples=200, deadline=None)
+    def test_join_parity_property(base, href):
+        h = ref_hyperlink.make_hyperlink(href)
+        b = ref_hyperlink.make_hyperlink(base)
+        assert C.resolve_raw(base, href) == h.join(b)._input_url or \
+            C.canon_parts(C.resolve_raw(base, href))[0] == h.join(b).url
+
+except ImportError:  # pragma: no cover
+    pass
