@@ -43,6 +43,9 @@ class CrawlConfig:
     bloom_enabled: bool = True
     bloom_fpp: float = 0.001
     bloom_min_items: int = 4096        # below this, exact anti-join only
+    # initial filter sizing; past ~4x this the crawler rebuilds the
+    # filter 4x bigger from the seen table (amortised doubling)
+    bloom_initial_capacity: int = 1 << 20
     # fetch
     follow_redirects: bool = True
     max_redirect_hops: int = 10

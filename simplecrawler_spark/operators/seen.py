@@ -56,9 +56,19 @@ class BloomSeen:
         self.k = max(1, round(-math.log2(fpp)))
         self.n_buckets = n_buckets
         self.seed = seed
+        self.capacity = expected_items
+        self.fpp = fpp
         self.bits = {b: np.zeros(self.m // 8, dtype=np.uint8)
                      for b in range(n_buckets)}
         self.added = 0
+
+    def saturated(self) -> bool:
+        """True once the filter holds ~4x its design capacity — the
+        false-positive rate has degraded to the point where most
+        candidates fall through to the exact anti-join anyway, so the
+        owner should rebuild bigger from the seen table (amortised
+        doubling keeps total rebuild cost O(1) per URL)."""
+        return self.added > 4 * self.capacity
 
     # -- position expressions (JVM-side) -----------------------------------
 
@@ -170,6 +180,7 @@ class BloomSeen:
         os.makedirs(os.path.dirname(path), exist_ok=True)
         np.savez_compressed(
             path, m=self.m, k=self.k, seed=self.seed, added=self.added,
+            capacity=self.capacity, fpp=self.fpp,
             **{f"b{b}": a for b, a in self.bits.items()})
 
     @classmethod
@@ -178,6 +189,8 @@ class BloomSeen:
         obj = cls.__new__(cls)
         obj.m = int(z["m"]); obj.k = int(z["k"]); obj.seed = int(z["seed"])
         obj.added = int(z["added"])
+        obj.capacity = int(z["capacity"]) if "capacity" in z else obj.added + 1
+        obj.fpp = float(z["fpp"]) if "fpp" in z else 1e-3
         obj.bits = {}
         b = 0
         while f"b{b}" in z:

@@ -167,7 +167,7 @@ class FrontierCrawler:
             seeds = [seeds]
         cfg = self.cfg
         if cfg.bloom_enabled:
-            self.bloom = BloomSeen(expected_items=max(cfg.bloom_min_items, 1 << 20),
+            self.bloom = BloomSeen(expected_items=max(cfg.bloom_min_items, cfg.bloom_initial_capacity),
                                    fpp=cfg.bloom_fpp)
         self.store.append("frontier", self._seed_frontier(seeds),
                           partition="r0")
@@ -339,6 +339,13 @@ class FrontierCrawler:
 
         if self.bloom is not None:
             self.bloom.add_df(new, row_count=counts["seen"])
+            if self.bloom.saturated():
+                # amortised doubling: rebuild 4x bigger from the seen
+                # table (one distributed pass; O(1) per URL overall)
+                self.bloom = BloomSeen(
+                    expected_items=self.bloom.added * 4,
+                    fpp=cfg.bloom_fpp)
+                self.bloom.add_df(self.store.read("seen"))
             self.bloom.save(self._bloom_path)
         _mark("bloom")
         metrics = {
@@ -409,7 +416,7 @@ class FrontierCrawler:
             self.cuckoo.delete_df(expired)
         if self.bloom is not None:
             self.bloom = BloomSeen(
-                expected_items=max(self.cfg.bloom_min_items, 1 << 20),
+                expected_items=max(self.cfg.bloom_min_items, self.cfg.bloom_initial_capacity),
                 fpp=self.cfg.bloom_fpp)
             self.bloom.add_df(self.store.read("seen"))
             self.bloom.save(self._bloom_path)
@@ -484,7 +491,7 @@ class FrontierCrawler:
                                           row.scheme or "http")
         if cfg.bloom_enabled and self.bloom is None:
             # sidecar missing → rebuild the filter from the seen table
-            self.bloom = BloomSeen(expected_items=max(cfg.bloom_min_items, 1 << 20),
+            self.bloom = BloomSeen(expected_items=max(cfg.bloom_min_items, cfg.bloom_initial_capacity),
                                    fpp=cfg.bloom_fpp)
             self.bloom.add_df(self.store.read("seen"))
         return self._run_rounds(start_round=last + 1)

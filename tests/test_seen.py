@@ -73,3 +73,30 @@ def test_cuckoo_add_contains_delete():
     assert all(k in cf for k in keys[500:])
     present_after_delete = sum(1 for k in keys[:500] if k in cf)
     assert present_after_delete < 25  # only fingerprint collisions remain
+
+
+def test_bloom_grows_when_saturated(spark, tmp_path):
+    """Amortised-doubling rebuild: crawl a graph far bigger than the
+    initial bloom capacity; the filter must end up resized with no
+    change to the visited set."""
+    from simplecrawler_spark.config import CrawlConfig
+    from simplecrawler_spark.plans.crawl import FrontierCrawler
+    from simplecrawler_spark.sources.fetch import TableFetcher
+    from simplecrawler_spark.sources.fixtures import synthetic_graph
+    from pyspark.sql import functions as F
+
+    graph = synthetic_graph(spark, n_pages=3000, n_hosts=4, out_degree=6)
+    seed = graph.agg(F.min("url")).first()[0]
+    cfg = CrawlConfig(same_authority_only=False, max_rounds=20,
+                      bloom_enabled=True, bloom_min_items=1,
+                      bloom_initial_capacity=64)
+    crawler = FrontierCrawler(spark, TableFetcher(graph, cfg), cfg,
+                              root=str(tmp_path / "b"))
+    # shrink the initial filter way below the graph size
+    crawler.crawl(seed)
+    assert crawler.bloom.added > 1000
+    assert crawler.bloom.capacity >= crawler.bloom.added / 8
+    assert not crawler.bloom.saturated()
+    # sanity: dedupe stayed exact (seen rows unique)
+    seen = crawler.store.read("seen")
+    assert seen.count() == seen.select("url_norm").distinct().count()
