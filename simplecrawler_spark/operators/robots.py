@@ -21,6 +21,7 @@ pages.
 
 from __future__ import annotations
 
+import inspect
 from urllib.robotparser import RobotFileParser
 
 import pandas as pd
@@ -53,6 +54,23 @@ def robots_urls_for(frontier: DataFrame) -> DataFrame:
     )
 
 
+def _fetch_robots_rows(fetcher, df: DataFrame) -> DataFrame:
+    """Fetch robots.txt rows with a per-call text/plain mime gate when
+    the fetcher supports one (reference crawler.py:186-189:
+    ``self._requester(robots_url, mime_types=("text/plain",))``).
+    A check_head HttpFetcher would otherwise HEAD-probe robots.txt
+    against the page mime types (text/html) and return body=None for
+    every robots file — silently disabling all disallow/crawl-delay
+    rules."""
+    try:
+        params = inspect.signature(fetcher).parameters
+    except (TypeError, ValueError):  # builtins / odd callables
+        params = {}
+    if "mime_types" in params:
+        return fetcher(df, mime_types=("text/plain",))
+    return fetcher(df)
+
+
 def _gate_robots_fetch(fetched: DataFrame) -> pd.DataFrame:
     ok = (status_class_expr(F.col("status")) == 2) & mime_ok_expr(
         F.col("content_type"), ("text/plain",))
@@ -80,7 +98,8 @@ def fetch_robots_for(spark, auth_scheme: dict[str, str], fetcher,
     df = spark.createDataFrame(
         rows, "url_norm string, url_raw string, host string, "
               "authority string, depth int, priority double, round int")
-    return _with_delays(_gate_robots_fetch(fetcher(df)), cfg)
+    return _with_delays(_gate_robots_fetch(_fetch_robots_rows(fetcher, df)),
+                        cfg)
 
 
 def build_robots_table(frontier: DataFrame, fetcher,
@@ -88,7 +107,8 @@ def build_robots_table(frontier: DataFrame, fetcher,
     """Fetch+gate robots.txt per authority → small driver-side pandas
     table (authority, robots_txt, crawl_delay). Empty rules on any
     error (crawler.py:191-192)."""
-    rows = _gate_robots_fetch(fetcher(robots_urls_for(frontier)))
+    rows = _gate_robots_fetch(
+        _fetch_robots_rows(fetcher, robots_urls_for(frontier)))
     return _with_delays(rows, cfg)
 
 

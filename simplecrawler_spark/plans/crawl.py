@@ -430,9 +430,13 @@ class FrontierCrawler:
         next_round = (self.store.latest_round() or 0) + 1
         if "authority" in urls.columns:
             authority = F.col("authority")
-        else:  # seen rows carry only the canonical url — re-derive
-            authority = F.substring_index(
-                F.substring_index(F.col("url_norm"), "://", -1), "/", 1)
+        else:  # seen rows carry only the canonical url — re-derive.
+            # Anchor on the FIRST '://' (a kept query/path may embed a
+            # url, e.g. ?to=http://x/y with trim_query=False); in a
+            # canonical url the authority then runs to the first
+            # '/', '?' or '#'.
+            authority = F.regexp_extract(
+                F.col("url_norm"), r"^[^:/?#]+://([^/?#]*)", 1)
         host = (F.col("host") if "host" in urls.columns
                 else F.substring_index(authority, "@", -1))
         rows = urls.select(

@@ -169,7 +169,12 @@ class TableFetcher:
             pending = hop.filter(is_redir)
         return out.unionByName(pending)  # hop budget exhausted → as-is
 
-    def __call__(self, frontier: DataFrame) -> DataFrame:
+    def __call__(self, frontier: DataFrame,
+                 mime_types: tuple[str, ...] | None = None) -> DataFrame:
+        # mime_types is accepted for interface parity with HttpFetcher;
+        # the table fetcher applies no fetch-time gate (G1/G2 run
+        # downstream on the returned status/content_type, and the
+        # check_head saving is column pruning — module docstring)
         g = F.broadcast(self._served) if self._broadcast else self._served
         fetched = frontier.join(
             g, frontier.url_norm == F.col("g_url_norm"), "left")
@@ -189,10 +194,18 @@ class HttpFetcher:
     def __init__(self, cfg: CrawlConfig):
         self.cfg = cfg
 
-    def __call__(self, frontier: DataFrame) -> DataFrame:
+    def __call__(self, frontier: DataFrame,
+                 mime_types: tuple[str, ...] | None = None) -> DataFrame:
+        """``mime_types`` overrides cfg.mime_types for THIS call — the
+        reference requester takes a per-call mime gate
+        (requester.py:45-50) and the crawler fetches robots.txt with
+        ('text/plain',) (crawler.py:186-189). Without the override a
+        check_head fetcher would HEAD-gate robots.txt against the page
+        mime types (text/html), silently dropping every robots rule."""
         from pyspark.sql import types as T
 
         cfg = self.cfg
+        gate_mimes = tuple(m.lower() for m in (mime_types or cfg.mime_types))
         out_schema = T.StructType([
             T.StructField("url_norm", T.StringType()),
             T.StructField("url_raw", T.StringType()),
@@ -215,7 +228,7 @@ class HttpFetcher:
             session = requests.Session()
             if cfg.user_agent:
                 session.headers["User-Agent"] = cfg.user_agent
-            mimes = tuple(m.lower() for m in cfg.mime_types)
+            mimes = gate_mimes
             for pdf in iterator:
                 recs = []
                 for row in pdf.itertuples(index=False):

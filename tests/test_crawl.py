@@ -226,3 +226,26 @@ def test_expire_and_recrawl(spark, tmp_path):
     assert crawler.result_urls() == first
     assert len(crawler.store.snapshots()) > rounds_before
     expired.unpersist()
+
+
+def test_requeue_rederives_authority_from_first_scheme_sep(spark, tmp_path):
+    """Regression (round-2 ADVICE): requeue rows lacking an authority
+    column must split url_norm on the FIRST '://' — a kept query that
+    embeds a url (trim_query=False) must not corrupt the derived
+    authority/host politeness keys."""
+    from pyspark.sql import functions as F
+
+    crawler = crawl(spark, tmp_path, crawler_server_rows(), BASE + "/")
+    tricky = spark.createDataFrame(
+        [("http://a.test/p?to=http://evil.example/x", ),
+         ("https://user@b.test:8080/q", )],
+        "url_norm string").withColumn("url_hash", F.xxhash64("url_norm"))
+    crawler.requeue(tricky)
+    nxt = (crawler.store.latest_round() or 0) + 1
+    rows = {r.url_norm: (r.authority, r.host)
+            for r in crawler.store.read("frontier", partition=f"r{nxt}")
+            .where(F.col("round") == nxt).collect()}
+    assert rows["http://a.test/p?to=http://evil.example/x"] == (
+        "a.test", "a.test")
+    assert rows["https://user@b.test:8080/q"] == (
+        "user@b.test:8080", "b.test:8080")

@@ -125,6 +125,41 @@ def test_visited_set_parity_trim_variants(spark, tmp_path):
 
 
 @pytest.mark.parametrize("check_head", [False, True])
+def test_http_fetcher_robots_obeyed(spark, tmp_path, check_head):
+    """Regression (round-2 ADVICE): with check_head=True the HEAD probe
+    must not gate robots.txt on the page mime types (text/html) —
+    robots.txt is text/plain, and gating it there silently disables
+    every disallow rule. The reference fetches robots with
+    mime_types=('text/plain',) (crawler.py:186-189)."""
+    from simplecrawler_spark.sources.fetch import HttpFetcher
+
+    app = flask.Flask("robots_server")
+    app.add_url_rule("/robots.txt", "robots", lambda: (
+        "User-agent: *\nDisallow: /blocked\n", 200,
+        {"Content-Type": "text/plain"}))
+    app.add_url_rule("/", "index", lambda: (
+        make_html_from_links(["/blocked", "/ok"]), 200,
+        {"Content-Type": "text/html"}))
+    app.add_url_rule("/blocked", "blocked", lambda: (
+        make_html_from_links(["/"]), 200, {"Content-Type": "text/html"}))
+    app.add_url_rule("/ok", "ok", lambda: (
+        make_html_from_links(["/"]), 200, {"Content-Type": "text/html"}))
+
+    with live_server(app):
+        ref = ref_crawler_mod.Crawler(max_workers=1, timeout=1,
+                                      check_head=check_head)
+        ref_found = ref.crawl(BASE)
+
+        cfg = CrawlConfig(check_head=check_head)
+        engine = FrontierCrawler(spark, HttpFetcher(cfg), cfg,
+                                 root=str(tmp_path / f"r{check_head}"))
+        engine.crawl(BASE)
+        got = engine.result_urls()
+    assert f"{BASE}/blocked" not in got
+    assert got == ref_found
+
+
+@pytest.mark.parametrize("check_head", [False, True])
 def test_http_fetcher_parity(spark, tmp_path, check_head):
     """S2 real-network fetch (HttpFetcher mapInPandas) and S3/G3
     HEAD-first probing against the live fixture server: visited set
