@@ -75,6 +75,40 @@ def test_cuckoo_add_contains_delete():
     assert present_after_delete < 25  # only fingerprint collisions remain
 
 
+def test_cuckoo_bulk_add_delete_distributed(spark):
+    """Round-2 verdict item: bulk cuckoo add/delete must run as a
+    distributed per-shard job (applyInPandas over shard groups), never
+    a per-row driver loop. Large batch: insert 200k urls, delete half,
+    verify membership — and verify the driver only ever receives
+    n_shards shard-table rows per bulk call."""
+    from unittest.mock import patch
+
+    cf = CuckooSeen(capacity=1 << 19)
+    urls = spark.range(200_000).select(
+        F.concat(F.lit("http://h"), (F.col("id") % 97).cast("string"),
+                 F.lit(".test/p/"), F.col("id").cast("string"))
+        .alias("url_norm"))
+
+    collected_sizes = []
+    df_cls = type(urls)  # the concrete DataFrame class (classic/connect)
+    real_collect = df_cls.collect
+
+    def counting_collect(self):
+        rows = real_collect(self)
+        collected_sizes.append(len(rows))
+        return rows
+
+    with patch.object(df_cls, "collect", counting_collect):
+        n_added = cf.add_df(urls)
+        n_deleted = cf.delete_df(urls.where("url_norm like '%/p/1%'"))
+    assert n_added == 200_000
+    assert n_deleted > 0
+    # every driver materialisation was shard tables, not urls
+    assert max(collected_sizes) <= cf.n_shards
+    assert "http://h0.test/p/97000" in cf
+    assert "http://h1.test/p/100000" not in cf  # deleted (like '%/p/1%')
+
+
 def test_bloom_grows_when_saturated(spark, tmp_path):
     """Amortised-doubling rebuild: crawl a graph far bigger than the
     initial bloom capacity; the filter must end up resized with no
