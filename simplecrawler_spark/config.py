@@ -46,6 +46,14 @@ class CrawlConfig:
     # initial filter sizing; past ~4x this the crawler rebuilds the
     # filter 4x bigger from the seen table (amortised doubling)
     bloom_initial_capacity: int = 1 << 20
+    # membership evaluation: "broadcast" ships all bitsets to every
+    # executor (zero extra shuffle — right while the filter is small);
+    # "sidecar" co-partitions candidates on host_bucket and each task
+    # reads only its bucket's bitset file (the 10^10-URL path);
+    # "auto" switches to sidecar once the bitsets exceed the byte
+    # threshold below
+    bloom_membership: str = "auto"
+    bloom_sidecar_min_bytes: int = 256 << 20
     # fetch
     follow_redirects: bool = True
     max_redirect_hops: int = 10

@@ -64,6 +64,10 @@ class BloomSeen:
         self._bc = None          # cached Spark broadcast of the bitsets
         self._bc_version = -1
         self._version = 0        # bumped on every mutation
+        # when set (save_buckets), membership runs co-partitioned: each
+        # task loads ONLY its bucket's bitset file instead of receiving
+        # every bucket via broadcast (the 10^10-scale path)
+        self.sidecar_dir: str | None = None
 
     def saturated(self) -> bool:
         """True once the filter holds ~4x its design capacity — the
@@ -189,7 +193,69 @@ class BloomSeen:
             self.positions_expr(F.col(url_col)),
         )
 
+    def flag_maybe_seen(self, df: DataFrame, url_col: str = "url_norm",
+                        host_col: str = "host") -> DataFrame:
+        """``df`` plus a ``_maybe`` boolean column, evaluated
+        CO-PARTITIONED against the per-bucket bitset sidecar
+        (requires a prior save_buckets()).
+
+        This is the membership path that survives 10^10 URLs: the
+        broadcast variant ships EVERY bucket's bitset to EVERY executor
+        (~1.4 GB per 10^9 URLs, re-shipped as the filter grows), while
+        here the candidates are hash-partitioned on host_bucket and
+        each task reads only its own bucket slice from shared storage
+        (object store at cluster scale). The price is one extra shuffle
+        of the candidate rows — cheap against GB-scale bitset traffic,
+        and the rows were headed into the exact anti-join shuffle
+        anyway."""
+        if self.sidecar_dir is None:
+            raise RuntimeError("flag_maybe_seen needs save_buckets() first")
+        d = self.sidecar_dir
+        out_schema = T.StructType(
+            df.schema.fields + [T.StructField("_maybe", T.BooleanType())])
+        pass_cols = df.columns
+        pre = df.withColumn(
+            "_b", host_bucket_expr(F.col(host_col), self.n_buckets)
+        ).withColumn("_p", self.positions_expr(F.col(url_col)))
+        part = pre.repartition(self.n_buckets, F.col("_b"))
+
+        def gen(batches):
+            cache: dict[int, np.ndarray] = {}
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                bkt = pdf["_b"].to_numpy()
+                pos = np.array(pdf["_p"].tolist(), dtype=np.int64)
+                out = np.ones(len(bkt), dtype=bool)
+                for b in np.unique(bkt):
+                    bits = cache.get(int(b))
+                    if bits is None:
+                        bits = np.load(os.path.join(d, f"bucket-{int(b)}.npy"))
+                        cache[int(b)] = bits
+                    rows = bkt == b
+                    p = pos[rows]
+                    hit = (bits[p >> 3]
+                           & (1 << (p & 7)).astype(np.uint8)) != 0
+                    out[rows] = hit.all(axis=1)
+                res = pdf[pass_cols].copy()
+                res["_maybe"] = out
+                yield res
+
+        return part.mapInPandas(gen, out_schema)
+
     # -- persistence (checkpoint sidecar) ------------------------------------
+
+    def save_buckets(self, dir_path: str) -> None:
+        """Write one bitset file per host_bucket (the co-partitioned
+        membership sidecar) and arm flag_maybe_seen. At cluster scale
+        these are one object per bucket in shared storage; a task
+        fetches only its slice."""
+        os.makedirs(dir_path, exist_ok=True)
+        for b, a in self.bits.items():
+            tmp = os.path.join(dir_path, f".tmp-bucket-{b}.npy")
+            np.save(tmp, a)
+            os.replace(tmp, os.path.join(dir_path, f"bucket-{b}.npy"))
+        self.sidecar_dir = dir_path
 
     def save(self, path: str) -> None:
         os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -209,6 +275,7 @@ class BloomSeen:
         obj._bc = None
         obj._bc_version = -1
         obj._version = 0
+        obj.sidecar_dir = None
         obj.bits = {}
         b = 0
         while f"b{b}" in z:
@@ -400,7 +467,13 @@ def anti_join_seen(candidates: DataFrame, seen: DataFrame,
     if bloom is None or bloom.added == 0:
         return candidates.join(seen_keys, ["url_hash", "url_norm"],
                                "left_anti")
-    flagged = candidates.withColumn("_maybe", bloom.maybe_seen_col(candidates))
+    if bloom.sidecar_dir is not None:
+        # co-partitioned sidecar membership (scale path) — each task
+        # loads only its bucket's bitset from shared storage
+        flagged = bloom.flag_maybe_seen(candidates)
+    else:
+        flagged = candidates.withColumn("_maybe",
+                                        bloom.maybe_seen_col(candidates))
     definitely_new = flagged.filter(~F.col("_maybe")).drop("_maybe")
     maybe = flagged.filter(F.col("_maybe")).drop("_maybe")
     # The exact check shuffles both sides on the join key; the bloom

@@ -347,6 +347,7 @@ class FrontierCrawler:
                     fpp=cfg.bloom_fpp)
                 self.bloom.add_df(self.store.read("seen"))
             self.bloom.save(self._bloom_path)
+            self._sync_bloom_membership()
         _mark("bloom")
         metrics = {
             "round": r,
@@ -361,6 +362,24 @@ class FrontierCrawler:
         scheduled.unpersist(); deferred.unpersist()
         fetched.unpersist(); cand.unpersist(); new.unpersist()
         return counts["frontier"]
+
+    def _sync_bloom_membership(self) -> None:
+        """Pick the membership path for the CURRENT filter size
+        (cfg.bloom_membership): write/refresh the per-bucket bitset
+        sidecar and arm co-partitioned evaluation, or stay on the
+        cached broadcast while the filter is small."""
+        if self.bloom is None:
+            return
+        total = self.bloom.n_buckets * (self.bloom.m // 8)
+        cfg = self.cfg
+        use_sidecar = cfg.bloom_membership == "sidecar" or (
+            cfg.bloom_membership == "auto"
+            and total >= cfg.bloom_sidecar_min_bytes)
+        if use_sidecar:
+            self.bloom.save_buckets(
+                os.path.join(self.root, "sidecar", "bloom_buckets"))
+        else:
+            self.bloom.sidecar_dir = None
 
     # ------------------------------------------------------------------ #
 
@@ -420,6 +439,7 @@ class FrontierCrawler:
                 fpp=self.cfg.bloom_fpp)
             self.bloom.add_df(self.store.read("seen"))
             self.bloom.save(self._bloom_path)
+            self._sync_bloom_membership()
         return expired
 
     def requeue(self, urls: DataFrame) -> int:
@@ -498,4 +518,5 @@ class FrontierCrawler:
             self.bloom = BloomSeen(expected_items=max(cfg.bloom_min_items, cfg.bloom_initial_capacity),
                                    fpp=cfg.bloom_fpp)
             self.bloom.add_df(self.store.read("seen"))
+        self._sync_bloom_membership()
         return self._run_rounds(start_round=last + 1)
