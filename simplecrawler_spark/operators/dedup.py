@@ -19,8 +19,12 @@ Scale notes:
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
 
 from simplecrawler_spark.functions.text import (
     fingerprint_expr, hash_hex16, hash_long60, tokens_expr,
@@ -71,10 +75,20 @@ def minhash_signature(docs: DataFrame, text_col: str = "text",
 
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", n_hashes: int = 8,
-                      band_rows: int = 2, k: int = 3) -> DataFrame:
+                      band_rows: int = 2, k: int = 3,
+                      max_bucket: int | None = 1024) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any LSH band (bands of
     `band_rows` consecutive signature components). Returns distinct
-    (id_a < id_b) pairs."""
+    (id_a < id_b) pairs.
+
+    Degenerate-bucket guard (round-2 verdict): a band bucket holding
+    every empty/boilerplate doc would make the self-join O(n²) in ONE
+    task. Buckets larger than ``max_bucket`` are linearised instead:
+    each member pairs with the bucket's min-id representative (n-1
+    star pairs, not n(n-1)/2). Connectivity — and therefore any
+    connected-component dedup decision — is preserved exactly; only
+    the redundant within-bucket pair list is thinned. Capped buckets
+    are logged. ``max_bucket=None`` disables the guard."""
     assert n_hashes % band_rows == 0
     sig = minhash_signature(docs, text_col, id_col, n_hashes, k)
     n_bands = n_hashes // band_rows
@@ -91,15 +105,40 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
         .select(id_col, F.col("bk.band").alias("band"),
                 F.col("bk.key").alias("key"))
     )
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    return (
+    if max_bucket is None:
+        a = exploded.alias("a")
+        b = exploded.alias("b")
+        return (
+            a.join(b, ["band", "key"])
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"))
+            .distinct()
+        )
+    stats = (exploded.groupBy("band", "key")
+             .agg(F.count("*").alias("_n"), F.min(id_col).alias("_rep"))
+             .persist())
+    n_capped = stats.where(F.col("_n") > max_bucket).count()
+    if n_capped:
+        logger.warning(
+            "minhash_lsh_pairs: %d band-buckets over max_bucket=%d "
+            "linearised to star pairs", n_capped, max_bucket)
+    tagged = exploded.join(stats, ["band", "key"])
+    small = tagged.where(F.col("_n") <= max_bucket)
+    a = small.alias("a")
+    b = small.alias("b")
+    full_pairs = (
         a.join(b, ["band", "key"])
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(F.col(f"a.{id_col}").alias("id_a"),
                 F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
     )
+    star_pairs = (
+        tagged.where((F.col("_n") > max_bucket)
+                     & (F.col(id_col) != F.col("_rep")))
+        .select(F.col("_rep").alias("id_a"), F.col(id_col).alias("id_b"))
+    )
+    return full_pairs.unionByName(star_pairs).distinct()
 
 
 def ngram_jaccard(pairs: DataFrame, docs: DataFrame,
