@@ -68,6 +68,10 @@ def parse_args(argv):
                    help="drop the same-authority filter (multi-site crawl)")
     p.add_argument("--no-bloom", action="store_true")
     p.add_argument("--salt-buckets", type=int, default=0)
+    p.add_argument("--transcript", action="store_true",
+                   help="record the per-URL crawl_log table and echo "
+                        "the reference-style CRAWLING:/VISITED:/FOUND: "
+                        "lines after the crawl (crawler.py:147-179)")
     p.add_argument("--debug", action="store_true",
                    help="print config and exit (reference cli.py:55-59)")
     return p.parse_args(argv)
@@ -84,6 +88,7 @@ def build_config(a):
         bloom_enabled=not a.no_bloom,
         salt_buckets=a.salt_buckets,
         max_rounds=a.max_rounds,
+        crawl_log=a.transcript,
     )
     if a.user_agent:
         kw["user_agent"] = a.user_agent
@@ -134,6 +139,11 @@ def main(argv=None):
         crawler = FrontierCrawler(spark, fetcher, cfg, root=a.root)
         results = crawler.crawl(a.seed)
     wall = time.monotonic() - t0
+
+    if a.transcript:
+        from simplecrawler_spark.plans.crawl import render_crawl_log
+        for line in render_crawl_log(crawler.crawl_log()):
+            print(line)
 
     if a.corpus:
         from pyspark.sql import functions as F

@@ -59,6 +59,12 @@ class CrawlConfig:
     max_redirect_hops: int = 10
     # checkpoint/resume
     checkpoint: bool = True
+    # S5 per-URL log sink: append a crawl_log table row per
+    # CRAWLING/VISITED/FOUND/ERROR/robots-blocked event (the
+    # reference's console transcript, crawler.py:147-179). Off by
+    # default — the transcript grain is one row per (page, href),
+    # which a 10^10-URL crawl should only pay for when asked.
+    crawl_log: bool = False
 
     def as_dict(self) -> dict:
         return asdict(self)

@@ -99,11 +99,17 @@ LINKS_CANON_MIN = T.StructType([
     T.StructField("host", T.StringType()),
 ])
 
+# with_found=True appends the PRE-trim/resolve normalised href — the
+# exact string the reference prints as "FOUND: {href} ON {url}"
+# (crawler.py:155: str(Hyperlink(raw_href)))
+HREF_NORM_FIELD = T.StructField("href_norm", T.StringType())
+
 
 def extract_links_canonical(fetched: DataFrame, *, trim_query: bool = True,
                             trim_fragment: bool = True,
                             record_redirects: bool = False,
-                            minimal: bool = False) -> DataFrame:
+                            minimal: bool = False,
+                            with_found: bool = False) -> DataFrame:
     """Fused P1/P2/P3 → F12 trim → F16 resolve → F8 canonicalize in ONE
     mapInPandas stage.
 
@@ -115,10 +121,21 @@ def extract_links_canonical(fetched: DataFrame, *, trim_query: bool = True,
     one, with the explode happening inside the batch. Semantics are
     identical to explode_links + trim_raw + resolve_raw + canon_parts
     (pinned by tests/test_crawl.py and the reference-parity suites).
+
+    ``with_found=True`` (S5 crawl-log mode) appends an ``href_norm``
+    column — the normalised raw href BEFORE trim/resolve, exactly what
+    the reference prints as "FOUND: {href} ON {url}" — and switches the
+    page-level dedupe key to that pre-trim form (the reference's
+    HyperlinkSet dedupes there, parser.py:45-56). The cross-page
+    groupBy on the final url_norm makes the visited set identical
+    either way; log mode just keeps the finer grain the transcript
+    needs.
     """
     cols = ["url_norm", "url_raw", "authority", "depth", "status",
             "redirect_location", "body"]
     schema = LINKS_CANON_MIN if minimal else LINKS_CANON
+    if with_found:
+        schema = T.StructType(schema.fields + [HREF_NORM_FIELD])
 
     def gen(batches):
         for pdf in batches:
@@ -149,6 +166,13 @@ def extract_links_canonical(fetched: DataFrame, *, trim_query: bool = True,
                 # document order, deterministic)
                 page_seen: set[str] = set()
                 for raw in hrefs:
+                    if with_found:
+                        # reference-set grain: dedupe on the normalised
+                        # raw href, pre-trim (parser.py:45-56)
+                        href_norm = canon_parts(raw)[0]
+                        if href_norm in page_seen:
+                            continue
+                        page_seen.add(href_norm)
                     # string-level trim — same semantics as the JVM
                     # trim_query_fragment_expr fast path (the crawl's
                     # only trim use, crawler.py:136)
@@ -167,9 +191,10 @@ def extract_links_canonical(fetched: DataFrame, *, trim_query: bool = True,
                     else:
                         resolved = resolve_raw(base, trimmed)
                     parts = canon_parts(resolved)
-                    if parts[0] in page_seen:
-                        continue
-                    page_seen.add(parts[0])
+                    if not with_found:
+                        if parts[0] in page_seen:
+                            continue
+                        page_seen.add(parts[0])
                     # url_resolved rides as NULL when it equals the
                     # canonical form (the overwhelming majority):
                     # downstream resolution bases coalesce to url_norm,
@@ -178,10 +203,11 @@ def extract_links_canonical(fetched: DataFrame, *, trim_query: bool = True,
                     d = None if depth is None else int(depth)
                     rv = None if resolved == parts[0] else resolved
                     if minimal:
-                        rows.append((src_norm, src_auth, d, rv, parts[0],
-                                     parts[2], parts[3]))
+                        row = (src_norm, src_auth, d, rv, parts[0],
+                               parts[2], parts[3])
                     else:
-                        rows.append((src_norm, src_auth, d, raw, rv, *parts))
+                        row = (src_norm, src_auth, d, raw, rv, *parts)
+                    rows.append((row + (href_norm,)) if with_found else row)
             yield pd.DataFrame(rows, columns=schema.fieldNames())
 
     return fetched.select(*cols).mapInPandas(gen, schema)

@@ -65,6 +65,37 @@ from simplecrawler_spark.sources.fetch import mime_ok_expr, status_class_expr
 import pandas as pd
 
 
+_LOG_EVENT_ORDER = {"ROBOTS_BLOCKED": 0, "CRAWLING": 1, "VISITED": 2,
+                    "FOUND": 3, "ERROR": 4}
+
+
+def render_crawl_log(log_df: DataFrame) -> list[str]:
+    """Render crawl_log rows as the reference's console lines
+    (crawler.py:147,152,155,174 prints + the robots line :225).
+    Ordered by (round, event, url) — a deterministic serialisation of
+    what the reference's thread pool prints in arbitrary interleaving;
+    the reference's own CLI test asserts containment, not order
+    (tests/test_cli.py:104-143). Driver-side collect: a transcript is a
+    debugging surface, render per-round/partition slices at scale."""
+    rows = sorted(
+        log_df.collect(),
+        key=lambda x: (x.round, _LOG_EVENT_ORDER.get(x.event, 9),
+                       x.url, x.detail or ""))
+    lines = []
+    for x in rows:
+        if x.event == "CRAWLING":
+            lines.append(f"CRAWLING: {x.url}")
+        elif x.event == "VISITED":
+            lines.append(f"VISITED: {x.url}")
+        elif x.event == "FOUND":
+            lines.append(f"FOUND: {x.url} ON {x.detail}")
+        elif x.event == "ERROR":
+            lines.append(f"ERROR: {x.detail} ON {x.url}")
+        elif x.event == "ROBOTS_BLOCKED":
+            lines.append(f"{x.detail} can't crawl {x.url}")
+    return lines
+
+
 class FrontierCrawler:
     """Batch-iterative frontier crawler.
 
@@ -82,6 +113,7 @@ class FrontierCrawler:
         self.store = SnapshotStore(spark, self.root, schemas={
             "frontier": schemas.FRONTIER, "seen": schemas.SEEN,
             "results": schemas.RESULTS, "metrics": schemas.METRICS,
+            "crawl_log": schemas.CRAWL_LOG,
         })
         self.bloom: BloomSeen | None = None
         self._bloom_path = os.path.join(self.root, "sidecar", "bloom.npz")
@@ -229,10 +261,26 @@ class FrontierCrawler:
         self._ensure_robots()
         allowed = can_fetch_filter(eligible, self._robots, cfg)
 
+        # S5 transcript rows (crawl_log only — one extra anti-join for
+        # the robots-blocked complement, zero cost when off)
+        log_parts: list[DataFrame] = []
+        if cfg.crawl_log:
+            blocked = eligible.join(allowed.select("url_norm"),
+                                    "url_norm", "left_anti")
+            log_parts.append(blocked.select(
+                F.lit("ROBOTS_BLOCKED").alias("event"),
+                F.col("url_norm").alias("url"),
+                F.lit(cfg.user_agent).alias("detail")))
+
         # G5: per-host politeness budget
         scheduled, deferred = schedule_budget(allowed, self._delays, cfg)
         scheduled = scheduled.persist()
         deferred = deferred.persist()
+        if cfg.crawl_log:
+            log_parts.append(scheduled.select(
+                F.lit("CRAWLING").alias("event"),
+                F.col("url_norm").alias("url"),
+                F.lit(None).cast("string").alias("detail")))
 
         # rebalance the fetch stage on url_hash — hot hosts spread
         # uniformly (north-rule salted repartition, BASELINE.json:6).
@@ -261,6 +309,18 @@ class FrontierCrawler:
             F.lit(None).cast("string").alias("caption"),
         )
         self.store.append("results", results_new, partition=f"r{r}")
+        if cfg.crawl_log:
+            # VISITED covers wrong-MIME 2xx pages too (reference
+            # WrongMIMEType branch, crawler.py:176-180); ERROR is the
+            # 4xx/5xx branch (:168-174)
+            log_parts.append(fetched.filter(done_cond).select(
+                F.lit("VISITED").alias("event"),
+                F.col("url_norm").alias("url"),
+                F.lit(None).cast("string").alias("detail")))
+            log_parts.append(fetched.filter((cls == 4) | (cls == 5)).select(
+                F.lit("ERROR").alias("event"),
+                F.col("url_norm").alias("url"),
+                F.col("status").cast("string").alias("detail")))
         _mark("fetch_and_results")
 
         # R5 upkeep: record which seeds completed this round (a seed
@@ -287,7 +347,20 @@ class FrontierCrawler:
         cand = extract_links_canonical(
             pages, trim_query=cfg.trim_query,
             trim_fragment=cfg.trim_fragment,
-            record_redirects=cfg.record_redirects, minimal=True)
+            record_redirects=cfg.record_redirects, minimal=True,
+            with_found=cfg.crawl_log)
+        log_cand = None
+        if cfg.crawl_log:
+            # FOUND rows come from the pre-filter link grain; persist so
+            # the Python parse stage still runs exactly once
+            log_cand = cand.persist()
+            log_parts.append(log_cand.select(
+                F.lit("FOUND").alias("event"),
+                F.col("href_norm").alias("url"),
+                F.col("src_url").alias("detail")))
+            self.store.append("crawl_log", self._log_df(log_parts, r),
+                              partition=f"r{r}")
+            cand = log_cand.drop("href_norm")
         if cfg.same_authority_only:
             cand = cand.filter(F.col("authority") == F.col("src_authority"))
         cand = cand.withColumn("url_hash", url_hash(F.col("url_norm")))
@@ -361,7 +434,20 @@ class FrontierCrawler:
             self.store.commit_snapshot(r, metrics)
         scheduled.unpersist(); deferred.unpersist()
         fetched.unpersist(); cand.unpersist(); new.unpersist()
+        if log_cand is not None:
+            log_cand.unpersist()
         return counts["frontier"]
+
+    def _log_df(self, parts: list[DataFrame], r: int) -> DataFrame:
+        """Union the round's transcript fragments into CRAWL_LOG rows."""
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.select(F.lit(r).alias("round"), "event", "url", "detail")
+
+    def crawl_log(self) -> DataFrame:
+        """S5: the per-URL event log table (requires cfg.crawl_log)."""
+        return self.store.read("crawl_log")
 
     def _sync_bloom_membership(self) -> None:
         """Pick the membership path for the CURRENT filter size

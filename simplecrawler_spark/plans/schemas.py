@@ -71,6 +71,19 @@ CORPUS = T.StructType([
     T.StructField("phash", T.LongType(), True),
 ])
 
+# S5 per-URL log sink — the reference's console transcript
+# (crawler.py:147,152,155,174,179 CRAWLING:/VISITED:/FOUND:/ERROR:
+# prints plus the robots "can't crawl" line :225) as a table. `url` is
+# the normalised url being crawled, or for FOUND the normalised raw
+# href; `detail` carries the FOUND source page / ERROR status / blocked
+# user-agent.
+CRAWL_LOG = T.StructType([
+    T.StructField("round", T.IntegerType(), True),
+    T.StructField("event", T.StringType(), True),
+    T.StructField("url", T.StringType(), True),
+    T.StructField("detail", T.StringType(), True),
+])
+
 METRICS = T.StructType([
     T.StructField("round", T.IntegerType(), True),
     T.StructField("metric", T.StringType(), True),

@@ -124,6 +124,45 @@ def test_visited_set_parity_trim_variants(spark, tmp_path):
     assert engine.result_urls() == ref_found
 
 
+def test_transcript_parity_with_reference_stdout(spark, tmp_path):
+    """S5/S7: the engine's rendered crawl_log must reproduce the
+    reference's console transcript — the exact multiset of
+    CRAWLING:/VISITED:/FOUND: lines the reference prints
+    (crawler.py:147,152,155) on the same site graph. ERROR lines are
+    compared by url only (the reference embeds requests' exception
+    text; the engine records the status code)."""
+    import contextlib
+    import io
+
+    from simplecrawler_spark.plans.crawl import render_crawl_log
+
+    app = build_flask_app()
+    buf = io.StringIO()
+    with live_server(app):
+        ref = ref_crawler_mod.Crawler(max_workers=1, timeout=1)
+        with contextlib.redirect_stdout(buf):
+            ref.crawl(BASE)
+    ref_lines = [l for l in buf.getvalue().splitlines() if l]
+    ref_cvf = sorted(l for l in ref_lines
+                     if l.startswith(("CRAWLING:", "VISITED:", "FOUND:")))
+    ref_err_urls = sorted(l.rsplit(" ON ", 1)[1] for l in ref_lines
+                          if l.startswith("ERROR:"))
+
+    cfg = CrawlConfig(crawl_log=True)
+    fetcher = TableFetcher(site_graph_df(spark, crawler_server_rows(BASE)),
+                           cfg)
+    engine = FrontierCrawler(spark, fetcher, cfg, root=str(tmp_path / "t"))
+    engine.crawl(BASE)
+    eng_lines = render_crawl_log(engine.crawl_log())
+    eng_cvf = sorted(l for l in eng_lines
+                     if l.startswith(("CRAWLING:", "VISITED:", "FOUND:")))
+    eng_err_urls = sorted(l.rsplit(" ON ", 1)[1] for l in eng_lines
+                          if l.startswith("ERROR:"))
+
+    assert eng_cvf == ref_cvf
+    assert eng_err_urls == ref_err_urls
+
+
 @pytest.mark.parametrize("check_head", [False, True])
 def test_http_fetcher_robots_obeyed(spark, tmp_path, check_head):
     """Regression (round-2 ADVICE): with check_head=True the HEAD probe

@@ -57,3 +57,34 @@ def test_spark_submit_pyfiles_zip(tmp_path):
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     res = json.loads(line)
     assert res["urls_done"] > 0 and res["rounds"] >= 1
+
+
+@pytest.mark.slow
+def test_spark_submit_transcript_lines(tmp_path):
+    """S7 CLI sink: --transcript echoes the reference-style
+    CRAWLING:/VISITED:/FOUND: lines (crawler.py:147-179) from the
+    crawl_log table after the run."""
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        pytest.skip("spark-submit not on PATH")
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    out = subprocess.run(
+        [spark_submit, "--master", "local[4]",
+         "--conf", "spark.ui.enabled=false",
+         "--conf", "spark.sql.shuffle.partitions=8",
+         os.path.join(REPO, "scripts", "submit_crawl.py"),
+         "--any-authority", "--transcript",
+         "--pages", "120", "--hosts", "2", "--max-rounds", "3",
+         "--root", str(tmp_path / "ckpt")],
+        capture_output=True, text=True, cwd=str(tmp_path),
+        env=dict(env, PYTHONPATH=REPO), timeout=600)
+    assert out.returncode == 0, out.stderr[-4000:]
+    lines = out.stdout.splitlines()
+    assert any(l.startswith("CRAWLING: ") for l in lines)
+    assert any(l.startswith("VISITED: ") for l in lines)
+    assert any(l.startswith("FOUND: ") and " ON " in l for l in lines)
+    crawling = {l.split(": ", 1)[1] for l in lines
+                if l.startswith("CRAWLING: ")}
+    visited = {l.split(": ", 1)[1] for l in lines
+               if l.startswith("VISITED: ")}
+    assert visited <= crawling
