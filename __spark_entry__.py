@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from simplecrawler_spark.config import CrawlConfig
 from simplecrawler_spark.functions import text as X
 from simplecrawler_spark.functions.canonical import (
-    canonicalize_df, resolve, trim_query_fragment_expr,
+    canonicalize_df, filter_by, resolve, trim_query_fragment_expr,
 )
 from simplecrawler_spark.operators import dedup as D
 from simplecrawler_spark.operators import similarity as SIM
@@ -184,6 +184,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                 url_col="url_resolved")
                 .select("url_norm").distinct())
 
+    def q_filter_by(spark, sf):
+        """R3 general filter_by: multi-kwarg component filter with
+        driver-side constant folding (HTTP→http, @shop3.EXAMPLE.com→
+        shop3.example.com, query param sort)."""
+        orders = _t(spark, sf, "orders")
+        url_raw = F.concat(
+            F.when(F.col("o_orderkey") % 2 == 0, F.lit("HTTP"))
+             .otherwise(F.lit("https")),
+            F.lit("://Shop"), (F.col("o_custkey") % 5).cast("string"),
+            F.lit(".Example.COM./cat/"),
+            (F.col("o_orderkey") % 20).cast("string"),
+            F.lit("?b=2&a=1"))
+        df = canonicalize_df(
+            orders.select(url_raw.alias("url_raw"), "o_orderkey"))
+        return filter_by(df, scheme="HTTP", authority="@shop3.EXAMPLE.com.",
+                         query="b=2&a=1").select("o_orderkey", "url_norm")
+
     def q_dedup_exact(spark, sf):
         return D.exact_dedup(_t(spark, sf, "documents"))
 
@@ -309,6 +326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_status_class": q_status_class,
         "q_extract_hrefs": q_extract_hrefs,
         "q_trim_resolve": q_trim_resolve,
+        "q_filter_by": q_filter_by,
         "q_dedup_exact": q_dedup_exact,
         "q_minhash": q_minhash,
         "q_lsh_pairs": q_lsh_pairs,
@@ -433,6 +451,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT 'http://h.test/p' || (event_id % 7)::VARCHAR
                    || '?q=' || (event_id % 3)::VARCHAR AS url_norm
             FROM events
+        """,
+        "q_filter_by": """
+            SELECT o_orderkey,
+                   'http://shop3.example.com/cat/'
+                     || (o_orderkey % 20)::VARCHAR || '?a=1&b=2' AS url_norm
+            FROM orders
+            WHERE o_orderkey % 2 = 0 AND o_custkey % 5 = 3
         """,
         "q_dedup_exact": f"""
             SELECT {_ORACLE_FP} AS fingerprint,

@@ -272,6 +272,56 @@ def domain_expr(scheme: Column, authority: Column) -> Column:
     return F.concat_ws("://", scheme, authority)
 
 
+def filter_by(df: DataFrame, url_col: str | None = None, **kwargs) -> DataFrame:
+    """R3 general multi-kwarg filter (reference HyperlinkSet.filter_by,
+    hyperlink.py:195-209): keep rows whose normalised URL components
+    equal the normalised constants.
+
+    Each constant is folded ONCE on the driver with the same
+    per-component normalisers the reference applies to its kwargs
+    (normalise_kwargs, url_normalisation.py:245-263); the row-side
+    comparison is then a plain JVM equality over the canonical
+    component columns — whole-stage codegen, no per-row Python, and
+    Catalyst pushes the predicates into the scan.
+
+    ``df`` must already carry the canonical component columns
+    (canonicalize_df / extract_links_canonical); pass ``url_col`` to
+    canonicalise a raw-url column first. Supported kwargs: scheme,
+    authority, host, path, query, fragment.
+    """
+    if url_col is not None:
+        df = canonicalize_df(df, url_col=url_col)
+    cond = F.lit(True)
+    for name, value in kwargs.items():
+        if name not in _COMPONENT_FNS or name == "userinfo":
+            raise TypeError(f"cannot filter_by {name!r}")
+        cond = cond & (F.col(name) == F.lit(canon_component(name, value)))
+    return df.filter(cond)
+
+
+def with_path_expr(scheme: Column, authority: Column, path) -> Column:
+    """F13 general with_path (reference hyperlink.py:83-85):
+    ``domain.url + path`` — the normalised domain always ends in '/'
+    (normalise_path of ''), and the path is appended VERBATIM, exactly
+    like the reference (with_path('/x') yields '//x' there too)."""
+    p = F.lit(path) if isinstance(path, str) else path
+    return F.concat(scheme, F.lit("://"), authority, F.lit("/"), p)
+
+
+def url_add_expr(url: Column, other) -> Column:
+    """F14 ``Hyperlink.__add__`` (hyperlink.py:99-100): raw string
+    concatenation of url + other."""
+    o = F.lit(other) if isinstance(other, str) else other
+    return F.concat(url, o)
+
+
+def url_div_expr(url: Column, other) -> Column:
+    """F14 ``Hyperlink.__truediv__`` (hyperlink.py:102-103):
+    url + '/' + other on the raw strings."""
+    o = F.lit(other) if isinstance(other, str) else other
+    return F.concat(url, F.lit("/"), o)
+
+
 def is_absolute_expr(scheme: Column) -> Column:
     """Absolute ⟺ scheme non-empty (reference hyperlink.py:105-113;
     note '//host/x' counts as relative under this rule)."""

@@ -179,3 +179,117 @@ def test_is_absolute_expr(spark):
     got = df.select("url_raw", C.is_absolute_expr(F.col("scheme")).alias("abs")).collect()
     for r in got:
         assert r.abs == r.url_raw.lower().startswith("http"), r.url_raw
+
+
+# ---------------------------------------------------------------------------
+# R3 filter_by — reference test tables ported verbatim
+# (/root/reference/tests/test_hyperlink.py:193-262 single-kwarg,
+# :275-363 multi-kwarg)
+# ---------------------------------------------------------------------------
+
+_FB_SINGLE = [
+    (("scheme", "http"),
+     ["http://www.google.com/", "/hello-world?hello=world", "#hello",
+      "/?hello=world#hello", "https://www.example.com",
+      "https://example.com/hello-world?world=hello"],
+     ["http://www.google.com/"]),
+    (("authority", ":@www.EXAMPLE.com."),
+     ["/", "/hello-world?hello=world", "#hello", "/?hello=world#hello",
+      "https://www.example.com",
+      "https://www.example.com/hello-world?world=hello"],
+     ["https://www.example.com",
+      "https://www.example.com/hello-world?world=hello"]),
+    (("path", "/hello-world"),
+     ["/", "/hello-world?hello=world", "#hello", "/?hello=world#hello",
+      "https://www.example.com",
+      "https://example.com/hello-world?world=hello"],
+     ["/hello-world?hello=world",
+      "https://example.com/hello-world?world=hello"]),
+    (("query", "hello=world"),
+     ["/", "/hello-world?hello=world", "#hello", "/?hello=world#hello",
+      "https://www.example.com", "https://example.com/?world=hello"],
+     ["/hello-world?hello=world", "/?hello=world#hello"]),
+    (("fragment", "hello"),
+     ["/", "/hello-world?hello=world", "#goodbye", "/?hello=world#hello",
+      "https://www.example.com", "https://example.com/#hello"],
+     ["/?hello=world#hello", "https://example.com/#hello"]),
+]
+
+_FB_MULTI = [
+    ({"scheme": "http", "authority": "www.example.com"},
+     ["http://www.google.com./", "/hello-world?hello=world", "#hello",
+      "/?hello=world#hello", "http://www.example.com",
+      "https://example.com/hello-world?world=hello"],
+     ["http://www.example.com"]),
+    ({"authority": "www.example.com", "path": "/hello-world",
+      "query": "world=hello"},
+     ["/", "/hello-world?hello=world", "#hello", "/?hello=world#hello",
+      "https://www.example.com",
+      "https://www.example.com/hello-world?world=hello"],
+     ["https://www.example.com/hello-world?world=hello"]),
+    ({"path": "/hello", "query": "hello=world", "fragment": "here"},
+     ["/hello?hello=world#here", "/hello-world?hello=world", "#hello",
+      "/?hello=world#hello", "https://www.example.com",
+      "https://yoyoyo.co.uk/hello?hello=world#here"],
+     ["/hello?hello=world#here",
+      "https://yoyoyo.co.uk/hello?hello=world#here"]),
+    ({"scheme": "https", "authority": "www.example.com", "path": "/",
+      "query": "", "fragment": ""},
+     ["/", "/hello-world?hello=world", "#hello", "/?hello=world#hello",
+      "https://www.example.com", "https://example.com/?world=hello"],
+     ["https://www.example.com"]),
+    ({"scheme": "HTTPS", "authority": "@www.example.com", "path": "/",
+      "query": "", "fragment": ""},
+     ["/", "/hello-world?hello=world", "#hello", "/?hello=world#hello",
+      "https://www.yoyoyo.com", "https://example.com/?world=hello"],
+     []),
+]
+
+
+@pytest.mark.parametrize("fields, input_links, output_links", _FB_SINGLE)
+def test_filter_by_single_kwarg(spark, fields, input_links, output_links):
+    k, v = fields
+    df = spark.createDataFrame([(l,) for l in input_links], ["url_raw"])
+    got = sorted(r.url_norm for r in
+                 C.filter_by(df, url_col="url_raw", **{k: v}).collect())
+    assert got == sorted(C.canon_parts(l)[0] for l in output_links)
+
+
+@pytest.mark.parametrize("fields, input_links, output_links", _FB_MULTI)
+def test_filter_by_multi_kwargs(spark, fields, input_links, output_links):
+    df = spark.createDataFrame([(l,) for l in input_links], ["url_raw"])
+    got = sorted(r.url_norm for r in
+                 C.filter_by(df, url_col="url_raw", **fields).collect())
+    assert got == sorted(C.canon_parts(l)[0] for l in output_links)
+
+
+def test_filter_by_rejects_unknown_kwarg(spark):
+    df = spark.createDataFrame([("/x",)], ["url_raw"])
+    with pytest.raises(TypeError):
+        C.filter_by(df, url_col="url_raw", port="80")
+
+
+# ---------------------------------------------------------------------------
+# F13/F14 sugar
+# ---------------------------------------------------------------------------
+
+def test_with_path_and_arith_sugar(spark):
+    """F13 with_path + F14 __add__/__truediv__ (hyperlink.py:83-85,
+    99-103) — reference usage patterns: domain.with_path('robots.txt'),
+    url + str, url / segment (tests/test_crawler.py:163-203)."""
+    df = C.canonicalize_df(spark.createDataFrame(
+        [("HTTP://Example.COM./a/b?x=1",)], ["url_raw"]))
+    row = df.select(
+        C.with_path_expr(F.col("scheme"), F.col("authority"),
+                         "robots.txt").alias("wp"),
+        C.url_add_expr(F.col("url_norm"), "#frag").alias("added"),
+        C.url_div_expr(F.lit("http://example.com"), "hello").alias("divd"),
+    ).first()
+    assert row.wp == "http://example.com/robots.txt"
+    assert row.added == "http://example.com/a/b?x=1#frag"
+    assert row.divd == "http://example.com/hello"
+    # verbatim-append parity: a leading-slash path doubles the slash,
+    # exactly like the reference's domain.url + path
+    row2 = df.select(C.with_path_expr(
+        F.col("scheme"), F.col("authority"), "/x").alias("wp")).first()
+    assert row2.wp == "http://example.com//x"
