@@ -14,10 +14,11 @@ throughout (see simplecrawler_spark/functions/text.py):
     floor-scaled per row to integers);
   * every computed column is aliased identically on both sides.
 
-q_ann_lsh and q_image_features have no oracle entry (bucketed ANN and
-binary image decode are not reasonably SQL-expressible); they are
-verified against brute-force cosine / plain-numpy recomputation in
-tests/test_text_dedup.py and tests/test_multimodal.py instead.
+q_image_features is the one query with no oracle entry (binary image
+decode is not SQL-expressible); it is verified against plain-numpy
+recomputation in tests/test_multimodal.py instead. q_ann_lsh's oracle
+inlines the deterministic md5-derived hyperplanes as literals and
+recomputes signatures/probing/ranking fully in SQL (_ann_lsh_oracle).
 """
 
 from __future__ import annotations
@@ -45,6 +46,8 @@ from simplecrawler_spark.sources.fetch import (
 from simplecrawler_spark.sources.fixtures import graph_from_edges
 
 N_BFS_NODES = 500
+_EMB_DIM = 64       # embeddings.parquet dim at every sf (TESTDATA.md)
+_ANN_PLANES = 6
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -260,11 +263,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return emb.select("vec_id", F.floor(n * 1000000)
                           .cast("long").alias("norm_scaled"))
 
-    def q_ann_lsh(spark, sf):  # rows-only check (no SQL oracle)
+    def q_ann_lsh(spark, sf):
+        """Hyperplane-LSH bucketed ANN with a full DuckDB twin: the
+        md5-derived planes are deterministic, so the oracle recomputes
+        the same signatures, probes the same multiprobe bucket set, and
+        ranks by the same cosine (floor-scaled)."""
         emb = _t(spark, sf, "embeddings")
-        dim = len(emb.select("embedding").first().embedding)
-        query = [1.0] + [0.0] * (dim - 1)
-        return SIM.ann_lsh_topk(emb, query, k=10, n_planes=6)
+        query = [1.0] + [0.0] * (_EMB_DIM - 1)
+        planes = SIM.hyperplanes(_EMB_DIM, _ANN_PLANES)
+        q_sig = 0
+        for b, plane in enumerate(planes):
+            if plane[0] > 0:  # query dot = plane[0] (unit basis query)
+                q_sig |= 1 << b
+        probe = sorted({q_sig} | {q_sig ^ (1 << b)
+                                  for b in range(_ANN_PLANES)})
+        c = SIM.cosine_expr(F.col("embedding"), query)
+        sig = emb.withColumn(
+            "_sig", SIM.lsh_signature_expr(F.col("embedding"), planes))
+        return (sig.where(F.col("_sig").isin(probe))
+                .select("vec_id", c.alias("c"))
+                .orderBy(F.col("c").desc(), "vec_id").limit(10)
+                .select("vec_id", F.floor(F.col("c") * 100000)
+                        .cast("long").alias("cos_scaled")))
 
     def q_cosine_pairs(spark, sf):
         emb = _t(spark, sf, "embeddings").where(F.col("vec_id") < 200)
@@ -347,6 +367,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # --------------------------------------------------------------------------
 # oracles
 # --------------------------------------------------------------------------
+
+def _ann_lsh_oracle() -> str:
+    """DuckDB twin of q_ann_lsh: the hyperplanes are deterministic
+    md5-derived floats (operators/similarity.py:63-75), inlined here as
+    exact repr literals; signature bits, the multiprobe bucket set and
+    the cosine ranking are recomputed in SQL. Addition order matches
+    Spark's left-fold, so the sign tests see identical doubles."""
+    planes = SIM.hyperplanes(_EMB_DIM, _ANN_PLANES)
+    q_sig = 0
+    for b, plane in enumerate(planes):
+        if plane[0] > 0:
+            q_sig |= 1 << b
+    probe = sorted({q_sig} | {q_sig ^ (1 << b) for b in range(_ANN_PLANES)})
+    sig_terms = " + ".join(
+        "(CASE WHEN ("
+        + " + ".join(f"v[{j + 1}] * ({plane[j]!r})"
+                     for j in range(_EMB_DIM))
+        + f") > 0 THEN {1 << b} ELSE 0 END)"
+        for b, plane in enumerate(planes))
+    vnorm = ("sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum'))")
+    return f"""
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), s AS (
+          SELECT vec_id, v[1] / {vnorm} AS c, ({sig_terms}) AS sig
+          FROM e
+        )
+        SELECT vec_id, floor(100000 * c)::BIGINT AS cos_scaled
+        FROM s WHERE sig IN ({", ".join(map(str, probe))})
+        ORDER BY c DESC, vec_id LIMIT 10
+    """
+
 
 def oracle_sql() -> dict[str, str]:
     toks = _ORACLE_TOKS
@@ -538,6 +590,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, floor(1000000 * {vnorm})::BIGINT AS norm_scaled
             FROM embeddings WHERE vec_id < 50
         """,
+        "q_ann_lsh": _ann_lsh_oracle(),
         "q_cosine_pairs": """
             WITH e AS (
               SELECT vec_id, embedding::DOUBLE[] AS v,
