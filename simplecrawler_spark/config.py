@@ -39,6 +39,14 @@ class CrawlConfig:
     # target frontier rows per fetch/parse task — caps the fan-out for
     # small rounds (a 10-row round should not launch 32 Python workers)
     rows_per_task: int = 2048
+    # G6 priority source for the politeness window's ORDER BY
+    # (priority asc, url_hash): "indegree" ranks a discovered url by
+    # -#(links that found it this round) — heavily-linked pages fetch
+    # first under a constrained budget; "fifo" keeps the reference's
+    # arrival order (priority 0.0 — the window degenerates to the
+    # url_hash tie-break). Either way every deferred row is eventually
+    # scheduled, so the visited SET never changes.
+    priority_source: str = "indegree"
     # bloom seen-filter sidecar
     bloom_enabled: bool = True
     bloom_fpp: float = 0.001

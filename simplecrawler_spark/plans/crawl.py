@@ -365,7 +365,9 @@ class FrontierCrawler:
             cand = cand.filter(F.col("authority") == F.col("src_authority"))
         cand = cand.withColumn("url_hash", url_hash(F.col("url_norm")))
 
-        # R1: within-round dedupe, deterministic min-pick per url_norm
+        # R1: within-round dedupe, deterministic min-pick per url_norm.
+        # The same aggregate yields the in-degree (discovery count) —
+        # G6's priority signal — for free: no extra shuffle.
         cand = (
             cand.groupBy("url_norm", "url_hash").agg(
                 F.min(F.struct(
@@ -374,9 +376,10 @@ class FrontierCrawler:
                     (F.col("depth") + 1).alias("depth"),
                     F.col("authority").alias("authority"),
                     F.col("host").alias("host"),
-                )).alias("s"))
+                )).alias("s"),
+                F.count("*").alias("n_disc"))
             .select("url_norm", "url_hash", "s.url_raw", "s.authority",
-                    "s.host", "s.depth", "s.discovered_from")
+                    "s.host", "s.depth", "s.discovered_from", "n_disc")
         )
         # cand is consumed twice by the bloom-split anti-join (the
         # definitely-new branch and the maybe-seen semi/anti pair) —
@@ -394,9 +397,14 @@ class FrontierCrawler:
             host_bucket_expr(F.col("host")).alias("host_bucket"),
             F.lit(r).alias("round_added")), partition=f"r{r}")
         _mark("seen_write")
+        # G6: priority from in-degree (schedule_budget orders asc, so
+        # more discoveries → more negative → earlier under budget)
+        priority = ((-F.col("n_disc")).cast("double")
+                    if cfg.priority_source == "indegree"
+                    else F.lit(0.0))
         next_frontier = new.select(
             "url_norm", "url_raw", "url_hash", "authority", "host",
-            "depth", F.lit(0.0).alias("priority"), "discovered_from",
+            "depth", priority.alias("priority"), "discovered_from",
             F.lit(r + 1).alias("round"),
         ).unionByName(
             deferred.withColumn("round", F.lit(r + 1))
@@ -556,6 +564,70 @@ class FrontierCrawler:
         self.store.append("frontier", rows, partition=f"r{next_round}")
         pend = self.store._pending.get("frontier", [])
         return sum(f["rows"] for f in pend[-1]["lineage"])
+
+    def ingest_stream(self, source_dir: str, checkpoint_dir: str,
+                      available_now: bool = True):
+        """Structured-Streaming seed ingestion THROUGH the crawler's
+        state (round-2 ADVICE: raw stream_seeds staging bypassed
+        driver-side state — streamed authorities got no robots fetch,
+        and streamed norms were refetchable via later links, breaking
+        the R5 done-skip invariant).
+
+        Each micro-batch of canonicalised, stream-deduped urls is
+        treated exactly like a round's discovered links
+        (crawler.py:160-163 — enqueue ⇒ enter seen):
+          * anti-joined against the seen table (bloom-prefiltered), so
+            an already-seen url is never re-enqueued;
+          * appended to BOTH the next frontier partition and the seen
+            table, and added to the bloom sidecar;
+          * its authorities registered driver-side so the next round
+            fetches their robots.txt before any fetch of theirs.
+        foreachBatch runs on the driver, so mutating crawler state here
+        is safe. Returns the StreamingQuery."""
+        from simplecrawler_spark.streaming.ingest import (
+            canonical_seed_stream,
+        )
+
+        rnd = (self.store.latest_round() or 0) + 1
+
+        def sink(batch_df: DataFrame, _batch_id: int) -> None:
+            rows = batch_df.select(
+                "url_norm", "url_raw",
+                url_hash(F.col("url_norm")).alias("url_hash"),
+                "authority", "host",
+                F.lit(0).alias("depth"), F.lit(0.0).alias("priority"),
+                F.lit(None).cast("string").alias("discovered_from"),
+                F.lit(rnd).alias("round"),
+            )
+            new = anti_join_seen(rows, self.store.read("seen"),
+                                 self.bloom).persist()
+            self.store.append("frontier", new, partition=f"r{rnd}")
+            self.store.append("seen", new.select(
+                "url_hash", "url_norm",
+                host_bucket_expr(F.col("host")).alias("host_bucket"),
+                F.lit(rnd).alias("round_added")), partition=f"r{rnd}")
+            if self.bloom is not None:
+                self.bloom.add_df(new)
+                self._sync_bloom_membership()
+            for row in (new.select(
+                            "authority",
+                            F.split("url_norm", "://").getItem(0)
+                            .alias("scheme"))
+                        .where(F.col("authority") != "")
+                        .distinct().collect()):
+                known = (set(self._robots["authority"])
+                         if self._robots is not None else set())
+                if row.authority not in known:
+                    self._auth_pending.setdefault(row.authority,
+                                                  row.scheme or "http")
+            new.unpersist()
+
+        writer = (canonical_seed_stream(self.spark, source_dir).writeStream
+                  .foreachBatch(sink)
+                  .option("checkpointLocation", checkpoint_dir))
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
 
     @classmethod
     def resume(cls, spark: SparkSession, fetcher, root: str,

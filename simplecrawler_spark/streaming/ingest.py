@@ -20,6 +20,14 @@ into the frontier table without stopping the crawl.
 Micro-batches write through the same storage layer as the batch loop,
 so a concurrently-running crawl picks new seeds up at its next round
 boundary — no coordination needed beyond the snapshot commit.
+
+NOTE: ``stream_seeds`` is RAW staging into a bare SnapshotStore — it
+bypasses crawler state (no robots registration, no seen insertion).
+To feed a FrontierCrawler, use ``FrontierCrawler.ingest_stream``
+(plans/crawl.py), which runs this same canonical_seed_stream but
+treats each micro-batch like a round's discovered links: seen
+anti-join + seen/bloom insertion + driver-side authority registration
+(round-2 ADVICE fix).
 """
 
 from __future__ import annotations

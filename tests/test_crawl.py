@@ -228,6 +228,51 @@ def test_expire_and_recrawl(spark, tmp_path):
     expired.unpersist()
 
 
+def test_indegree_priority_schedules_hot_pages_first(spark, tmp_path):
+    """G6 (round-2 verdict item 6): with priority_source='indegree' and
+    a constrained per-host budget, a page discovered by many links must
+    be fetched in an earlier round than a page discovered by one —
+    non-FIFO, non-degenerate ordering. The visited SET stays identical
+    to FIFO."""
+    from pyspark.sql import functions as F
+    from simplecrawler_spark.sources.fixtures import (
+        _row, make_html_from_links,
+    )
+
+    # hubs sit on three distinct hosts (all schedulable in one round at
+    # budget 1/host); every hub links to target-host /hot, one hub also
+    # links to /cold — so round 2's target-host frontier is
+    # {hot: indegree 3, cold: indegree 1} against a budget of 1
+    seed = "http://h0.test/"
+    hubs = [f"http://h{i}.test/hub" for i in (1, 2, 3)]
+    tgt = "http://tgt.test"
+    rows = [_row(seed, body=make_html_from_links(hubs))]
+    rows.append(_row(hubs[0],
+                     body=make_html_from_links([tgt + "/hot",
+                                                tgt + "/cold"])))
+    for h in hubs[1:]:
+        rows.append(_row(h, body=make_html_from_links([tgt + "/hot"])))
+    rows.append(_row(tgt + "/hot", body=""))
+    rows.append(_row(tgt + "/cold", body=""))
+
+    def rounds_by_url(priority_source):
+        cfg = CrawlConfig(max_per_host_per_round=1, max_rounds=30,
+                          same_authority_only=False,
+                          priority_source=priority_source)
+        crawler = FrontierCrawler(
+            spark, TableFetcher(site_graph_df(spark, rows), cfg), cfg,
+            root=str(tmp_path / f"p-{priority_source}"))
+        crawler.crawl(seed)
+        return {r.url_norm: r.round
+                for r in crawler.results().select("url_norm", "round")
+                .collect()}
+
+    got = rounds_by_url("indegree")
+    assert got[tgt + "/hot"] < got[tgt + "/cold"]
+    fifo = rounds_by_url("fifo")
+    assert set(fifo) == set(got)  # same visited set either way
+
+
 def test_requeue_rederives_authority_from_first_scheme_sep(spark, tmp_path):
     """Regression (round-2 ADVICE): requeue rows lacking an authority
     column must split url_norm on the FIRST '://' — a kept query that

@@ -37,3 +37,67 @@ def test_stream_seeds_canonicalises_and_dedupes(spark, tmp_path):
     got = store.read("frontier").where("url_norm like '%third%'").first()
     assert got.url_hash is not None and got.round == 0
     assert os.path.isdir(str(tmp_path / "ckpt"))
+
+
+def test_ingest_stream_registers_state(spark, tmp_path):
+    """Round-2 ADVICE (medium): streamed seeds must flow through
+    crawler state — robots fetched for new authorities before their
+    urls are fetched, streamed norms entered into seen so later links
+    can't re-enqueue a done url (R5)."""
+    from pyspark.sql import functions as F
+
+    from simplecrawler_spark.config import CrawlConfig
+    from simplecrawler_spark.plans.crawl import FrontierCrawler
+    from simplecrawler_spark.sources.fetch import TableFetcher
+    from simplecrawler_spark.sources.fixtures import (
+        _row, make_html_from_links, site_graph_df,
+    )
+
+    a, b = "http://a.test", "http://b.test"
+    rows = [
+        _row(a + "/", body=make_html_from_links(["/p1"])),
+        _row(a + "/p1", body=""),
+        _row(b + "/robots.txt", content_type="text/plain",
+             body="User-agent: *\nDisallow: /blocked\n"),
+        # /ok links back to ITSELF and to /blocked — the R5 trap: after
+        # the streamed /ok is done, this link must not re-enqueue it
+        _row(b + "/ok", body=make_html_from_links(["/ok", "/blocked"])),
+        _row(b + "/blocked", body=""),
+    ]
+    cfg = CrawlConfig(same_authority_only=False, max_rounds=20)
+    crawler = FrontierCrawler(
+        spark, TableFetcher(site_graph_df(spark, rows), cfg), cfg,
+        root=str(tmp_path / "c"))
+    crawler.crawl(a)  # crawls only a-authority; b is unreachable
+    first = crawler.result_urls()
+    assert first == {a + "/", a + "/p1"}
+
+    # stream b/ok (already done via the link) and b/blocked
+    src = tmp_path / "drop"
+    src.mkdir()
+    (src / "seeds.txt").write_text(f"{b}/ok\n{b}/blocked\n")
+    q = crawler.ingest_stream(str(src), str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    # streamed urls staged into the next round's frontier AND seen
+    rnd = crawler.store.latest_round() + 1
+    frontier = {r.url_norm for r in crawler.store.read(
+        "frontier", partition=f"r{rnd}")
+        .where(F.col("round") == rnd).collect()}
+    assert frontier == {f"{b}/ok", f"{b}/blocked"}
+    seen = {r.url_norm
+            for r in crawler.store.read("seen").select("url_norm").collect()}
+    assert f"{b}/ok" in seen and f"{b}/blocked" in seen
+    # the streamed authority was registered for a robots fetch
+    assert "b.test" in crawler._auth_pending
+
+    crawler.store.commit_snapshot(crawler.store.latest_round() or 0, {})
+    crawler.continue_crawl()
+    final = crawler.result_urls()
+    assert f"{b}/ok" in final
+    assert f"{b}/blocked" not in final          # streamed robots obeyed
+    # R5: the self-link on /ok must not have re-enqueued/refetched it
+    n_ok = (crawler.results().where(F.col("url_norm") == f"{b}/ok")
+            .count())
+    assert n_ok == 1
+    assert first <= final
