@@ -106,6 +106,8 @@ def pipeline_benches(spark, sf_dir: str) -> dict[str, float]:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.monotonic() - t0, 3)
     timings["image_validate"] = image_bench(spark)
+    timings.update(expiry_bench(spark))
+    timings["lsh_pairs_capped"] = lsh_capped_bench(spark)
     return timings
 
 
@@ -132,6 +134,58 @@ def image_bench(spark, n_images: int = 4096) -> float:
     assert ok == n_images, f"payload validation failed: {ok}/{n_images}"
     corpus.unpersist()
     return round(wall, 3)
+
+
+def expiry_bench(spark, n_urls: int = 1_000_000) -> dict[str, float]:
+    """TTL/recrawl sidecar path (round-2: distributed cuckoo): bulk-add
+    n_urls to the sharded cuckoo filter, then expire half. Both run as
+    per-shard applyInPandas jobs — no per-row driver work."""
+    from pyspark.sql import functions as F
+
+    from simplecrawler_spark.operators.seen import CuckooSeen
+
+    urls = spark.range(n_urls).select(
+        "id",
+        F.concat(F.lit("http://h"), (F.col("id") % 997).cast("string"),
+                 F.lit(".test/p/"), F.col("id").cast("string"))
+        .alias("url_norm")).persist()
+    urls.count()
+    cf = CuckooSeen(capacity=1 << 22)
+    t0 = time.monotonic()
+    n_add = cf.add_df(urls)
+    t_add = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    n_del = cf.delete_df(urls.where("id % 2 = 0"))
+    t_del = round(time.monotonic() - t0, 3)
+    assert n_add == n_urls and n_del == n_urls // 2, (n_add, n_del)
+    urls.unpersist()
+    return {"cuckoo_add_1m": t_add, "cuckoo_expire_500k": t_del}
+
+
+def lsh_capped_bench(spark, n_docs: int = 120_000) -> float:
+    """Degenerate-bucket guard path (round-2): half the docs are one
+    identical boilerplate text — uncapped, that bucket alone is ~1.8B
+    pairs in one task; capped it linearises to star pairs. Timing the
+    capped run IS the regression check."""
+    from pyspark.sql import functions as F
+
+    from simplecrawler_spark.operators import dedup as D
+
+    boiler = "identical boilerplate navigation footer text " * 3
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, F.lit(boiler))
+        .otherwise(F.concat(F.lit("unique document number "),
+                            F.col("id").cast("string"),
+                            F.lit(" with distinct words "),
+                            (F.col("id") % 7919).cast("string")))
+        .alias("text")).repartition(spark.sparkContext.defaultParallelism)
+    t0 = time.monotonic()
+    n_pairs = D.minhash_lsh_pairs(docs, n_hashes=4,
+                                  max_bucket=256).count()
+    wall = round(time.monotonic() - t0, 3)
+    assert n_pairs >= n_docs // 2 - 1, n_pairs
+    return wall
 
 
 def scale_pages(sf: float) -> int:
