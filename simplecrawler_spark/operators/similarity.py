@@ -260,15 +260,61 @@ def ann_ivf_topk(embeddings: DataFrame, query: list[float], k: int = 10,
     """IVF-flat ANN: partition vectors into n_cells inverted lists by
     nearest centroid; a query scores only the nprobe cells whose
     centroids are closest to it. At scale the assignment is computed
-    once and the table is written partitioned by `cell`, so a probe is
-    a partition-pruned scan of nprobe/n_cells of the data."""
+    once and the table is written partitioned by `cell`
+    (ivf_build/ann_ivf_probe below), so a probe is a partition-pruned
+    scan of nprobe/n_cells of the data."""
     if centroids is None:
         centroids = ivf_centroids(embeddings, n_cells, vec_col, id_col)
+    probe_cells = _probe_cells(query, centroids, nprobe)
+    assigned = ivf_assign(embeddings, centroids, vec_col)
+    candidates = assigned.where(F.col("cell").isin(probe_cells))
+    return cosine_topk(candidates, query, k, vec_col, id_col)
+
+
+def _probe_cells(query: list[float], centroids: list[list[float]],
+                 nprobe: int) -> list[int]:
     qd = [
         (i, sum((x - y) ** 2 for x, y in zip(query, c)))
         for i, c in enumerate(centroids)
     ]
-    probe_cells = [i for i, _ in sorted(qd, key=lambda t: t[1])[:nprobe]]
+    return [i for i, _ in sorted(qd, key=lambda t: t[1])[:nprobe]]
+
+
+def ivf_build(embeddings: DataFrame, path: str, n_cells: int = 16,
+              vec_col: str = "embedding", id_col: str = "vec_id",
+              centroids: list[list[float]] | None = None
+              ) -> list[list[float]]:
+    """Materialise the inverted file: assign once, write Parquet
+    PARTITIONED BY cell, persist the centroids as a JSON sidecar.
+    This is the one-time O(N) pass that turns every later probe into a
+    partition-pruned scan of nprobe/n_cells of the data — the 10^10-row
+    IVF story made concrete rather than documented."""
+    import json
+    import os
+
+    if centroids is None:
+        centroids = ivf_centroids(embeddings, n_cells, vec_col, id_col)
     assigned = ivf_assign(embeddings, centroids, vec_col)
-    candidates = assigned.where(F.col("cell").isin(probe_cells))
+    (assigned.repartition(F.col("cell"))
+     .write.mode("overwrite").partitionBy("cell").parquet(path))
+    with open(os.path.join(path, "_centroids.json"), "w") as fh:
+        json.dump(centroids, fh)
+    return centroids
+
+
+def ann_ivf_probe(spark, path: str, query: list[float], k: int = 10,
+                  nprobe: int = 4, vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> DataFrame:
+    """Probe a built inverted file: read ONLY the nprobe nearest cell
+    partitions (Hive-style partition pruning — the cell filter resolves
+    at planning time, so non-probed cells' files are never opened) and
+    brute-force the survivors."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_centroids.json")) as fh:
+        centroids = json.load(fh)
+    probe_cells = _probe_cells(query, centroids, nprobe)
+    ivf = spark.read.parquet(path)
+    candidates = ivf.where(F.col("cell").isin(probe_cells))
     return cosine_topk(candidates, query, k, vec_col, id_col)

@@ -160,3 +160,38 @@ def test_ann_ivf_prunes_cells(embeddings):
     pruned = SIM.ann_ivf_topk(embeddings, query, k=5, n_cells=8, nprobe=2,
                               centroids=cents)
     assert pruned.count() <= 5
+
+
+def test_ivf_build_probe_partition_pruned(spark, tmp_path, embeddings):
+    """ivf_build writes the inverted file partitioned by cell;
+    ann_ivf_probe must (a) return exactly what the in-memory IVF
+    returns for the same centroids/nprobe, and (b) plan a
+    partition-pruned scan — the cell filter appears as a
+    PartitionFilter, so non-probed cells' files are never opened."""
+    import contextlib
+    import io
+
+    path = str(tmp_path / "ivf")
+    cents = SIM.ivf_build(embeddings, path, n_cells=8)
+    query = [1.0] + [0.0] * 15
+
+    got = [(r.vec_id, r.cosine) for r in
+           SIM.ann_ivf_probe(spark, path, query, k=5, nprobe=2).collect()]
+    want = [(r.vec_id, r.cosine) for r in
+            SIM.ann_ivf_topk(embeddings, query, k=5, nprobe=2,
+                             centroids=cents).collect()]
+    assert got == want
+
+    with open(f"{path}/_centroids.json") as fh:
+        import json
+        assert json.load(fh) == cents
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        SIM.ann_ivf_probe(spark, path, query, k=5, nprobe=2).explain(True)
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    # the cell predicate must sit in the partition filters (pruned at
+    # planning), not in the data filters
+    pf_line = [l for l in plan.splitlines() if "PartitionFilters" in l][-1]
+    assert "cell" in pf_line
