@@ -43,8 +43,9 @@ ORACLES = E.oracle_sql()
 
 def test_every_query_has_callable_shape():
     assert set(ORACLES) <= set(QUERIES)
-    # rows-only ops are the documented exceptions
-    assert set(QUERIES) - set(ORACLES) == {"q_ann_lsh", "q_image_features"}
+    # the one rows-only op is the documented exception (binary image
+    # decode isn't SQL; q_ann_lsh gained a full oracle in round 2)
+    assert set(QUERIES) - set(ORACLES) == {"q_image_features"}
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
@@ -62,7 +63,7 @@ def test_query_matches_oracle(spark, sf001_dir, name):
     assert _rowset(spark_cols, spark_rows) == _rowset(duck_cols, duck_rows), name
 
 
-@pytest.mark.parametrize("name", ["q_ann_lsh", "q_image_features"])
+@pytest.mark.parametrize("name", ["q_image_features"])
 def test_rows_only_queries_run(spark, sf001_dir, name):
     df = QUERIES[name](spark, sf001_dir)
     assert df.count() > 0
