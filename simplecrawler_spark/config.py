@@ -65,6 +65,10 @@ class CrawlConfig:
     # fetch
     follow_redirects: bool = True
     max_redirect_hops: int = 10
+    # HttpFetcher: concurrent requests per partition (the reference's
+    # max_workers thread pool, crawler.py:102-110, inside each Arrow
+    # batch; Spark tasks multiply this across partitions)
+    fetch_concurrency: int = 8
     # checkpoint/resume
     checkpoint: bool = True
     # S5 per-URL log sink: append a crawl_log table row per

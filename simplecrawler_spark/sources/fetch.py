@@ -222,6 +222,8 @@ class HttpFetcher:
         ])
 
         def fetch_batches(iterator):
+            from concurrent.futures import ThreadPoolExecutor
+
             import pandas as pd
             import requests
 
@@ -229,58 +231,54 @@ class HttpFetcher:
             if cfg.user_agent:
                 session.headers["User-Agent"] = cfg.user_agent
             mimes = gate_mimes
-            for pdf in iterator:
-                recs = []
-                for row in pdf.itertuples(index=False):
-                    status, ctype, body, loc = None, None, None, None
-                    try:
-                        if cfg.check_head:
-                            # S3/G3 (requester.py:102-105): probe the
-                            # Content-Type with HEAD; skip the body GET
-                            # for error or wrong-MIME responses — the
-                            # downstream gates see the same
-                            # status/content_type either way
-                            head = session.request(
-                                "HEAD", row.url_norm, timeout=(2, 15),
-                                allow_redirects=cfg.follow_redirects)
-                            hct = (head.headers.get("Content-Type")
-                                   or "").lower()
-                            hs = int(head.status_code)
-                            if (hs // 100 != 2
-                                    or not any(m in hct for m in mimes)):
-                                recs.append({
-                                    "url_norm": row.url_norm,
-                                    "url_raw": row.url_raw,
-                                    "host": row.host,
-                                    "authority": row.authority,
-                                    "depth": row.depth,
-                                    "priority": row.priority,
-                                    "round": row.round, "status": hs,
-                                    "content_type":
-                                        head.headers.get("Content-Type"),
-                                    "body": None,
-                                    "redirect_location":
-                                        head.headers.get("Location"),
-                                    "image_id": None,
-                                })
-                                continue
-                        resp = session.request(
-                            "GET", row.url_norm, timeout=(2, 15),
+
+            def fetch_one(row):
+                try:
+                    if cfg.check_head:
+                        # S3/G3 (requester.py:102-105): probe the
+                        # Content-Type with HEAD; skip the body GET
+                        # for error or wrong-MIME responses — the
+                        # downstream gates see the same
+                        # status/content_type either way
+                        head = session.request(
+                            "HEAD", row.url_norm, timeout=(2, 15),
                             allow_redirects=cfg.follow_redirects)
-                        status = int(resp.status_code)
-                        ctype = resp.headers.get("Content-Type")
-                        body = resp.text
-                        loc = resp.headers.get("Location")
-                    except Exception:
-                        status = 404  # unreachable == client error
-                    recs.append({
-                        "url_norm": row.url_norm, "url_raw": row.url_raw,
-                        "host": row.host, "authority": row.authority,
-                        "depth": row.depth, "priority": row.priority,
-                        "round": row.round, "status": status,
-                        "content_type": ctype, "body": body,
-                        "redirect_location": loc, "image_id": None,
-                    })
+                        hct = (head.headers.get("Content-Type")
+                               or "").lower()
+                        hs = int(head.status_code)
+                        if (hs // 100 != 2
+                                or not any(m in hct for m in mimes)):
+                            return (hs, head.headers.get("Content-Type"),
+                                    None, head.headers.get("Location"))
+                    resp = session.request(
+                        "GET", row.url_norm, timeout=(2, 15),
+                        allow_redirects=cfg.follow_redirects)
+                    return (int(resp.status_code),
+                            resp.headers.get("Content-Type"),
+                            resp.text, resp.headers.get("Location"))
+                except Exception:
+                    return (404, None, None, None)  # unreachable == 4xx
+
+            # the reference's max_workers thread pool (crawler.py:102-110)
+            # applied WITHIN the Arrow batch: IO-bound fetches overlap,
+            # row order is preserved by executor.map, and each Spark
+            # partition multiplies the concurrency across the cluster
+            workers = max(1, int(getattr(cfg, "fetch_concurrency", 1)))
+            for pdf in iterator:
+                rows = list(pdf.itertuples(index=False))
+                if workers > 1 and len(rows) > 1:
+                    with ThreadPoolExecutor(max_workers=workers) as ex:
+                        fetched = list(ex.map(fetch_one, rows))
+                else:
+                    fetched = [fetch_one(row) for row in rows]
+                recs = [{
+                    "url_norm": row.url_norm, "url_raw": row.url_raw,
+                    "host": row.host, "authority": row.authority,
+                    "depth": row.depth, "priority": row.priority,
+                    "round": row.round, "status": status,
+                    "content_type": ctype, "body": body,
+                    "redirect_location": loc, "image_id": None,
+                } for row, (status, ctype, body, loc) in zip(rows, fetched)]
                 yield pd.DataFrame(recs, columns=out_schema.fieldNames())
 
         cols = ["url_norm", "url_raw", "host", "authority", "depth",
