@@ -244,45 +244,62 @@ def run_scaling():
     2→8 keeps the rule's 4x factor while leaving the box headroom —
     the closest single-node stand-in for N→4N executors. Set
     SPARK_GRAFT_SCALE_CPUS=4,16 or 8,32 for the tighter variants.
+
+    SPARK_GRAFT_TRIALS (default 3): this shared box shows ±10%
+    run-to-run throughput variance (measured round 2: the identical
+    local[8] job swung 53.8k→61.0k urls/sec between solo runs), and
+    the efficiency quotient amplifies opposing swings of its two legs.
+    The protocol therefore runs N alternating trials per leg and
+    reports the per-leg MEDIAN, with every trial listed.
     """
+    import statistics
+
     n_pages = os.environ.get("SPARK_GRAFT_PAGES", "4000000")
     lo, hi = os.environ.get("SPARK_GRAFT_SCALE_CPUS", "2,8").split(",")
-    results = {}
-    for cpus in (lo, hi):
-        env = dict(os.environ, SPARK_GRAFT_CPUS=cpus,
-                   SPARK_GRAFT_PAGES=n_pages)
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--crawl-only"],
-            env=env, capture_output=True, text=True, check=True)
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
-        print(f"local[{cpus}]: {line}")
+    n_trials = int(os.environ.get("SPARK_GRAFT_TRIALS", "3"))
+    trials: dict[str, list[dict]] = {lo: [], hi: []}
+    for t in range(n_trials):
+        for cpus in (lo, hi):  # alternate legs so drift hits both alike
+            env = dict(os.environ, SPARK_GRAFT_CPUS=cpus,
+                       SPARK_GRAFT_PAGES=n_pages)
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--crawl-only"],
+                env=env, capture_output=True, text=True, check=True)
+            line = [l for l in out.stdout.splitlines()
+                    if l.startswith("{")][-1]
+            trials[cpus].append(json.loads(line))
+            print(f"trial {t + 1} local[{cpus}]: {line}")
 
-    t_lo = results[lo]["urls_per_sec"]
-    t_hi = results[hi]["urls_per_sec"]
+    med = {c: statistics.median(r["urls_per_sec"] for r in trials[c])
+           for c in (lo, hi)}
+    t_lo, t_hi = med[lo], med[hi]
     eff = (t_hi / t_lo) / 4
     os.makedirs("BENCH", exist_ok=True)
     import platform
     specs = (f"{platform.machine()}, {os.cpu_count()} cores, "
              f"python {platform.python_version()}")
+
+    def leg_row(c, label):
+        runs = ", ".join(str(r["urls_per_sec"]) for r in trials[c])
+        d = trials[c][0]
+        return (f"| local[{c}] ({label}) | {d['done']} | {d['seen']} "
+                f"| {runs} | **{med[c]}** | {round(med[c] / int(c), 1)} |\n")
+
     body = (
         "# Scaling protocol run (N vs 4N cores — BASELINE.md)\n\n"
         f"machine: {specs}; spark confs: AQE on, arrow on, "
         "shuffle.partitions = max(cores, 8), driver 16g\n\n"
         f"synthetic frontier: {n_pages} pages, out-degree 8, 64 hosts "
         f"(power-law-skewed), {max(1, int(n_pages) // 100)} seeds, "
-        "identical input + job at both parallelism levels\n\n"
-        "| config | pages done | urls deduped | wall (s) | urls/sec | "
-        "urls/sec per core |\n"
+        "identical input + job at both parallelism levels; "
+        f"{n_trials} alternating trials per leg, per-leg median "
+        "(this box shows ±10% run-to-run variance — every trial shown)\n\n"
+        "| config | pages done | urls deduped | urls/sec per trial | "
+        "median urls/sec | urls/sec per core |\n"
         "|---|---|---|---|---|---|\n"
-        f"| local[{lo}] (N) | {results[lo]['done']} | {results[lo]['seen']} "
-        f"| {results[lo]['wall_sec']} | {t_lo} "
-        f"| {round(t_lo / int(lo), 1)} |\n"
-        f"| local[{hi}] (4N) | {results[hi]['done']} | "
-        f"{results[hi]['seen']} | {results[hi]['wall_sec']} | {t_hi} "
-        f"| {round(t_hi / int(hi), 1)} |\n\n"
-        f"**throughput ratio 4N/N = {t_hi / t_lo:.2f}; scaling efficiency "
-        f"= {eff:.2f}** (gate: ≥ 0.8)\n\n"
+        + leg_row(lo, "N") + leg_row(hi, "4N") +
+        f"\n**throughput ratio 4N/N = {t_hi / t_lo:.2f}; scaling "
+        f"efficiency = {eff:.2f}** (gate: ≥ 0.8)\n\n"
         f"Why N={lo}: a cluster scales by adding machines (constant "
         "per-executor memory bandwidth); saturating every core of one "
         "32-core box adds ~28%/row slowdown from bandwidth/cache "
@@ -294,6 +311,8 @@ def run_scaling():
             fh.write(body)
     print(json.dumps({f"t{lo}_urls_per_sec": t_lo,
                       f"t{hi}_urls_per_sec": t_hi,
+                      "trials": {c: [r["urls_per_sec"] for r in trials[c]]
+                                 for c in (lo, hi)},
                       "scaling_efficiency": round(eff, 3)}))
 
 

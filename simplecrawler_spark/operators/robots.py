@@ -126,6 +126,12 @@ def _with_delays(rows: pd.DataFrame, cfg: CrawlConfig) -> pd.DataFrame:
     return rows
 
 
+# above this many authorities, the rule table stops riding in a UDF
+# closure (it would be re-pickled into every task and live whole on
+# every executor) and becomes a relational join side instead
+CLOSURE_MAX_AUTHORITIES = 10_000
+
+
 def can_fetch_filter(frontier: DataFrame, robots_rows: pd.DataFrame,
                      cfg: CrawlConfig) -> DataFrame:
     """G4: keep frontier rows the robots rules allow for cfg.user_agent.
@@ -133,13 +139,19 @@ def can_fetch_filter(frontier: DataFrame, robots_rows: pd.DataFrame,
     Evaluation is the stdlib RobotFileParser itself (exact reference
     parity), one parser per distinct authority cached across the Arrow
     batch; rule text rides in the UDF closure (broadcast-sized: one
-    row per authority)."""
+    row per authority). Past CLOSURE_MAX_AUTHORITIES the closure stops
+    scaling and evaluation switches to can_fetch_join — same semantics,
+    rules as a join side."""
     if not cfg.obey_robots or robots_rows.empty:
         return frontier
     if not any((txt or "") for txt in robots_rows["robots_txt"]):
         # every authority has empty rules — RobotFileParser allows all
         # (crawler.py:191-192 error→empty parity); skip the UDF stage
         return frontier
+    if len(robots_rows) > CLOSURE_MAX_AUTHORITIES:
+        robots_df = frontier.sparkSession.createDataFrame(
+            robots_rows[["authority", "robots_txt"]])
+        return can_fetch_join(frontier, robots_df, cfg)
     txt_by_auth = dict(zip(robots_rows["authority"], robots_rows["robots_txt"]))
     agent = cfg.user_agent
 
@@ -158,6 +170,44 @@ def can_fetch_filter(frontier: DataFrame, robots_rows: pd.DataFrame,
         return pd.Series(out)
 
     return frontier.filter(allowed(F.col("authority"), F.col("url_norm")))
+
+
+def can_fetch_join(frontier: DataFrame, robots_df: DataFrame,
+                   cfg: CrawlConfig) -> DataFrame:
+    """G4 at authority scale: rules live in a TABLE
+    (authority, robots_txt), the frontier left-joins it on authority
+    (AQE broadcasts while the table is small, co-shuffles on authority
+    once it isn't — at web scale both sides are already partitionable
+    by authority/host), and the same stdlib parser evaluates each row.
+    A frontier row with no rules — unknown authority or empty text —
+    is allowed, exactly like the closure path and the reference's
+    error→empty behaviour (crawler.py:191-192)."""
+    if not cfg.obey_robots:
+        return frontier
+    agent = cfg.user_agent
+
+    @F.pandas_udf(T.BooleanType())
+    def allowed(robots_txt: pd.Series, authority: pd.Series,
+                url_norm: pd.Series) -> pd.Series:
+        cache: dict[str, RobotFileParser] = {}
+        out = []
+        for txt, auth, url in zip(robots_txt, authority, url_norm):
+            if not txt:  # no rules → allow
+                out.append(True)
+                continue
+            rp = cache.get(auth)
+            if rp is None:
+                rp = RobotFileParser()
+                rp.parse(txt.splitlines())
+                cache[auth] = rp
+            out.append(bool(rp.can_fetch(agent, url)))
+        return pd.Series(out)
+
+    joined = frontier.join(
+        robots_df.select("authority", "robots_txt"), "authority", "left")
+    return (joined.filter(allowed(F.col("robots_txt"), F.col("authority"),
+                                  F.col("url_norm")))
+            .drop("robots_txt"))
 
 
 def crawl_delay_map(robots_rows: pd.DataFrame) -> dict[str, float]:
@@ -180,5 +230,6 @@ def parse_robots_text(txt: str, user_agent: str) -> RobotFileParser:
 
 __all__ = [
     "robots_urls_for", "build_robots_table", "can_fetch_filter",
-    "crawl_delay_map", "parse_robots_text", "canon_parts",
+    "can_fetch_join", "crawl_delay_map", "parse_robots_text",
+    "canon_parts",
 ]

@@ -51,7 +51,9 @@ from simplecrawler_spark.functions.canonical import (
 )
 from simplecrawler_spark.operators.parse import extract_links_canonical
 from simplecrawler_spark.operators.partitioning import repartition_salted
-from simplecrawler_spark.operators.politeness import schedule_budget
+from simplecrawler_spark.operators.politeness import (
+    UNLIMITED_BUDGET, schedule_budget,
+)
 from simplecrawler_spark.operators.robots import (
     can_fetch_filter, crawl_delay_map, fetch_robots_for,
 )
@@ -113,7 +115,7 @@ class FrontierCrawler:
         self.store = SnapshotStore(spark, self.root, schemas={
             "frontier": schemas.FRONTIER, "seen": schemas.SEEN,
             "results": schemas.RESULTS, "metrics": schemas.METRICS,
-            "crawl_log": schemas.CRAWL_LOG,
+            "crawl_log": schemas.CRAWL_LOG, "robots": schemas.ROBOTS,
         })
         self.bloom: BloomSeen | None = None
         self._bloom_path = os.path.join(self.root, "sidecar", "bloom.npz")
@@ -171,23 +173,39 @@ class FrontierCrawler:
                             pd.concat([self._robots, new_rows],
                                       ignore_index=True))
             self._delays = crawl_delay_map(self._robots)
+            # persist the new rules: resume() re-reads them instead of
+            # re-fetching (robots state is no longer memory-only), and
+            # at authority scale this table IS the can_fetch_join side
+            self.store.append("robots", self.spark.createDataFrame(
+                [(r.authority, r.robots_txt,
+                  None if pd.isna(r.crawl_delay) else float(r.crawl_delay))
+                 for r in new_rows.itertuples(index=False)],
+                schemas.ROBOTS))
+
+    def _register_authorities(self, pairs: dict[str, str]) -> None:
+        """Queue authorities not yet in the robots table for the next
+        round's robots fetch."""
+        known = (set(self._robots["authority"])
+                 if self._robots is not None else set())
+        for auth, scheme in pairs.items():
+            if auth and auth not in known:
+                self._auth_pending.setdefault(auth, scheme or "http")
 
     def _note_new_authorities(self, new: DataFrame) -> None:
         """Collect authorities first seen in this round's `new` rows
-        (one small job on an already-persisted DF). Skipped entirely
-        when same_authority_only — no new authority can appear."""
+        (one small job on an already-persisted DF) — the no-bloom
+        fallback; with a bloom the crawl piggybacks this onto the
+        filter-build pass (add_df(collect_authorities=True)) and saves
+        the job. Skipped entirely when same_authority_only — no new
+        authority can appear."""
         if self.cfg.same_authority_only:
             return
-        known = (set(self._robots["authority"])
-                 if self._robots is not None else set())
         rows = (new.select(
                     "authority",
                     F.split("url_norm", "://").getItem(0).alias("scheme"))
                 .where(F.col("authority") != "").distinct().collect())
-        for row in rows:
-            if row.authority not in known:
-                self._auth_pending.setdefault(row.authority,
-                                              row.scheme or "http")
+        self._register_authorities(
+            {row.authority: row.scheme for row in rows})
 
     # ------------------------------------------------------------------ #
 
@@ -272,10 +290,18 @@ class FrontierCrawler:
                 F.col("url_norm").alias("url"),
                 F.lit(cfg.user_agent).alias("detail")))
 
-        # G5: per-host politeness budget
+        # G5: per-host politeness budget. scheduled/deferred are each
+        # consumed ONCE on the unbudgeted fast path (fetch; next
+        # frontier), so caching them is pure overhead — persist only
+        # when a second consumer exists (budgeted window recomputation
+        # or the crawl_log CRAWLING selector).
         scheduled, deferred = schedule_budget(allowed, self._delays, cfg)
-        scheduled = scheduled.persist()
-        deferred = deferred.persist()
+        budgeted = bool(self._delays) or (
+            cfg.max_per_host_per_round < UNLIMITED_BUDGET)
+        cache_sched = budgeted or cfg.crawl_log
+        if cache_sched:
+            scheduled = scheduled.persist()
+            deferred = deferred.persist()
         if cfg.crawl_log:
             log_parts.append(scheduled.select(
                 F.lit("CRAWLING").alias("event"),
@@ -386,10 +412,11 @@ class FrontierCrawler:
         # cache it so the Python parse chain runs exactly once
         cand = cand.persist()
 
-        # R4: global dedupe against seen (bloom prefilter + exact)
+        # R4: global dedupe against seen (bloom prefilter + exact).
+        # New-authority discovery is NOT a separate job here — it rides
+        # on the bloom build below (or the no-bloom fallback).
         seen_df = self.store.read("seen")
         new = anti_join_seen(cand, seen_df, self.bloom).persist()
-        self._note_new_authorities(new)
         _mark("parse_canon_antijoin")
 
         self.store.append("seen", new.select(
@@ -419,7 +446,11 @@ class FrontierCrawler:
                   for t in ("results", "seen", "frontier")}
 
         if self.bloom is not None:
-            self.bloom.add_df(new, row_count=counts["seen"])
+            auths = self.bloom.add_df(
+                new, row_count=counts["seen"],
+                collect_authorities=not cfg.same_authority_only)
+            if auths:
+                self._register_authorities(auths)
             if self.bloom.saturated():
                 # amortised doubling: rebuild 4x bigger from the seen
                 # table (one distributed pass; O(1) per URL overall)
@@ -429,6 +460,8 @@ class FrontierCrawler:
                 self.bloom.add_df(self.store.read("seen"))
             self.bloom.save(self._bloom_path)
             self._sync_bloom_membership()
+        else:
+            self._note_new_authorities(new)
         _mark("bloom")
         metrics = {
             "round": r,
@@ -440,7 +473,8 @@ class FrontierCrawler:
         }
         if cfg.checkpoint:
             self.store.commit_snapshot(r, metrics)
-        scheduled.unpersist(); deferred.unpersist()
+        if cache_sched:
+            scheduled.unpersist(); deferred.unpersist()
         fetched.unpersist(); cand.unpersist(); new.unpersist()
         if log_cand is not None:
             log_cand.unpersist()
@@ -660,8 +694,15 @@ class FrontierCrawler:
                     .join(F.broadcast(sdf), "url_norm", "left_semi")
                     .select("url_norm").distinct().collect())
             self._done_seeds = {row.url_norm for row in done}
-        # robots state is in-memory only — re-note every authority in
-        # the resume round's frontier (one small distinct-collect)
+        # reload persisted robots rules (fetched rows are appended to
+        # the robots table as discovered) — a resume re-reads, never
+        # re-fetches; then re-note the resume frontier's authorities so
+        # any NOT yet fetched get picked up by _ensure_robots
+        rob = self.store.read("robots").toPandas()
+        if not rob.empty:
+            self._robots = rob.drop_duplicates("authority",
+                                               ignore_index=True)
+            self._delays = crawl_delay_map(self._robots)
         resume_frontier = (self.store.read("frontier",
                                            partition=f"r{last + 1}")
                            .where(F.col("round") == last + 1))

@@ -39,7 +39,7 @@ RESULTS = T.StructType([
 ])
 
 ROBOTS = T.StructType([
-    T.StructField("host", T.StringType(), True),
+    T.StructField("authority", T.StringType(), True),
     T.StructField("robots_txt", T.StringType(), True),  # raw lines; evaluated by stdlib robotparser for parity
     T.StructField("crawl_delay", T.DoubleType(), True),
 ])

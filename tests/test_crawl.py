@@ -147,6 +147,69 @@ def test_robots_blocks_everything_for_other_agent(spark, tmp_path):
     assert crawler.result_urls() == set()
 
 
+def test_can_fetch_join_equals_closure_path(spark):
+    """G4 at authority scale: the join-based evaluator must admit
+    exactly the rows the closure-based evaluator admits, for many
+    authorities with distinct rule sets (including no-rules and
+    empty-rules authorities)."""
+    import pandas as pd
+    from simplecrawler_spark.operators.robots import (
+        can_fetch_filter, can_fetch_join,
+    )
+    from pyspark.sql import functions as F
+
+    n_auth = 40
+    robots = pd.DataFrame({
+        "authority": [f"a{i}.test" for i in range(n_auth)],
+        "robots_txt": [
+            "" if i % 5 == 0 else
+            f"User-agent: *\nDisallow: /private{i % 3}\n"
+            for i in range(n_auth)],
+        "crawl_delay": [None] * n_auth,
+    })
+    frontier = spark.range(600).select(
+        F.concat(F.lit("a"), (F.col("id") % 50).cast("string"),
+                 F.lit(".test")).alias("authority"),
+        F.concat(F.lit("http://a"), (F.col("id") % 50).cast("string"),
+                 F.lit(".test/private"), (F.col("id") % 4).cast("string"),
+                 F.lit("/p"), F.col("id").cast("string")).alias("url_norm"))
+    cfg = CrawlConfig()
+    via_closure = {r.url_norm for r in
+                   can_fetch_filter(frontier, robots, cfg).collect()}
+    robots_df = spark.createDataFrame(robots[["authority", "robots_txt"]])
+    via_join = {r.url_norm for r in
+                can_fetch_join(frontier, robots_df, cfg).collect()}
+    assert via_join == via_closure
+    assert 0 < len(via_join) < 600  # both gates actually filtered
+
+
+def test_resume_reuses_persisted_robots(spark, tmp_path):
+    """Round-2: robots rules persist in the snapshot store — a resume
+    re-reads them instead of re-fetching, and still enforces them."""
+    rows = crawler_server_rows(BASE, robots_txt=ROBOTS_FIXTURE_TXT)
+    cfg = CrawlConfig(user_agent="Tester", max_rounds=1)
+    crawler = crawl(spark, tmp_path / "a", rows, BASE, cfg)  # partial
+    root = crawler.root
+
+    fetch_log = []
+    inner = TableFetcher(site_graph_df(spark, rows),
+                         CrawlConfig(user_agent="Tester"))
+
+    def counting_fetcher(df, mime_types=None):
+        urls = [r.url_norm for r in df.select("url_norm").collect()]
+        fetch_log.extend(u for u in urls if u.endswith("/robots.txt"))
+        return inner(df, mime_types=mime_types)
+
+    resumed = FrontierCrawler.resume(
+        spark, counting_fetcher, root,
+        CrawlConfig(user_agent="Tester", max_rounds=50))
+    resumed.continue_crawl()
+    assert fetch_log == []  # rules came from the store, not the network
+    urls = resumed.result_urls()
+    assert BASE + "/hello" not in urls          # still enforced
+    assert resumed._delays.get("fixture:9999") == 1.0
+
+
 def test_disobey_robots(spark, tmp_path):
     rows = crawler_server_rows(BASE, robots_txt=ROBOTS_FIXTURE_TXT)
     cfg = CrawlConfig(user_agent="Tester", obey_robots=False)
