@@ -17,6 +17,15 @@ exact because every deferred row is eventually scheduled (budget ≥ 1).
 Scale note: row_number over PARTITION BY host is a single shuffle on
 host; hot hosts are bounded by the budget itself, so the skewed tail
 never fans out into the fetch stage.
+
+Scale seam: ``delay_by_auth`` becomes a plan-inlined literal map
+(F.create_map), which is right up to ~10^4 delay-carrying authorities
+— robots Crawl-delay directives are rare, so the delay map stays far
+smaller than the authority count. If a corpus ever exceeds that, the
+budget column should come from a broadcast join against the persisted
+robots table's crawl_delay column instead (same shape as
+robots.can_fetch_join); the window logic below is unchanged either
+way.
 """
 
 from __future__ import annotations
