@@ -29,11 +29,17 @@ import time
 def build_spark(cpus: str):
     from pyspark.sql import SparkSession
 
+    # partitions per core: measured on this workload, 1 wave beats 2
+    # (4M pages, local[8]: 63.2k urls/sec at factor 1 vs 55.2k at
+    # factor 2 — the Arrow parse stage pays per-task more than a
+    # straggler tail costs); SPARK_GRAFT_PART_FACTOR to re-test
+    factor = int(os.environ.get("SPARK_GRAFT_PART_FACTOR", "1"))
+    n_part = str(max(int(cpus) * factor, 8))
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("simplecrawler-spark-bench")
-        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
-        .config("spark.default.parallelism", str(max(int(cpus), 8)))
+        .config("spark.sql.shuffle.partitions", n_part)
+        .config("spark.default.parallelism", n_part)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "16g"))

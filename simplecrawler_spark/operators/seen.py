@@ -288,8 +288,11 @@ class BloomSeen:
         self.sidecar_dir = dir_path
 
     def save(self, path: str) -> None:
+        # uncompressed on purpose: this runs once per round on the
+        # driver, and compressing near-random bitset bytes costs ~1s+
+        # of serial time per round for little size gain
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        np.savez_compressed(
+        np.savez(
             path, m=self.m, k=self.k, seed=self.seed, added=self.added,
             capacity=self.capacity, fpp=self.fpp,
             **{f"b{b}": a for b, a in self.bits.items()})

@@ -41,6 +41,7 @@ from __future__ import annotations
 import os
 import tempfile
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -55,7 +56,8 @@ from simplecrawler_spark.operators.politeness import (
     UNLIMITED_BUDGET, schedule_budget,
 )
 from simplecrawler_spark.operators.robots import (
-    can_fetch_filter, crawl_delay_map, fetch_robots_for,
+    CLOSURE_MAX_AUTHORITIES, can_fetch_filter, can_fetch_join,
+    crawl_delay_map, fetch_robots_for,
 )
 from simplecrawler_spark.operators.seen import (
     BloomSeen, anti_join_seen, host_bucket_expr,
@@ -129,6 +131,11 @@ class FrontierCrawler:
         # anti-join against the ever-growing results table.
         self._seed_norms: set[str] = set()
         self._done_seeds: set[str] = set()
+        # cached done-seed DF for the R5 anti-join: the set stops
+        # changing once every seed has fetched (usually after round 0),
+        # so rebuilding a driver-side DF per round is wasted serial time
+        self._done_seeds_df = None
+        self._done_seeds_df_size = -1
         # S4 robots state: authorities are tracked driver-side
         # ({authority: scheme}), so robots discovery never scans the
         # frontier. New authorities surface from the (persisted,
@@ -269,15 +276,27 @@ class FrontierCrawler:
             eligible = frontier_r.filter(
                 ~F.col("url_norm").isin(sorted(self._done_seeds)))
         else:
-            done_df = self.spark.createDataFrame(
-                [(s,) for s in sorted(self._done_seeds)], "url_norm string")
-            eligible = frontier_r.join(F.broadcast(done_df), "url_norm",
-                                       "left_anti")
+            if self._done_seeds_df_size != len(self._done_seeds):
+                self._done_seeds_df = self.spark.createDataFrame(
+                    [(s,) for s in sorted(self._done_seeds)],
+                    "url_norm string").persist()
+                self._done_seeds_df_size = len(self._done_seeds)
+            eligible = frontier_r.join(F.broadcast(self._done_seeds_df),
+                                       "url_norm", "left_anti")
 
         # S4/G4: robots — pending authorities were noted driver-side
-        # (seeds at crawl(), discoveries via _note_new_authorities)
+        # (seeds at crawl(); discoveries ride on the prior round's
+        # bloom-build pass via _register_authorities). Past the
+        # closure-broadcast limit, rules are evaluated against the
+        # persisted robots TABLE via a relational join instead of the
+        # driver-side pandas copy.
         self._ensure_robots()
-        allowed = can_fetch_filter(eligible, self._robots, cfg)
+        if (self._robots is not None
+                and len(self._robots) > CLOSURE_MAX_AUTHORITIES):
+            allowed = can_fetch_join(eligible, self.store.read("robots"),
+                                     cfg)
+        else:
+            allowed = can_fetch_filter(eligible, self._robots, cfg)
 
         # S5 transcript rows (crawl_log only — one extra anti-join for
         # the robots-blocked complement, zero cost when off)
@@ -334,7 +353,14 @@ class FrontierCrawler:
             F.lit(r).alias("round"), "image_id",
             F.lit(None).cast("string").alias("caption"),
         )
-        self.store.append("results", results_new, partition=f"r{r}")
+        # overlap #1: the results write only consumes the persisted
+        # `fetched`, as do the seed check and the parse chain — submit
+        # it as a concurrent driver-thread job instead of a barrier
+        # (block-level cache locks dedupe materialisation; joined
+        # before the round's counts are read)
+        pool = ThreadPoolExecutor(max_workers=2)
+        fut_results = pool.submit(self.store.append, "results",
+                                  results_new, f"r{r}")
         if cfg.crawl_log:
             # VISITED covers wrong-MIME 2xx pages too (reference
             # WrongMIMEType branch, crawler.py:176-180); ERROR is the
@@ -347,7 +373,7 @@ class FrontierCrawler:
                 F.lit("ERROR").alias("event"),
                 F.col("url_norm").alias("url"),
                 F.col("status").cast("string").alias("detail")))
-        _mark("fetch_and_results")
+        _mark("results_submit")
 
         # R5 upkeep: record which seeds completed this round (a seed
         # that errored stays pending and is refetchable if
@@ -424,6 +450,9 @@ class FrontierCrawler:
             host_bucket_expr(F.col("host")).alias("host_bucket"),
             F.lit(r).alias("round_added")), partition=f"r{r}")
         _mark("seen_write")
+        seen_count = sum(
+            f["rows"]
+            for f in self.store._pending["seen"][-1]["lineage"])
         # G6: priority from in-degree (schedule_budget orders asc, so
         # more discoveries → more negative → earlier under budget)
         priority = ((-F.col("n_disc")).cast("double")
@@ -436,18 +465,15 @@ class FrontierCrawler:
         ).unionByName(
             deferred.withColumn("round", F.lit(r + 1))
         )
-        self.store.append("frontier", next_frontier, partition=f"r{r + 1}")
-        _mark("frontier_write")
-
-        # row counts from parquet footers (no extra jobs)
-        pend = self.store._pending
-        counts = {t: sum(f["rows"] for a in pend.get(t, [])
-                         for f in a["lineage"])
-                  for t in ("results", "seen", "frontier")}
-
+        # overlap #2: the frontier write and the bloom update are
+        # independent consumers of the (already materialised) `new` —
+        # run the write in a driver thread while the bloom updates in
+        # the main thread
+        fut_frontier = pool.submit(self.store.append, "frontier",
+                                   next_frontier, f"r{r + 1}")
         if self.bloom is not None:
             auths = self.bloom.add_df(
-                new, row_count=counts["seen"],
+                new, row_count=seen_count,
                 collect_authorities=not cfg.same_authority_only)
             if auths:
                 self._register_authorities(auths)
@@ -462,7 +488,16 @@ class FrontierCrawler:
             self._sync_bloom_membership()
         else:
             self._note_new_authorities(new)
-        _mark("bloom")
+        fut_frontier.result()
+        fut_results.result()
+        pool.shutdown(wait=True)
+        _mark("frontier_write_and_bloom")
+
+        # row counts from parquet footers (no extra jobs)
+        pend = self.store._pending
+        counts = {t: sum(f["rows"] for a in pend.get(t, [])
+                         for f in a["lineage"])
+                  for t in ("results", "seen", "frontier")}
         metrics = {
             "round": r,
             "done_new": counts["results"],

@@ -26,6 +26,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import threading
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -59,6 +60,9 @@ class SnapshotStore:
         # analogue: read(partition=...) prunes to matching dirs)
         self._partitions: dict[str, dict[str, str]] = {}
         self._pending: dict[str, list[dict]] = {}
+        # appends to DIFFERENT tables may run from concurrent driver
+        # threads (the crawl round overlaps its independent write jobs)
+        self._pending_lock = threading.Lock()
         self._last_snapshot: dict | None = None
         latest = self._latest_manifest_path()
         if latest:
@@ -80,9 +84,10 @@ class SnapshotStore:
         as with an Iceberg partition spec)."""
         path = os.path.join(self.root, "data", table, uuid.uuid4().hex[:12])
         df.write.mode("errorifexists").parquet(path)
-        self._pending.setdefault(table, []).append(
-            {"path": path, "partition": partition,
-             "lineage": _parquet_lineage(path)})
+        entry = {"path": path, "partition": partition,
+                 "lineage": _parquet_lineage(path)}
+        with self._pending_lock:
+            self._pending.setdefault(table, []).append(entry)
         return path
 
     def overwrite(self, table: str, df: DataFrame) -> str:

@@ -183,6 +183,23 @@ def test_can_fetch_join_equals_closure_path(spark):
     assert 0 < len(via_join) < 600  # both gates actually filtered
 
 
+def test_crawl_robots_join_path_same_visited_set(spark, tmp_path,
+                                                 monkeypatch):
+    """Force the authority-scale branch (rules evaluated via
+    can_fetch_join against the persisted robots table) — the visited
+    set must equal the closure-path crawl."""
+    import simplecrawler_spark.plans.crawl as crawl_mod
+
+    rows = crawler_server_rows(BASE, robots_txt=ROBOTS_FIXTURE_TXT)
+    cfg = CrawlConfig(user_agent="Tester", round_seconds=10.0)
+    want = crawl(spark, tmp_path / "closure", rows, BASE, cfg).result_urls()
+
+    monkeypatch.setattr(crawl_mod, "CLOSURE_MAX_AUTHORITIES", 0)
+    got = crawl(spark, tmp_path / "join", rows, BASE, cfg).result_urls()
+    assert got == want
+    assert BASE + "/hello" not in got
+
+
 def test_resume_reuses_persisted_robots(spark, tmp_path):
     """Round-2: robots rules persist in the snapshot store — a resume
     re-reads them instead of re-fetching, and still enforces them."""
