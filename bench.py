@@ -86,6 +86,20 @@ def crawl_bench(spark, n_pages: int, n_hosts: int = 64):
     fetcher = TableFetcher(graph, cfg)
     # snapshot tables on tmpfs too (same rationale as spark.local.dir)
     root_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+
+    # warm-up: one tiny crawl outside the timed window compiles the
+    # whole-stage-codegen paths and spins up the Python workers — pure
+    # serial JVM warm-up (~5-10s) that would otherwise contaminate the
+    # steady-state measurement of BOTH scaling legs
+    warm_graph = synthetic_graph(spark, n_pages=2000, n_hosts=4,
+                                 out_degree=6)
+    warm_root = tempfile.mkdtemp(prefix="bench-warm-", dir=root_base)
+    warm_seed = warm_graph.agg(F.min("url")).first()[0]
+    FrontierCrawler(spark, TableFetcher(warm_graph, cfg), cfg,
+                    root=warm_root).crawl(warm_seed)
+    import shutil
+    shutil.rmtree(warm_root, ignore_errors=True)
+
     root = tempfile.mkdtemp(prefix="bench-crawl-", dir=root_base)
     crawler = FrontierCrawler(spark, fetcher, cfg, root=root)
 
@@ -279,7 +293,17 @@ def run_scaling():
     med = {c: statistics.median(r["urls_per_sec"] for r in trials[c])
            for c in (lo, hi)}
     t_lo, t_hi = med[lo], med[hi]
-    eff = (t_hi / t_lo) / 4
+    # efficiency is computed PER TRIAL and the median taken across
+    # trials: each trial's two legs run back-to-back, so the box's
+    # slow drift (±10% over tens of minutes, see BENCH/ROUND2_NOTES.md)
+    # hits both legs of a trial alike and cancels in the ratio, while
+    # the median rejects a single anomalous leg. Pairing the per-leg
+    # medians instead would divide throughputs measured tens of
+    # minutes apart.
+    per_trial_eff = [
+        (trials[hi][i]["urls_per_sec"] / trials[lo][i]["urls_per_sec"]) / 4
+        for i in range(n_trials)]
+    eff = statistics.median(per_trial_eff)
     os.makedirs("BENCH", exist_ok=True)
     import platform
     specs = (f"{platform.machine()}, {os.cpu_count()} cores, "
@@ -304,8 +328,15 @@ def run_scaling():
         "median urls/sec | urls/sec per core |\n"
         "|---|---|---|---|---|---|\n"
         + leg_row(lo, "N") + leg_row(hi, "4N") +
-        f"\n**throughput ratio 4N/N = {t_hi / t_lo:.2f}; scaling "
-        f"efficiency = {eff:.2f}** (gate: ≥ 0.8)\n\n"
+        f"\nper-trial efficiency (4N/N per back-to-back pair ÷ 4): "
+        f"{', '.join(f'{e:.3f}' for e in per_trial_eff)}\n\n"
+        f"**median per-leg urls/sec: N={t_lo}, 4N={t_hi}; scaling "
+        f"efficiency (median of per-trial ratios) = {eff:.2f}** "
+        "(gate: ≥ 0.8). Per-trial ratios are used because the box "
+        "drifts ±10% over tens of minutes — a trial's two legs run "
+        "back-to-back and share that drift, so it cancels in the "
+        "ratio; pairing per-leg medians would divide numbers measured "
+        "tens of minutes apart.\n\n"
         f"Why N={lo}: a cluster scales by adding machines (constant "
         "per-executor memory bandwidth); saturating every core of one "
         "32-core box adds ~28%/row slowdown from bandwidth/cache "
@@ -319,6 +350,8 @@ def run_scaling():
                       f"t{hi}_urls_per_sec": t_hi,
                       "trials": {c: [r["urls_per_sec"] for r in trials[c]]
                                  for c in (lo, hi)},
+                      "per_trial_efficiency": [round(e, 3)
+                                               for e in per_trial_eff],
                       "scaling_efficiency": round(eff, 3)}))
 
 
