@@ -159,9 +159,11 @@ def image_bench(spark, n_images: int = 4096) -> float:
 
 
 def expiry_bench(spark, n_urls: int = 1_000_000) -> dict[str, float]:
-    """TTL/recrawl sidecar path (round-2: distributed cuckoo): bulk-add
+    """TTL/recrawl sidecar path (round-3: shard-file cuckoo): bulk-add
     n_urls to the sharded cuckoo filter, then expire half. Both run as
-    per-shard applyInPandas jobs — no per-row driver work."""
+    per-shard applyInPandas jobs over the SIDECAR shard files — no
+    broadcast of shard tables and no table bytes through the driver
+    (only shard/file-name/count rows)."""
     from pyspark.sql import functions as F
 
     from simplecrawler_spark.operators.seen import CuckooSeen
@@ -173,6 +175,9 @@ def expiry_bench(spark, n_urls: int = 1_000_000) -> dict[str, float]:
         .alias("url_norm")).persist()
     urls.count()
     cf = CuckooSeen(capacity=1 << 22)
+    root_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    shard_dir = tempfile.mkdtemp(prefix="bench-cuckoo-", dir=root_base)
+    cf.save_shards(shard_dir)
     t0 = time.monotonic()
     n_add = cf.add_df(urls)
     t_add = round(time.monotonic() - t0, 3)
@@ -181,6 +186,8 @@ def expiry_bench(spark, n_urls: int = 1_000_000) -> dict[str, float]:
     t_del = round(time.monotonic() - t0, 3)
     assert n_add == n_urls and n_del == n_urls // 2, (n_add, n_del)
     urls.unpersist()
+    import shutil
+    shutil.rmtree(shard_dir, ignore_errors=True)
     return {"cuckoo_add_1m": t_add, "cuckoo_expire_500k": t_del}
 
 

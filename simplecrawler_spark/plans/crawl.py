@@ -579,6 +579,23 @@ class FrontierCrawler:
     # crawler.py:244-251 — per-URL TTL has no reference analogue)
     # ------------------------------------------------------------------ #
 
+    def attach_cuckoo(self, capacity: int = 1 << 20) -> "object":
+        """Attach a sidecar-backed cuckoo filter mirroring the current
+        seen table (deletion support for expire_seen). Shard tables
+        live as one file per shard under the snapshot sidecar
+        (operators/seen.py CuckooSeen.save_shards), so bulk add/delete
+        stream shard files executor-side — no broadcast, no table
+        bytes through the driver (round-2 verdict item 1)."""
+        from simplecrawler_spark.operators.seen import CuckooSeen
+
+        cf = CuckooSeen(capacity=capacity)
+        cf.save_shards(os.path.join(self.root, "sidecar", "cuckoo_shards"))
+        seen = self.store.read("seen")
+        if not seen.isEmpty():
+            cf.add_df(seen)
+        self.cuckoo = cf
+        return cf
+
     def expire_seen(self, before_round: int) -> DataFrame:
         """Drop seen entries added before ``before_round`` so those
         urls become crawlable again (TTL/recrawl).
@@ -706,6 +723,12 @@ class FrontierCrawler:
         obj = cls(spark, fetcher, cfg, root=root)
         if os.path.exists(obj._bloom_path):
             obj.bloom = BloomSeen.load(obj._bloom_path)
+        cuckoo_manifest = os.path.join(root, "sidecar", "cuckoo_shards",
+                                       "manifest.json")
+        if os.path.exists(cuckoo_manifest):
+            from simplecrawler_spark.operators.seen import CuckooSeen
+            obj.cuckoo = CuckooSeen.load_shards(os.path.dirname(
+                cuckoo_manifest))
         return obj
 
     def continue_crawl(self) -> DataFrame:

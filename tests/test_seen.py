@@ -151,6 +151,109 @@ def test_cuckoo_bulk_add_delete_distributed(spark):
     assert "http://h1.test/p/100000" not in cf  # deleted (like '%/p/1%')
 
 
+def test_cuckoo_sidecar_equals_broadcast(spark, tmp_path):
+    """Round-3 item 1: sidecar-mode bulk ops (per-shard files, no
+    broadcast) must produce exactly the same filter state as the
+    broadcast path."""
+    urls = spark.range(30_000).select(
+        F.concat(F.lit("http://h"), (F.col("id") % 13).cast("string"),
+                 F.lit(".test/p/"), F.col("id").cast("string"))
+        .alias("url_norm"))
+    dels = urls.where("url_norm like '%/p/2%'")
+
+    bc = CuckooSeen(capacity=1 << 17)
+    n_add_bc = bc.add_df(urls)
+    n_del_bc = bc.delete_df(dels)
+
+    sc = CuckooSeen(capacity=1 << 17)
+    sc.save_shards(str(tmp_path / "shards"))
+    n_add_sc = sc.add_df(urls)
+    n_del_sc = sc.delete_df(dels)
+
+    assert (n_add_sc, n_del_sc) == (n_add_bc, n_del_bc)
+    for s in range(bc.n_shards):
+        assert (sc._shard_table(s) == bc.tables[s]).all()
+    assert "http://h0.test/p/13000" in sc
+    assert "http://h0.test/p/26000" not in sc  # deleted (like '%/p/2%')
+
+
+def test_cuckoo_sidecar_never_broadcasts(spark, tmp_path):
+    """Round-2 verdict item 1 (weak → fixed): in sidecar mode a bulk
+    op must never create a Spark broadcast (the old path shipped ALL
+    shard tables to every executor) and must never move table bytes
+    through the driver — only (shard, file_name, count) strings."""
+    from unittest.mock import patch
+
+    cf = CuckooSeen(capacity=1 << 17)
+    cf.save_shards(str(tmp_path / "shards"))
+    urls = spark.range(50_000).select(
+        F.concat(F.lit("http://h"), (F.col("id") % 31).cast("string"),
+                 F.lit(".test/p/"), F.col("id").cast("string"))
+        .alias("url_norm"))
+
+    sc_cls = type(spark.sparkContext)
+
+    def no_broadcast(self, value):
+        raise AssertionError("sidecar bulk op created a broadcast")
+
+    with patch.object(sc_cls, "broadcast", no_broadcast):
+        assert cf.add_df(urls) == 50_000
+        assert cf.delete_df(urls.where("url_norm like '%/p/4%'")) > 0
+    assert "http://h0.test/p/31000" in cf
+    assert "http://h10.test/p/40000" not in cf
+
+
+def test_cuckoo_sidecar_load_shards_roundtrip(spark, tmp_path):
+    cf = CuckooSeen(capacity=1 << 16)
+    cf.save_shards(str(tmp_path / "shards"))
+    urls = spark.range(5_000).select(
+        F.concat(F.lit("http://h.test/p/"), F.col("id").cast("string"))
+        .alias("url_norm"))
+    cf.add_df(urls)
+
+    loaded = CuckooSeen.load_shards(str(tmp_path / "shards"))
+    assert (loaded.n, loaded.slots, loaded.seed,
+            loaded.n_shards) == (cf.n, cf.slots, cf.seed, cf.n_shards)
+    assert "http://h.test/p/4999" in loaded
+    assert loaded.delete("http://h.test/p/4999")
+    # the single-key delete wrote through to the sidecar files
+    reloaded = CuckooSeen.load_shards(str(tmp_path / "shards"))
+    assert "http://h.test/p/4999" not in reloaded
+
+
+def test_attach_cuckoo_expire_recrawl(spark, tmp_path):
+    """attach_cuckoo arms the sidecar path on the crawler's snapshot
+    root; expire_seen then takes per-key cuckoo deletes with no
+    broadcast, and resume() reopens the filter from its manifest."""
+    from simplecrawler_spark.config import CrawlConfig
+    from simplecrawler_spark.plans.crawl import FrontierCrawler
+    from simplecrawler_spark.sources.fetch import TableFetcher
+    from simplecrawler_spark.sources.fixtures import synthetic_graph
+
+    graph = synthetic_graph(spark, n_pages=400, n_hosts=3, out_degree=5)
+    seed = graph.agg(F.min("url")).first()[0]
+    cfg = CrawlConfig(same_authority_only=False, max_rounds=10,
+                      bloom_min_items=1)
+    fetcher = TableFetcher(graph, cfg)
+    crawler = FrontierCrawler(spark, fetcher, cfg,
+                              root=str(tmp_path / "c"))
+    crawler.crawl(seed)
+    cf = crawler.attach_cuckoo(capacity=1 << 14)
+    assert cf.sidecar_dir is not None
+    some = [r.url_norm for r in
+            crawler.store.read("seen").limit(5).collect()]
+    assert all(u in cf for u in some)
+
+    expired = crawler.expire_seen(before_round=1)
+    gone = [r.url_norm for r in expired.limit(5).collect()]
+    assert all(u not in cf for u in gone)
+
+    reopened = FrontierCrawler.resume(spark, fetcher,
+                                      str(tmp_path / "c"), cfg)
+    assert reopened.cuckoo is not None
+    assert all(u not in reopened.cuckoo for u in gone)
+
+
 def test_bloom_grows_when_saturated(spark, tmp_path):
     """Amortised-doubling rebuild: crawl a graph far bigger than the
     initial bloom capacity; the filter must end up resized with no
