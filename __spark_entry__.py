@@ -14,11 +14,13 @@ throughout (see simplecrawler_spark/functions/text.py):
     floor-scaled per row to integers);
   * every computed column is aliased identically on both sides.
 
-q_image_features is the one query with no oracle entry (binary image
-decode is not SQL-expressible); it is verified against plain-numpy
-recomputation in tests/test_multimodal.py instead. q_ann_lsh's oracle
-inlines the deterministic md5-derived hyperplanes as literals and
-recomputes signatures/probing/ranking fully in SQL (_ann_lsh_oracle).
+q_image_features carries a PARTIAL oracle: the relational residue
+(image_id format, fmt rule, caption equality, decode_ok/phash_ok
+invariants) is regenerated in pure SQL; the pixel residue (PSNR, luma
+stats) is verified against plain-numpy recomputation in
+tests/test_multimodal.py instead. q_ann_lsh's oracle inlines the
+deterministic md5-derived hyperplanes as literals and recomputes
+signatures/probing/ranking fully in SQL (_ann_lsh_oracle).
 """
 
 from __future__ import annotations
@@ -82,6 +84,19 @@ _ORACLE_TOKS = ("list_filter(regexp_split_to_array(lower(text), "
 
 _ORACLE_FP = ("md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', "
               "'g')))")
+
+
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+# the synthetic corpus' caption vocab (functions/images.py:42-46),
+# inlined as SQL list literals for the q_image_features oracle
+from simplecrawler_spark.functions.images import _ADJ, _NOUN, _VERB  # noqa: E402
+
+_SQL_ADJ = _sql_list(_ADJ)
+_SQL_NOUN = _sql_list(_NOUN)
+_SQL_VERB = _sql_list(_VERB)
 
 
 def _bfs_crawler(spark: SparkSession, sf_dir: str, n_nodes: int,
@@ -325,16 +340,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (can_fetch_filter(urls, robots_rows, CrawlConfig())
                 .select("event_id"))
 
-    def q_image_features(spark, sf):  # rows-only (binary decode ≠ SQL)
+    def q_image_features(spark, sf):
+        """P4 with a PARTIAL oracle (round-2 verdict item 3): the
+        relational residue — image_id format, fmt assignment, caption
+        equality, and the decode invariants (every image decodes;
+        recomputed phash equals the stored phash) — is verified
+        against a pure-SQL regeneration of the deterministic corpus.
+        The pixel-level residue (PSNR values, luma stats) stays
+        pytest-pinned (tests/test_multimodal.py numpy recompute)."""
         from simplecrawler_spark.functions.multimodal import image_features
         from simplecrawler_spark.sources.fixtures import synthetic_corpus
 
         corpus = synthetic_corpus(spark, n_images=64)
         feats = image_features(corpus)
-        return (feats.groupBy("fmt")
-                .agg(F.count("*").alias("n"),
-                     F.sum(F.col("decode_ok").cast("long")).alias("n_ok"),
-                     F.countDistinct("phash").alias("n_phash")))
+        stored = corpus.select(
+            "image_id", F.col("phash").alias("phash_stored"), "caption")
+        return (feats.join(stored, "image_id").select(
+            "image_id", "fmt", "caption",
+            F.col("decode_ok"),
+            (F.col("phash") == F.col("phash_stored")).alias("phash_ok")))
 
     return {
         "q_canonicalize": q_canonicalize,
@@ -639,5 +663,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE COALESCE((SELECT allow FROM r
                             WHERE u.path LIKE r.prefix || '%'
                             ORDER BY r.ord LIMIT 1), TRUE)
+        """,
+        # PARTIAL oracle (the pixel residue — PSNR, luma — is pytest):
+        # regenerates the deterministic corpus' relational columns in
+        # pure SQL (functions/images.py synth_caption/image_id_of and
+        # fixtures.synthetic_corpus fmt rule) and asserts the decode
+        # invariants decode_ok/phash_ok that Spark computed from real
+        # pixel decode are TRUE for every image.
+        "q_image_features": f"""
+            WITH v AS (
+              SELECT {_SQL_ADJ} AS adj, {_SQL_NOUN} AS noun,
+                     {_SQL_VERB} AS verb
+            )
+            SELECT printf('img_%08d', k) AS image_id,
+                   CASE WHEN k % 2 = 0 THEN 'raw' ELSE 'pngz' END AS fmt,
+                   'a ' || adj[(k % 8) + 1] || ' '
+                        || noun[((k // 8) % 8) + 1] || ' '
+                        || verb[((k // 64) % 8) + 1]
+                        || ' #' || printf('%08d', k) AS caption,
+                   TRUE AS decode_ok,
+                   TRUE AS phash_ok
+            FROM range(64) t(k), v
         """,
     }

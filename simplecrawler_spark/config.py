@@ -39,14 +39,28 @@ class CrawlConfig:
     # target frontier rows per fetch/parse task — caps the fan-out for
     # small rounds (a 10-row round should not launch 32 Python workers)
     rows_per_task: int = 2048
-    # G6 priority source for the politeness window's ORDER BY
-    # (priority asc, url_hash): "indegree" ranks a discovered url by
-    # -#(links that found it this round) — heavily-linked pages fetch
-    # first under a constrained budget; "fifo" keeps the reference's
-    # arrival order (priority 0.0 — the window degenerates to the
-    # url_hash tie-break). Either way every deferred row is eventually
-    # scheduled, so the visited SET never changes.
+    # G6 priority source for the scheduling ORDER BY (priority asc,
+    # url_hash):
+    #   "indegree" — -#(links that found the url this round):
+    #     heavily-linked pages first under a constrained budget;
+    #   "hostrank" — -(host's aggregate in-degree this round): pages
+    #     on heavily-referenced hosts first. Constant within a host,
+    #     so it matters under the GLOBAL max_urls_per_round cap (the
+    #     per-host window alone can't see it);
+    #   "depth" — discovery depth: shallower pages first (depth-decay;
+    #     orders deferred-shallow ahead of newly-found-deep);
+    #   "fifo" — the reference's arrival order (priority 0.0; the
+    #     window degenerates to the url_hash tie-break).
+    # Every deferred row is eventually scheduled, so the visited SET
+    # never changes with the source. Deferred rows keep the priority
+    # computed at discovery time.
     priority_source: str = "indegree"
+    # global per-round fetch cap (resource-bounded rounds): after the
+    # per-host window, at most this many urls are scheduled per round
+    # (cheapest priority first, distributed TakeOrdered); the rest are
+    # deferred with their depth/priority intact. At/above 1_000_000
+    # (UNLIMITED_BUDGET) the cap — and its extra anti-join — is off.
+    max_urls_per_round: int = 1_000_000
     # bloom seen-filter sidecar
     bloom_enabled: bool = True
     bloom_fpp: float = 0.001

@@ -18,26 +18,61 @@ Scale note: row_number over PARTITION BY host is a single shuffle on
 host; hot hosts are bounded by the budget itself, so the skewed tail
 never fans out into the fetch stage.
 
-Scale seam: ``delay_by_auth`` becomes a plan-inlined literal map
-(F.create_map), which is right up to ~10^4 delay-carrying authorities
-— robots Crawl-delay directives are rare, so the delay map stays far
-smaller than the authority count. If a corpus ever exceeds that, the
-budget column should come from a broadcast join against the persisted
-robots table's crawl_delay column instead (same shape as
-robots.can_fetch_join); the window logic below is unchanged either
-way.
+Two delay-lookup paths, mirroring robots.can_fetch_filter/_join:
+  * ``schedule_budget`` inlines ``delay_by_auth`` as a plan literal
+    (F.create_map) — right while delay-carrying authorities are rare
+    (robots Crawl-delay directives usually are).
+  * ``schedule_budget_join`` derives the budget from a relational join
+    against the persisted robots table's crawl_delay column — the
+    authority-scale path (the literal map bloats analysis/codegen past
+    ~10^4 entries). AQE broadcasts the delay side while it is small
+    and co-shuffles on authority once it isn't. The window logic is
+    identical either way (shared ``_rank_split``).
+The crawl loop switches at DELAY_MAP_MAX_AUTHORITIES
+(plans/crawl.py), exactly like the robots CLOSURE_MAX_AUTHORITIES
+switch; equivalence is pinned by
+tests/test_crawl.py::test_politeness_join_equals_literal_path.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.column import Column
 
 from simplecrawler_spark.config import CrawlConfig
 
 # cfg.max_per_host_per_round at/above this means "unconstrained" —
 # matches the CrawlConfig default; set a smaller cap to force the window
 UNLIMITED_BUDGET = 1_000_000
+
+# above this many delay-carrying authorities the plan-literal map stops
+# scaling (it is re-analysed/codegen'd into every round's plan) and the
+# budget comes from a join against the robots table instead
+DELAY_MAP_MAX_AUTHORITIES = 10_000
+
+
+def _budget_from_delay(delay: Column, cfg: CrawlConfig) -> Column:
+    """Per-row budget from a (nullable) crawl_delay seconds column."""
+    budget = F.lit(int(cfg.max_per_host_per_round))
+    from_delay = F.greatest(
+        F.lit(1),
+        F.floor(F.lit(float(cfg.round_seconds)) / delay).cast("int"))
+    return F.when(delay.isNotNull(),
+                  F.least(budget, from_delay)).otherwise(budget)
+
+
+def _rank_split(frontier: DataFrame, budget: Column,
+                extra_drop: tuple[str, ...] = ()) -> tuple[DataFrame, DataFrame]:
+    """Window-rank per host and split at the budget."""
+    w = Window.partitionBy("host").orderBy(
+        F.col("priority").asc(), F.col("url_hash").asc())
+    ranked = frontier.withColumn("_rank", F.row_number().over(w)) \
+                     .withColumn("_budget", budget)
+    drop = ["_rank", "_budget", *extra_drop]
+    scheduled = ranked.filter(F.col("_rank") <= F.col("_budget")).drop(*drop)
+    deferred = ranked.filter(F.col("_rank") > F.col("_budget")).drop(*drop)
+    return scheduled, deferred
 
 
 def schedule_budget(frontier: DataFrame, delay_by_auth: dict[str, float],
@@ -52,22 +87,53 @@ def schedule_budget(frontier: DataFrame, delay_by_auth: dict[str, float],
     """
     if not delay_by_auth and cfg.max_per_host_per_round >= UNLIMITED_BUDGET:
         return frontier, frontier.limit(0)
-    budget = F.lit(int(cfg.max_per_host_per_round))
     if delay_by_auth:
         mapping = F.create_map(*[
             F.lit(x) for pair in delay_by_auth.items() for x in pair])
-        delay = mapping[F.col("authority")]
-        from_delay = F.greatest(
-            F.lit(1),
-            F.floor(F.lit(float(cfg.round_seconds)) / delay).cast("int"))
-        budget = F.when(delay.isNotNull(),
-                        F.least(budget, from_delay)).otherwise(budget)
-    w = Window.partitionBy("host").orderBy(
-        F.col("priority").asc(), F.col("url_hash").asc())
-    ranked = frontier.withColumn("_rank", F.row_number().over(w)) \
-                     .withColumn("_budget", budget)
-    scheduled = ranked.filter(F.col("_rank") <= F.col("_budget")) \
-                      .drop("_rank", "_budget")
-    deferred = ranked.filter(F.col("_rank") > F.col("_budget")) \
-                     .drop("_rank", "_budget")
-    return scheduled, deferred
+        budget = _budget_from_delay(mapping[F.col("authority")], cfg)
+    else:
+        budget = F.lit(int(cfg.max_per_host_per_round))
+    return _rank_split(frontier, budget)
+
+
+def schedule_budget_join(frontier: DataFrame, robots_df: DataFrame,
+                         cfg: CrawlConfig) -> tuple[DataFrame, DataFrame]:
+    """G5 at authority scale: the budget's crawl_delay comes from a
+    left join against the robots TABLE (authority, …, crawl_delay)
+    instead of a plan-literal map. Same split semantics as
+    ``schedule_budget``: a frontier row whose authority has no delay
+    row gets the unconstrained cap; the join adds no rows (left) and
+    the helper column is dropped before returning."""
+    delays = (robots_df.select("authority", "crawl_delay")
+              .where(F.col("crawl_delay").isNotNull()))
+    joined = frontier.join(delays, "authority", "left")
+    scheduled, deferred = _rank_split(
+        joined, _budget_from_delay(F.col("crawl_delay"), cfg),
+        extra_drop=("crawl_delay",))
+    # the join reorders columns (join key first) — restore the
+    # frontier's projection so downstream consumers see one shape
+    cols = frontier.columns
+    return scheduled.select(cols), deferred.select(cols)
+
+
+def apply_global_budget(scheduled: DataFrame, deferred: DataFrame,
+                        cfg: CrawlConfig) -> tuple[DataFrame, DataFrame]:
+    """Resource-bounded rounds: cap the round's TOTAL scheduled urls at
+    cfg.max_urls_per_round, cheapest (priority asc, url_hash asc)
+    first. This is where cross-host priority sources (hostrank) bite —
+    the per-host window can't compare hosts, the global cap can.
+
+    Scale shape: the cut is a distributed TakeOrdered (sort + limit —
+    O(N log k) per partition, k rows to the driver-side job, no global
+    shuffle); the complement comes from one anti-join on url_hash
+    (unique within a round's frontier: R1 dedupes on url_norm and
+    deferred rows can't reappear in `new`). Both costs exist only when
+    the cap is armed."""
+    if cfg.max_urls_per_round >= UNLIMITED_BUDGET:
+        return scheduled, deferred
+    take = (scheduled.orderBy(F.col("priority").asc(),
+                              F.col("url_hash").asc())
+            .limit(int(cfg.max_urls_per_round)))
+    rest = scheduled.join(take.select("url_hash"), "url_hash",
+                          "left_anti")
+    return take, deferred.unionByName(rest.select(deferred.columns))

@@ -33,7 +33,30 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from simplecrawler_spark.plans.tables import SidecarIO
+
 HOST_BUCKETS = 16
+
+
+def _np_bytes(arr: np.ndarray) -> bytes:
+    """npy-serialise an array for SidecarIO object storage."""
+    import io
+    buf = io.BytesIO()
+    np.save(buf, arr)
+    return buf.getvalue()
+
+
+def _np_from_bytes(data: bytes) -> np.ndarray:
+    import io
+    return np.load(io.BytesIO(data))
+
+
+def _as_sidecar(dir_or_io) -> SidecarIO:
+    """Accept a plain directory path (wrapped in the local-FS
+    SidecarIO) or a ready SidecarIO (e.g. SnapshotStore.sidecar(),
+    or a shared-storage subclass)."""
+    return dir_or_io if isinstance(dir_or_io, SidecarIO) \
+        else SidecarIO(dir_or_io)
 
 
 def host_bucket_expr(host, n_buckets: int = HOST_BUCKETS):
@@ -65,9 +88,21 @@ class BloomSeen:
         self._bc_version = -1
         self._version = 0        # bumped on every mutation
         # when set (save_buckets), membership runs co-partitioned: each
-        # task loads ONLY its bucket's bitset file instead of receiving
-        # every bucket via broadcast (the 10^10-scale path)
-        self.sidecar_dir: str | None = None
+        # task loads ONLY its bucket's bitset object instead of
+        # receiving every bucket via broadcast (the 10^10-scale path).
+        # All byte I/O goes through SidecarIO, so shared storage is a
+        # config change.
+        self.sidecar: SidecarIO | None = None
+
+    @property
+    def sidecar_dir(self) -> str | None:
+        """Compatibility surface: the sidecar root (or None). Assigning
+        a path arms the sidecar through the local-FS SidecarIO."""
+        return self.sidecar.root if self.sidecar is not None else None
+
+    @sidecar_dir.setter
+    def sidecar_dir(self, value) -> None:
+        self.sidecar = None if value is None else _as_sidecar(value)
 
     def saturated(self) -> bool:
         """True once the filter holds ~4x its design capacity — the
@@ -238,9 +273,9 @@ class BloomSeen:
         of the candidate rows — cheap against GB-scale bitset traffic,
         and the rows were headed into the exact anti-join shuffle
         anyway."""
-        if self.sidecar_dir is None:
+        if self.sidecar is None:
             raise RuntimeError("flag_maybe_seen needs save_buckets() first")
-        d = self.sidecar_dir
+        io_obj = self.sidecar  # picklable (root string only)
         out_schema = T.StructType(
             df.schema.fields + [T.StructField("_maybe", T.BooleanType())])
         pass_cols = df.columns
@@ -260,7 +295,8 @@ class BloomSeen:
                 for b in np.unique(bkt):
                     bits = cache.get(int(b))
                     if bits is None:
-                        bits = np.load(os.path.join(d, f"bucket-{int(b)}.npy"))
+                        bits = _np_from_bytes(
+                            io_obj.read_bytes(f"bucket-{int(b)}.npy"))
                         cache[int(b)] = bits
                     rows = bkt == b
                     p = pos[rows]
@@ -275,17 +311,16 @@ class BloomSeen:
 
     # -- persistence (checkpoint sidecar) ------------------------------------
 
-    def save_buckets(self, dir_path: str) -> None:
-        """Write one bitset file per host_bucket (the co-partitioned
-        membership sidecar) and arm flag_maybe_seen. At cluster scale
+    def save_buckets(self, dir_or_io) -> None:
+        """Write one bitset object per host_bucket (the co-partitioned
+        membership sidecar) and arm flag_maybe_seen. Takes a directory
+        path (local SidecarIO) or any SidecarIO — at cluster scale
         these are one object per bucket in shared storage; a task
         fetches only its slice."""
-        os.makedirs(dir_path, exist_ok=True)
+        io_obj = _as_sidecar(dir_or_io)
         for b, a in self.bits.items():
-            tmp = os.path.join(dir_path, f".tmp-bucket-{b}.npy")
-            np.save(tmp, a)
-            os.replace(tmp, os.path.join(dir_path, f"bucket-{b}.npy"))
-        self.sidecar_dir = dir_path
+            io_obj.write_bytes(f"bucket-{b}.npy", _np_bytes(a))
+        self.sidecar = io_obj
 
     def save(self, path: str) -> None:
         # uncompressed on purpose: this runs once per round on the
@@ -418,73 +453,73 @@ class CuckooSeen:
         # per-shard cache of the sidecar files in sidecar mode
         self.tables = {s: np.zeros((self.n, slots), dtype=np.uint16)
                        for s in range(n_shards)}  # 0 = empty slot
-        self.sidecar_dir: str | None = None
+        self.sidecar: SidecarIO | None = None
         self._manifest: dict[int, str] = {}
+
+    @property
+    def sidecar_dir(self) -> str | None:
+        return self.sidecar.root if self.sidecar is not None else None
+
+    @sidecar_dir.setter
+    def sidecar_dir(self, value) -> None:
+        self.sidecar = None if value is None else _as_sidecar(value)
 
     # -- sidecar persistence (one object per shard + manifest) -----------
 
     def _write_shard(self, s: int, table: np.ndarray) -> str:
         import uuid
         name = f"shard-{s}-{uuid.uuid4().hex[:8]}.npy"
-        tmp = os.path.join(self.sidecar_dir, f".tmp-{name}")
-        np.save(tmp, table)
-        os.replace(tmp, os.path.join(self.sidecar_dir, name))
+        self.sidecar.write_bytes(name, _np_bytes(table))
         old = self._manifest.get(s)
         self._manifest[s] = name
         if old and old != name:
-            try:
-                os.remove(os.path.join(self.sidecar_dir, old))
-            except OSError:
-                pass
+            self.sidecar.remove(old)
         return name
 
     def _save_manifest(self) -> None:
         import json
-        import uuid
-        tmp = os.path.join(self.sidecar_dir,
-                           f".tmp-manifest-{uuid.uuid4().hex[:8]}")
-        with open(tmp, "w") as fh:
-            json.dump({"n": self.n, "slots": self.slots,
-                       "max_kicks": self.max_kicks, "seed": self.seed,
-                       "n_shards": self.n_shards,
-                       "shards": {str(s): f
-                                  for s, f in self._manifest.items()}}, fh)
-        os.replace(tmp, os.path.join(self.sidecar_dir, "manifest.json"))
+        payload = json.dumps(
+            {"n": self.n, "slots": self.slots,
+             "max_kicks": self.max_kicks, "seed": self.seed,
+             "n_shards": self.n_shards,
+             "shards": {str(s): f
+                        for s, f in self._manifest.items()}}).encode()
+        self.sidecar.write_bytes("manifest.json", payload)
 
-    def save_shards(self, dir_path: str) -> None:
-        """Write every shard table as its own sidecar file and arm the
-        no-broadcast bulk path. At cluster scale these are one object
-        per shard in shared storage; a bulk-op task fetches only its
-        shard."""
-        os.makedirs(dir_path, exist_ok=True)
-        self.sidecar_dir = dir_path
+    def save_shards(self, dir_or_io) -> None:
+        """Write every shard table as its own sidecar object and arm
+        the no-broadcast bulk path. Takes a directory path (local
+        SidecarIO) or any SidecarIO; at cluster scale these are one
+        object per shard in shared storage and a bulk-op task fetches
+        only its shard."""
+        self.sidecar = _as_sidecar(dir_or_io)
         for s in range(self.n_shards):
             self._write_shard(s, self._shard_table(s))
         self._save_manifest()
 
     @classmethod
-    def load_shards(cls, dir_path: str) -> "CuckooSeen":
+    def load_shards(cls, dir_or_io) -> "CuckooSeen":
         """Reopen a sidecar-backed filter from its manifest (resume
         path). Shard tables load lazily, per shard, on first use."""
         import json
-        with open(os.path.join(dir_path, "manifest.json")) as fh:
-            m = json.load(fh)
+        io_obj = _as_sidecar(dir_or_io)
+        m = json.loads(io_obj.read_bytes("manifest.json"))
         obj = cls.__new__(cls)
         obj.n = int(m["n"]); obj.slots = int(m["slots"])
         obj.max_kicks = int(m["max_kicks"]); obj.seed = int(m["seed"])
         obj.n_shards = int(m["n_shards"])
         obj.tables = {}
-        obj.sidecar_dir = dir_path
+        obj.sidecar = io_obj
         obj._manifest = {int(s): f for s, f in m["shards"].items()}
         return obj
 
     def _shard_table(self, s: int) -> np.ndarray:
         """Driver-side access to one shard — lazy-loaded from the
-        sidecar in sidecar mode (single-key ops touch one shard file,
-        never the whole filter)."""
+        sidecar in sidecar mode (single-key ops touch one shard
+        object, never the whole filter)."""
         t = self.tables.get(s)
         if t is None:
-            t = np.load(os.path.join(self.sidecar_dir, self._manifest[s]))
+            t = _np_from_bytes(self.sidecar.read_bytes(self._manifest[s]))
             self.tables[s] = t
         return t
 
@@ -583,14 +618,14 @@ class CuckooSeen:
         leaves an orphan file the manifest never references, so retries
         are safe; exactly one task exists per shard per bulk op
         (groupBy shard), so there are no write conflicts."""
-        d = self.sidecar_dir
+        io_obj = self.sidecar  # picklable (root string only)
         manifest = dict(self._manifest)
         n_shards, seed, kicks = self.n_shards, self.seed, self.max_kicks
 
         def update(pdf: pd.DataFrame) -> pd.DataFrame:
             import uuid
             s = int(pdf["_shard"].iloc[0])
-            table = np.load(os.path.join(d, manifest[s]))
+            table = _np_from_bytes(io_obj.read_bytes(manifest[s]))
             acc = 0
             if op == "add":
                 for k in pdf["_k"]:
@@ -601,9 +636,7 @@ class CuckooSeen:
                     if _cuckoo_delete(table, k, n_shards, seed):
                         acc += 1
             name = f"shard-{s}-{uuid.uuid4().hex[:8]}.npy"
-            tmp = os.path.join(d, f".tmp-{name}")
-            np.save(tmp, table)
-            os.replace(tmp, os.path.join(d, name))
+            io_obj.write_bytes(name, _np_bytes(table))
             return pd.DataFrame({"s": [s], "name": [name], "acc": [acc]})
 
         rows = (df.select(F.col(url_col).alias("_k"))
@@ -618,10 +651,7 @@ class CuckooSeen:
             self._manifest[s] = row.name
             self.tables.pop(s, None)  # invalidate the driver's lazy cache
             if old and old != row.name:
-                try:
-                    os.remove(os.path.join(d, old))
-                except OSError:
-                    pass
+                io_obj.remove(old)
             total += row.acc
         self._save_manifest()
         return total

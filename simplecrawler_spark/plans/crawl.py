@@ -53,7 +53,8 @@ from simplecrawler_spark.functions.canonical import (
 from simplecrawler_spark.operators.parse import extract_links_canonical
 from simplecrawler_spark.operators.partitioning import repartition_salted
 from simplecrawler_spark.operators.politeness import (
-    UNLIMITED_BUDGET, schedule_budget,
+    DELAY_MAP_MAX_AUTHORITIES, UNLIMITED_BUDGET, apply_global_budget,
+    schedule_budget, schedule_budget_join,
 )
 from simplecrawler_spark.operators.robots import (
     CLOSURE_MAX_AUTHORITIES, can_fetch_filter, can_fetch_join,
@@ -73,18 +74,35 @@ _LOG_EVENT_ORDER = {"ROBOTS_BLOCKED": 0, "CRAWLING": 1, "VISITED": 2,
                     "FOUND": 3, "ERROR": 4}
 
 
-def render_crawl_log(log_df: DataFrame) -> list[str]:
+def render_crawl_log(log_df: DataFrame,
+                     limit: int | None = None) -> list[str]:
     """Render crawl_log rows as the reference's console lines
     (crawler.py:147,152,155,174 prints + the robots line :225).
     Ordered by (round, event, url) — a deterministic serialisation of
     what the reference's thread pool prints in arbitrary interleaving;
     the reference's own CLI test asserts containment, not order
-    (tests/test_cli.py:104-143). Driver-side collect: a transcript is a
-    debugging surface, render per-round/partition slices at scale."""
-    rows = sorted(
-        log_df.collect(),
-        key=lambda x: (x.round, _LOG_EVENT_ORDER.get(x.event, 9),
-                       x.url, x.detail or ""))
+    (tests/test_cli.py:104-143).
+
+    ``limit`` caps the collect at the first N lines of the ordered
+    transcript — the sort+limit runs IN Spark (TakeOrdered, no full
+    materialisation), so a capped render is scale-safe. An uncapped
+    render collects everything: debugging surface only; at scale use
+    FrontierCrawler.render_log(rounds=…, limit=…) for partition-pruned
+    slices."""
+    if limit is not None:
+        event_order = F.when(F.col("event") == "ROBOTS_BLOCKED", 0)
+        for ev, n in list(_LOG_EVENT_ORDER.items())[1:]:
+            event_order = event_order.when(F.col("event") == ev, n)
+        event_order = event_order.otherwise(9)
+        rows = (log_df
+                .orderBy(F.col("round"), event_order, F.col("url"),
+                         F.coalesce(F.col("detail"), F.lit("")))
+                .limit(limit).collect())
+    else:
+        rows = sorted(
+            log_df.collect(),
+            key=lambda x: (x.round, _LOG_EVENT_ORDER.get(x.event, 9),
+                           x.url, x.detail or ""))
     lines = []
     for x in rows:
         if x.event == "CRAWLING":
@@ -254,7 +272,27 @@ class FrontierCrawler:
 
     def _round(self, frontier_r: DataFrame, r: int,
                row_count: int | None = None) -> int:
-        """One BFS round. Returns the next frontier's row count."""
+        """One BFS round. Returns the next frontier's row count.
+
+        Owns the round's driver-thread pool lifecycle: any exception in
+        the body still awaits the submitted background writes (so no
+        append keeps running past the round) and observes their
+        exceptions before the pool is torn down."""
+        pool = ThreadPoolExecutor(max_workers=2)
+        futures: list = []
+        self._in_round = True
+        try:
+            return self._round_body(frontier_r, r, row_count, pool, futures)
+        finally:
+            self._in_round = False
+            pool.shutdown(wait=True)
+            for f in futures:
+                if f.done() and not f.cancelled():
+                    f.exception()  # observe background failures
+
+    def _round_body(self, frontier_r: DataFrame, r: int,
+                    row_count: int | None, pool: ThreadPoolExecutor,
+                    futures: list) -> int:
         cfg = self.cfg
         t0 = time.monotonic()
         phases: dict[str, float] = {}
@@ -277,6 +315,8 @@ class FrontierCrawler:
                 ~F.col("url_norm").isin(sorted(self._done_seeds)))
         else:
             if self._done_seeds_df_size != len(self._done_seeds):
+                if self._done_seeds_df is not None:
+                    self._done_seeds_df.unpersist()
                 self._done_seeds_df = self.spark.createDataFrame(
                     [(s,) for s in sorted(self._done_seeds)],
                     "url_norm string").persist()
@@ -314,9 +354,19 @@ class FrontierCrawler:
         # frontier), so caching them is pure overhead — persist only
         # when a second consumer exists (budgeted window recomputation
         # or the crawl_log CRAWLING selector).
-        scheduled, deferred = schedule_budget(allowed, self._delays, cfg)
+        # Past DELAY_MAP_MAX_AUTHORITIES delay-carrying authorities the
+        # literal map stops scaling — derive the budget from a join
+        # against the persisted robots table instead (same switch shape
+        # as the robots closure→join gate above).
+        if len(self._delays) > DELAY_MAP_MAX_AUTHORITIES:
+            scheduled, deferred = schedule_budget_join(
+                allowed, self.store.read("robots"), cfg)
+        else:
+            scheduled, deferred = schedule_budget(allowed, self._delays, cfg)
+        scheduled, deferred = apply_global_budget(scheduled, deferred, cfg)
         budgeted = bool(self._delays) or (
-            cfg.max_per_host_per_round < UNLIMITED_BUDGET)
+            cfg.max_per_host_per_round < UNLIMITED_BUDGET) or (
+            cfg.max_urls_per_round < UNLIMITED_BUDGET)
         cache_sched = budgeted or cfg.crawl_log
         if cache_sched:
             scheduled = scheduled.persist()
@@ -358,9 +408,9 @@ class FrontierCrawler:
         # it as a concurrent driver-thread job instead of a barrier
         # (block-level cache locks dedupe materialisation; joined
         # before the round's counts are read)
-        pool = ThreadPoolExecutor(max_workers=2)
         fut_results = pool.submit(self.store.append, "results",
                                   results_new, f"r{r}")
+        futures.append(fut_results)
         if cfg.crawl_log:
             # VISITED covers wrong-MIME 2xx pages too (reference
             # WrongMIMEType branch, crawler.py:176-180); ERROR is the
@@ -453,11 +503,22 @@ class FrontierCrawler:
         seen_count = sum(
             f["rows"]
             for f in self.store._pending["seen"][-1]["lineage"])
-        # G6: priority from in-degree (schedule_budget orders asc, so
-        # more discoveries → more negative → earlier under budget)
-        priority = ((-F.col("n_disc")).cast("double")
-                    if cfg.priority_source == "indegree"
-                    else F.lit(0.0))
+        # G6: priority signal for next round's scheduling ORDER BY
+        # (asc — more negative → earlier under budget). All sources
+        # derive from columns the R1 aggregate already produced;
+        # hostrank adds one window shuffle on host over the (small,
+        # persisted) `new` DF — the same key the politeness window
+        # shuffles on anyway.
+        if cfg.priority_source == "indegree":
+            priority = (-F.col("n_disc")).cast("double")
+        elif cfg.priority_source == "hostrank":
+            from pyspark.sql import Window
+            priority = (-F.sum("n_disc").over(
+                Window.partitionBy("host"))).cast("double")
+        elif cfg.priority_source == "depth":
+            priority = F.col("depth").cast("double")
+        else:  # "fifo"
+            priority = F.lit(0.0)
         next_frontier = new.select(
             "url_norm", "url_raw", "url_hash", "authority", "host",
             "depth", priority.alias("priority"), "discovered_from",
@@ -471,6 +532,7 @@ class FrontierCrawler:
         # the main thread
         fut_frontier = pool.submit(self.store.append, "frontier",
                                    next_frontier, f"r{r + 1}")
+        futures.append(fut_frontier)
         if self.bloom is not None:
             auths = self.bloom.add_df(
                 new, row_count=seen_count,
@@ -490,7 +552,6 @@ class FrontierCrawler:
             self._note_new_authorities(new)
         fut_frontier.result()
         fut_results.result()
-        pool.shutdown(wait=True)
         _mark("frontier_write_and_bloom")
 
         # row counts from parquet footers (no extra jobs)
@@ -526,6 +587,27 @@ class FrontierCrawler:
         """S5: the per-URL event log table (requires cfg.crawl_log)."""
         return self.store.read("crawl_log")
 
+    def render_log(self, rounds: int | list[int] | None = None,
+                   limit: int | None = None) -> list[str]:
+        """Scale-safe transcript rendering (round-2 verdict item 5):
+        reads ONLY the requested rounds' crawl_log partitions
+        (file-pruned — other rounds' data dirs are never opened) and
+        optionally caps the collect at ``limit`` ordered lines. The
+        full-table render_crawl_log stays for tests/debugging."""
+        if rounds is None:
+            df = self.store.read("crawl_log")
+        else:
+            if isinstance(rounds, int):
+                rounds = [rounds]
+            df = None
+            for k in rounds:
+                part = (self.store.read("crawl_log", partition=f"r{k}")
+                        .where(F.col("round") == k))
+                df = part if df is None else df.unionByName(part)
+            if df is None:
+                return []
+        return render_crawl_log(df, limit=limit)
+
     def _sync_bloom_membership(self) -> None:
         """Pick the membership path for the CURRENT filter size
         (cfg.bloom_membership): write/refresh the per-bucket bitset
@@ -539,8 +621,7 @@ class FrontierCrawler:
             cfg.bloom_membership == "auto"
             and total >= cfg.bloom_sidecar_min_bytes)
         if use_sidecar:
-            self.bloom.save_buckets(
-                os.path.join(self.root, "sidecar", "bloom_buckets"))
+            self.bloom.save_buckets(self.store.sidecar("bloom_buckets"))
         else:
             self.bloom.sidecar_dir = None
 
@@ -589,7 +670,7 @@ class FrontierCrawler:
         from simplecrawler_spark.operators.seen import CuckooSeen
 
         cf = CuckooSeen(capacity=capacity)
-        cf.save_shards(os.path.join(self.root, "sidecar", "cuckoo_shards"))
+        cf.save_shards(self.store.sidecar("cuckoo_shards"))
         seen = self.store.read("seen")
         if not seen.isEmpty():
             cf.add_df(seen)
@@ -669,14 +750,33 @@ class FrontierCrawler:
           * its authorities registered driver-side so the next round
             fetches their robots.txt before any fetch of theirs.
         foreachBatch runs on the driver, so mutating crawler state here
-        is safe. Returns the StreamingQuery."""
+        is safe. Returns the StreamingQuery.
+
+        Durability + round placement (round-2 ADVICE, medium): the
+        target round is computed PER BATCH from the last committed
+        snapshot (not once at stream start), and each micro-batch
+        commits a snapshot after its appends — so a crash after the
+        streaming checkpoint advances can no longer lose appends the
+        checkpoint will never replay, and a long-lived stream keeps
+        landing seeds in the round the next crawl actually reads.
+        The per-batch commit flushes ALL pending appends, so running
+        this concurrently with an executing crawl round would commit
+        that round's partial state mid-flight — the sink therefore
+        refuses to run while a round is executing; drain seeds between
+        crawls (availableNow) and then continue_crawl()."""
         from simplecrawler_spark.streaming.ingest import (
             canonical_seed_stream,
         )
 
-        rnd = (self.store.latest_round() or 0) + 1
-
-        def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            if getattr(self, "_in_round", False):
+                raise RuntimeError(
+                    "ingest_stream micro-batch landed while a crawl "
+                    "round is executing — the per-batch snapshot commit "
+                    "would flush the round's partial appends. Drain "
+                    "seeds between crawls (availableNow=True), then "
+                    "continue_crawl().")
+            rnd = (self.store.latest_round() or 0) + 1
             rows = batch_df.select(
                 "url_norm", "url_raw",
                 url_hash(F.col("url_norm")).alias("url_hash"),
@@ -706,6 +806,16 @@ class FrontierCrawler:
                 if row.authority not in known:
                     self._auth_pending.setdefault(row.authority,
                                                   row.scheme or "http")
+            pend = self.store._pending.get("frontier", [])
+            n_new = (sum(f["rows"] for f in pend[-1]["lineage"])
+                     if pend else 0)
+            # durable per-batch commit: the snapshot round stays at the
+            # last crawl round (rnd - 1), so later batches land in the
+            # same next-round partition and continue_crawl resumes at it
+            self.store.commit_snapshot(rnd - 1, {
+                "stream_batch": int(batch_id),
+                "stream_new_urls": n_new,
+            })
             new.unpersist()
 
         writer = (canonical_seed_stream(self.spark, source_dir).writeStream
@@ -723,12 +833,10 @@ class FrontierCrawler:
         obj = cls(spark, fetcher, cfg, root=root)
         if os.path.exists(obj._bloom_path):
             obj.bloom = BloomSeen.load(obj._bloom_path)
-        cuckoo_manifest = os.path.join(root, "sidecar", "cuckoo_shards",
-                                       "manifest.json")
-        if os.path.exists(cuckoo_manifest):
+        cuckoo_io = obj.store.sidecar("cuckoo_shards")
+        if cuckoo_io.exists("manifest.json"):
             from simplecrawler_spark.operators.seen import CuckooSeen
-            obj.cuckoo = CuckooSeen.load_shards(os.path.dirname(
-                cuckoo_manifest))
+            obj.cuckoo = CuckooSeen.load_shards(cuckoo_io)
         return obj
 
     def continue_crawl(self) -> DataFrame:

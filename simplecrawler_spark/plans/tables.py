@@ -44,6 +44,45 @@ def _parquet_lineage(path: str) -> list[dict]:
     return entries
 
 
+class SidecarIO:
+    """Byte-object I/O for filter sidecars (bloom bucket bitsets,
+    cuckoo shard tables). The local-filesystem implementation; a
+    shared-storage deployment (object store / HDFS) subclasses
+    read_bytes/write_bytes/remove/exists and everything above — the
+    executors' per-bucket loads and the driver's manifest writes —
+    goes through this seam, so swapping storage is a config change,
+    exactly like the Parquet tables behind SnapshotStore (round-2
+    verdict item 7). Instances carry only the root string, so they
+    pickle into executor closures."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def _p(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def write_bytes(self, name: str, data: bytes) -> None:
+        """Atomic object write (tmp + rename)."""
+        os.makedirs(self.root, exist_ok=True)
+        tmp = self._p(f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+        os.replace(tmp, self._p(name))
+
+    def read_bytes(self, name: str) -> bytes:
+        with open(self._p(name), "rb") as fh:
+            return fh.read()
+
+    def remove(self, name: str) -> None:
+        try:
+            os.remove(self._p(name))
+        except OSError:
+            pass
+
+    def exists(self, name: str) -> bool:
+        return os.path.exists(self._p(name))
+
+
 class SnapshotStore:
     """Append-only multi-table store with snapshot manifests."""
 
@@ -194,3 +233,9 @@ class SnapshotStore:
 
     def latest_round(self) -> int | None:
         return self._last_snapshot["round"] if self._last_snapshot else None
+
+    def sidecar(self, name: str) -> SidecarIO:
+        """Byte-object namespace under this store's sidecar area (bloom
+        buckets, cuckoo shards) — same root, same swap-for-shared-
+        storage story as the tables."""
+        return SidecarIO(os.path.join(self.root, "sidecar", name))

@@ -222,17 +222,30 @@ class HttpFetcher:
         ])
 
         def fetch_batches(iterator):
+            import threading
             from concurrent.futures import ThreadPoolExecutor
 
             import pandas as pd
             import requests
 
-            session = requests.Session()
-            if cfg.user_agent:
-                session.headers["User-Agent"] = cfg.user_agent
+            # requests.Session is not thread-safe (cookie jar /
+            # redirect state can race) — one Session per worker
+            # thread, created lazily and reused across batches
+            tls = threading.local()
+
+            def get_session():
+                session = getattr(tls, "session", None)
+                if session is None:
+                    session = requests.Session()
+                    if cfg.user_agent:
+                        session.headers["User-Agent"] = cfg.user_agent
+                    tls.session = session
+                return session
+
             mimes = gate_mimes
 
             def fetch_one(row):
+                session = get_session()
                 try:
                     if cfg.check_head:
                         # S3/G3 (requester.py:102-105): probe the

@@ -255,6 +255,63 @@ def test_politeness_budget_defers_not_drops(spark, tmp_path):
     assert len(crawler.store.snapshots()) >= 6
 
 
+def test_politeness_join_equals_literal_path(spark):
+    """G5 at authority scale: schedule_budget_join (crawl_delay from
+    the robots table) must split the frontier exactly like the
+    literal-map path, for many authorities with and without delays,
+    including the cap interaction."""
+    from simplecrawler_spark.operators.politeness import (
+        schedule_budget, schedule_budget_join,
+    )
+
+    delays = {f"a{i}.test": float(1 + i % 4) for i in range(0, 40, 2)}
+    frontier = spark.range(600).select(
+        F.concat(F.lit("a"), (F.col("id") % 50).cast("string"),
+                 F.lit(".test")).alias("authority"),
+        F.concat(F.lit("a"), (F.col("id") % 50).cast("string"),
+                 F.lit(".test")).alias("host"),
+        F.concat(F.lit("http://a"), (F.col("id") % 50).cast("string"),
+                 F.lit(".test/p"), F.col("id").cast("string")).alias("url_norm"),
+        F.col("id").alias("url_hash"),
+        F.lit(0.0).alias("priority"))
+    cfg = CrawlConfig(round_seconds=10.0, max_per_host_per_round=7)
+    s_lit, d_lit = schedule_budget(frontier, delays, cfg)
+    robots_df = spark.createDataFrame(
+        [(f"a{i}.test", "", delays.get(f"a{i}.test"))
+         for i in range(50)],
+        "authority string, robots_txt string, crawl_delay double")
+    s_join, d_join = schedule_budget_join(frontier, robots_df, cfg)
+    assert ({r.url_norm for r in s_join.collect()}
+            == {r.url_norm for r in s_lit.collect()})
+    assert ({r.url_norm for r in d_join.collect()}
+            == {r.url_norm for r in d_lit.collect()})
+    # the join path restores the frontier's column shape
+    assert s_join.columns == frontier.columns
+    assert d_join.count() > 0  # the budget actually deferred rows
+
+
+def test_crawl_politeness_join_path_same_visited_set(spark, tmp_path,
+                                                     monkeypatch):
+    """Force the authority-scale politeness branch (budget from a join
+    against the persisted robots table) — visited set AND per-round
+    scheduling must equal the literal-map crawl."""
+    import simplecrawler_spark.plans.crawl as crawl_mod
+
+    rows = crawler_server_rows(BASE, robots_txt=ROBOTS_FIXTURE_TXT)
+    cfg = CrawlConfig(user_agent="Tester", round_seconds=10.0)
+    want = crawl(spark, tmp_path / "literal", rows, BASE, cfg)
+
+    monkeypatch.setattr(crawl_mod, "DELAY_MAP_MAX_AUTHORITIES", 0)
+    got = crawl(spark, tmp_path / "join", rows, BASE, cfg)
+
+    def per_round(c):
+        return sorted((r.round, r.url_norm)
+                      for r in c.results().collect())
+
+    assert got.result_urls() == want.result_urls()
+    assert per_round(got) == per_round(want)
+
+
 def test_resume_identical_final_state(spark, tmp_path):
     cfg = CrawlConfig(max_per_host_per_round=2, max_rounds=2)
     rows = crawler_server_rows(BASE)
@@ -351,6 +408,79 @@ def test_indegree_priority_schedules_hot_pages_first(spark, tmp_path):
     assert got[tgt + "/hot"] < got[tgt + "/cold"]
     fifo = rounds_by_url("fifo")
     assert set(fifo) == set(got)  # same visited set either way
+
+
+def test_hostrank_priority_under_global_budget(spark, tmp_path):
+    """G6 (round-2 verdict item 8): priority_source='hostrank' ranks
+    by the host's aggregate in-degree — constant within a host, so it
+    bites under the GLOBAL max_urls_per_round cap: both pages of the
+    heavily-referenced host are fetched before the cold host's page.
+    Visited set identical to fifo; every round ≤ the cap."""
+    from simplecrawler_spark.sources.fixtures import (
+        _row, make_html_from_links,
+    )
+
+    seed = "http://seed.test/"
+    hot, cold = "http://hot.test", "http://cold.test"
+    rows = [
+        _row(seed, body=make_html_from_links(
+            [hot + "/a", hot + "/b", cold + "/x"])),
+        _row(hot + "/a", body=""),
+        _row(hot + "/b", body=""),
+        _row(cold + "/x", body=""),
+    ]
+
+    def rounds_by_url(priority_source):
+        cfg = CrawlConfig(max_urls_per_round=1, max_rounds=30,
+                          same_authority_only=False,
+                          priority_source=priority_source)
+        crawler = FrontierCrawler(
+            spark, TableFetcher(site_graph_df(spark, rows), cfg), cfg,
+            root=str(tmp_path / f"g-{priority_source}"))
+        crawler.crawl(seed)
+        return {r.url_norm: r.round
+                for r in crawler.results().select("url_norm", "round")
+                .collect()}
+
+    got = rounds_by_url("hostrank")
+    # hot.test aggregate in-degree 2 vs cold.test 1 → both hot pages
+    # scheduled (cap 1/round) before the cold page
+    assert max(got[hot + "/a"], got[hot + "/b"]) < got[cold + "/x"]
+    # the global cap really bounded every round to one fetch
+    assert len(set(got.values())) == len(got)
+    fifo = rounds_by_url("fifo")
+    assert set(fifo) == set(got)  # same visited set either way
+
+
+def test_depth_priority_schedules_shallow_first(spark, tmp_path):
+    """G6 depth-decay: under a 1/host/round budget, deferred shallow
+    pages are all fetched before a deeper page discovered mid-crawl on
+    the same host."""
+    from simplecrawler_spark.sources.fixtures import (
+        _row, make_html_from_links,
+    )
+
+    seed = "http://s.test/"
+    t = "http://t.test"
+    shallow = [f"{t}/s{i}" for i in range(6)]
+    rows = [_row(seed, body=make_html_from_links(shallow))]
+    rows.append(_row(shallow[0],
+                     body=make_html_from_links([t + "/deep"])))
+    for p in shallow[1:]:
+        rows.append(_row(p, body=""))
+    rows.append(_row(t + "/deep", body=""))
+
+    cfg = CrawlConfig(max_per_host_per_round=1, max_rounds=40,
+                      same_authority_only=False, priority_source="depth")
+    crawler = FrontierCrawler(
+        spark, TableFetcher(site_graph_df(spark, rows), cfg), cfg,
+        root=str(tmp_path / "depth"))
+    crawler.crawl(seed)
+    got = {r.url_norm: r.round
+           for r in crawler.results().select("url_norm", "round")
+           .collect()}
+    assert all(got[t + "/deep"] > got[p] for p in shallow)
+    assert set(got) == {seed, *shallow, t + "/deep"}
 
 
 def test_requeue_rederives_authority_from_first_scheme_sep(spark, tmp_path):

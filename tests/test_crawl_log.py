@@ -81,6 +81,38 @@ def test_transcript_robots_blocked_line(spark, tmp_path):
     assert f"VISITED: {BASE}/ok" in lines
 
 
+def test_render_log_round_slice_and_limit(spark, tmp_path):
+    """Round-2 verdict item 5: the non-collect transcript path —
+    render only round k's partition of a multi-round crawl, and cap
+    the collected rows Spark-side."""
+    cfg = CrawlConfig(crawl_log=True)
+    crawler = FrontierCrawler(
+        spark, TableFetcher(site_graph_df(spark, _cli_graph_rows()), cfg),
+        cfg, root=str(tmp_path / "sliced"))
+    crawler.crawl(BASE)
+    full = render_crawl_log(crawler.crawl_log())
+
+    rounds = sorted({r.round for r in
+                     crawler.crawl_log().select("round").distinct()
+                     .collect()})
+    assert len(rounds) >= 2  # multi-round crawl
+
+    k = rounds[1]
+    sliced = crawler.render_log(rounds=k)
+    expected = render_crawl_log(
+        crawler.crawl_log().where(f"round = {k}"))
+    assert sliced == expected
+    assert sliced and set(sliced) < set(full)
+
+    # limit returns the first N lines of the ordered transcript
+    capped = crawler.render_log(limit=5)
+    assert capped == full[:5]
+    # per-round + limit compose
+    assert crawler.render_log(rounds=k, limit=3) == expected[:3]
+    # whole-transcript render via slices covers every round
+    assert crawler.render_log(rounds=rounds) == full
+
+
 def test_crawl_log_off_by_default(spark, tmp_path):
     cfg = CrawlConfig()
     crawler = FrontierCrawler(

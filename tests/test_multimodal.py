@@ -144,6 +144,33 @@ def test_ann_ivf_matches_bruteforce_topk(embeddings):
     assert ivf == brute
 
 
+def test_ivf_kmeans_refinement_recall(embeddings):
+    """Round-2 verdict item 6: Lloyd's-refined centroids (opt-in) give
+    recall vs brute force ≥ the deterministic lowest-id pick on the
+    planted corpus at the same nprobe; the default path (q_ivf_assign's
+    oracle twin) is untouched."""
+    query = [1.0] + [0.0] * 15
+    brute = {r.vec_id
+             for r in SIM.cosine_topk(embeddings, query, k=10).collect()}
+
+    def recall(cents):
+        got = {r.vec_id
+               for r in SIM.ann_ivf_topk(embeddings, query, k=10,
+                                         n_cells=8, nprobe=2,
+                                         centroids=cents).collect()}
+        return len(got & brute) / len(brute)
+
+    base = SIM.ivf_centroids(embeddings, n_cells=8)
+    refined = SIM.ivf_centroids_kmeans(embeddings, n_cells=8, n_iters=3)
+    assert recall(refined) >= recall(base)
+    # refinement actually moved the centroids off the raw sample
+    assert refined != base
+    # k-means on this corpus keeps every cell non-degenerate enough to
+    # assign all rows somewhere (sanity: full partition of the data)
+    n = SIM.ivf_assign(embeddings, refined).count()
+    assert n == embeddings.count()
+
+
 def test_embedding_near_dup_empty_input(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     df = SIM.embedding_near_dup(empty, 0.9)

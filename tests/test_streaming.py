@@ -79,6 +79,12 @@ def test_ingest_stream_registers_state(spark, tmp_path):
     q = crawler.ingest_stream(str(src), str(tmp_path / "ckpt"))
     q.awaitTermination(120)
 
+    # round-3 (ADVICE medium): each micro-batch committed a durable
+    # snapshot — a crash after the streaming checkpoint advances can't
+    # lose the appends
+    assert any("stream_batch" in s["metrics"]
+               for s in crawler.store.snapshots())
+
     # streamed urls staged into the next round's frontier AND seen
     rnd = crawler.store.latest_round() + 1
     frontier = {r.url_norm for r in crawler.store.read(

@@ -97,6 +97,22 @@ def test_minhash_lsh_degenerate_bucket_capped(spark):
     assert capped == uncapped
 
 
+def test_minhash_lsh_star_reps_bounds_loss(spark):
+    """star_reps=2 anchors every capped-bucket member to the two
+    lowest-id representatives — each member gets two independent
+    chances to survive a downstream similarity verify (round-2
+    ADVICE: bound the post-verification loss of the star cap)."""
+    base = "identical boilerplate page text repeated everywhere " * 4
+    rows = [(i, base) for i in range(500)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r.id_a, r.id_b)
+           for r in D.minhash_lsh_pairs(df, max_bucket=50,
+                                        star_reps=2).collect()}
+    want = ({(0, i) for i in range(1, 500)}
+            | {(1, i) for i in range(2, 500)})
+    assert got == want
+
+
 def test_embedding_near_dup_degenerate_bucket_capped(spark):
     """Same guard for the embedding LSH blocker: 5k identical vectors
     collapse to star pairs, each still exact-cosine-verified."""
