@@ -43,9 +43,10 @@ ORACLES = E.oracle_sql()
 
 def test_every_query_has_callable_shape():
     assert set(ORACLES) <= set(QUERIES)
-    # the one rows-only op is the documented exception (binary image
-    # decode isn't SQL; q_ann_lsh gained a full oracle in round 2)
-    assert set(QUERIES) - set(ORACLES) == {"q_image_features"}
+    # no rows-only exceptions left: q_ann_lsh gained a full oracle in
+    # round 2, q_image_features a partial (relational-residue) oracle
+    # in round 3 — its pixel residue stays in tests/test_multimodal.py
+    assert set(QUERIES) == set(ORACLES)
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
