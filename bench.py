@@ -45,6 +45,14 @@ def build_spark(cpus: str):
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
+    # opt-in event log (scripts/stage_times.py digests it into
+    # per-stage executor time — the measurement loop for serial
+    # overhead and scaling work)
+    evdir = os.environ.get("SPARK_GRAFT_EVENTLOG")
+    if evdir:
+        os.makedirs(evdir, exist_ok=True)
+        builder = (builder.config("spark.eventLog.enabled", "true")
+                   .config("spark.eventLog.dir", evdir))
     # Shuffle/spill on tmpfs: cluster executors write shuffle to
     # node-local disks whose aggregate bandwidth scales with node
     # count; this box's single virtual disk does not, so leaving

@@ -63,6 +63,23 @@ def host_bucket_expr(host, n_buckets: int = HOST_BUCKETS):
     return F.pmod(F.xxhash64(host), F.lit(n_buckets)).cast("int")
 
 
+# persisted-bitset format marker: bit positions are Kirsch–
+# Mitzenmacher double hashes of (xxhash64(url, seed),
+# xxhash64(url, seed+1)|1). Files written under a different scheme
+# must not be loaded (false negatives) — BloomSeen.load refuses them.
+POSITION_SCHEME = "xxh64-dh2"
+
+
+def _double_hash_positions(h1: np.ndarray, h2: np.ndarray,
+                           k: int, m: int) -> np.ndarray:
+    """(n, k) int64 Bloom position matrix via Kirsch–Mitzenmacher
+    double hashing. Module-level so UDF closures capture only the
+    two ints, never a filter instance (whose bitsets would otherwise
+    ship inside every task closure)."""
+    i = np.arange(k, dtype=np.int64)
+    return (h1[:, None] + i[None, :] * h2[:, None]) % m
+
+
 class BloomSeen:
     """Partitioned Bloom filter over canonical URLs.
 
@@ -114,11 +131,23 @@ class BloomSeen:
 
     # -- position expressions (JVM-side) -----------------------------------
 
-    def positions_expr(self, url_norm):
-        return F.array(*[
-            F.pmod(F.xxhash64(url_norm, F.lit(self.seed + i)), F.lit(self.m))
-            for i in range(self.k)
-        ])
+    def hash_exprs(self, url_norm):
+        """Two JVM-side xxhash64 columns (h1, h2·odd) per URL; the k
+        bit positions expand executor-side in numpy via double hashing
+        (Kirsch–Mitzenmacher: g_i = h1 + i·h2 mod m — preserves the
+        Bloom fpp bound). Shipping (h1, h2) instead of a k-long
+        position array cuts the Arrow/shuffle traffic of every
+        membership and build pass ~k/2× (k≈10 at fpp 1e-3)."""
+        h1 = F.pmod(F.xxhash64(url_norm, F.lit(self.seed)), F.lit(self.m))
+        # force h2 odd: m is a power of two, so an odd stride visits
+        # distinct positions for all i < k
+        h2 = F.pmod(F.xxhash64(url_norm, F.lit(self.seed + 1)),
+                    F.lit(self.m)).bitwiseOR(F.lit(1))
+        return h1, h2
+
+    def _expand_positions(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        """(n, k) int64 position matrix from the two hash columns."""
+        return _double_hash_positions(h1, h2, self.k, self.m)
 
     # -- updates ------------------------------------------------------------
 
@@ -152,16 +181,18 @@ class BloomSeen:
         extra = ([F.col("authority").alias("a"),
                   F.split(F.col(url_col), "://").getItem(0).alias("s")]
                  if collect_authorities else [])
+        h1e, h2e = self.hash_exprs(F.col(url_col))
         if row_count is not None and row_count < 65536:
             pdf = df.select(
                 bucket.alias("b"),
-                self.positions_expr(F.col(url_col)).alias("p"),
+                h1e.alias("h1"), h2e.alias("h2"),
                 *extra,
             ).toPandas()
             if pdf.empty:
                 return auths if collect_authorities else None
             for b, grp in pdf.groupby("b"):
-                pos = np.concatenate(grp["p"].to_numpy())
+                pos = self._expand_positions(
+                    grp["h1"].to_numpy(), grp["h2"].to_numpy()).ravel()
                 bits = self.bits[int(b)]
                 np.bitwise_or.at(bits, pos >> 3,
                                  np.left_shift(1, (pos & 7)).astype(np.uint8))
@@ -172,11 +203,12 @@ class BloomSeen:
             self.added += len(pdf)
             self._version += 1
             return auths if collect_authorities else None
-        m = self.m
+        m, k = self.m, self.k
         want_auths = collect_authorities
 
         def build(pdf: pd.DataFrame) -> pd.DataFrame:
-            pos = np.array(pdf["p"].tolist(), dtype=np.int64).ravel()
+            pos = _double_hash_positions(
+                pdf["h1"].to_numpy(), pdf["h2"].to_numpy(), k, m).ravel()
             bits = np.zeros(m // 8, dtype=np.uint8)
             np.bitwise_or.at(bits, pos >> 3,
                              np.left_shift(1, (pos & 7)).astype(np.uint8))
@@ -194,7 +226,7 @@ class BloomSeen:
         rows = (
             df.select(
                 bucket.alias("b"),
-                self.positions_expr(F.col(url_col)).alias("p"),
+                h1e.alias("h1"), h2e.alias("h2"),
                 *extra)
             .groupBy("b")
             .applyInPandas(build,
@@ -235,14 +267,18 @@ class BloomSeen:
             self._bc_version = self._version
         bc = self._bc
 
+        m, k = self.m, self.k
+
         @F.pandas_udf(T.BooleanType())
-        def _maybe(bucket: pd.Series, positions: pd.Series) -> pd.Series:
+        def _maybe(bucket: pd.Series, h1: pd.Series,
+                   h2: pd.Series) -> pd.Series:
             if len(bucket) == 0:
                 return pd.Series([], dtype=bool)
             bits_by_bucket = {
                 b: np.frombuffer(raw, dtype=np.uint8)
                 for b, raw in bc.value.items()}
-            pos = np.array(positions.tolist(), dtype=np.int64)  # (n, k)
+            pos = _double_hash_positions(
+                h1.to_numpy(), h2.to_numpy(), k, m)  # (n, k)
             bkt = bucket.to_numpy()
             out = np.ones(len(bkt), dtype=bool)
             for b in np.unique(bkt):
@@ -253,10 +289,9 @@ class BloomSeen:
                 out[rows] = hit.all(axis=1)
             return pd.Series(out)
 
+        h1e, h2e = self.hash_exprs(F.col(url_col))
         return _maybe(
-            host_bucket_expr(F.col(host_col), self.n_buckets),
-            self.positions_expr(F.col(url_col)),
-        )
+            host_bucket_expr(F.col(host_col), self.n_buckets), h1e, h2e)
 
     def flag_maybe_seen(self, df: DataFrame, url_col: str = "url_norm",
                         host_col: str = "host") -> DataFrame:
@@ -279,10 +314,12 @@ class BloomSeen:
         out_schema = T.StructType(
             df.schema.fields + [T.StructField("_maybe", T.BooleanType())])
         pass_cols = df.columns
+        h1e, h2e = self.hash_exprs(F.col(url_col))
         pre = df.withColumn(
             "_b", host_bucket_expr(F.col(host_col), self.n_buckets)
-        ).withColumn("_p", self.positions_expr(F.col(url_col)))
+        ).withColumn("_h1", h1e).withColumn("_h2", h2e)
         part = pre.repartition(self.n_buckets, F.col("_b"))
+        m, k = self.m, self.k
 
         def gen(batches):
             cache: dict[int, np.ndarray] = {}
@@ -290,7 +327,8 @@ class BloomSeen:
                 if len(pdf) == 0:
                     continue
                 bkt = pdf["_b"].to_numpy()
-                pos = np.array(pdf["_p"].tolist(), dtype=np.int64)
+                pos = _double_hash_positions(
+                    pdf["_h1"].to_numpy(), pdf["_h2"].to_numpy(), k, m)
                 out = np.ones(len(bkt), dtype=bool)
                 for b in np.unique(bkt):
                     bits = cache.get(int(b))
@@ -330,11 +368,22 @@ class BloomSeen:
         np.savez(
             path, m=self.m, k=self.k, seed=self.seed, added=self.added,
             capacity=self.capacity, fpp=self.fpp,
+            scheme=POSITION_SCHEME,
             **{f"b{b}": a for b, a in self.bits.items()})
 
     @classmethod
     def load(cls, path: str) -> "BloomSeen":
         z = np.load(path)
+        scheme = str(z["scheme"]) if "scheme" in z else "per-k-seed"
+        if scheme != POSITION_SCHEME:
+            # A bitset built under a different position scheme would
+            # silently FALSE-NEGATIVE (→ duplicate crawls). Refuse —
+            # the owner rebuilds from the seen table, exactly the
+            # saturation path.
+            raise ValueError(
+                f"bloom file {path} uses position scheme {scheme!r}; "
+                f"this build uses {POSITION_SCHEME!r} — rebuild from "
+                "the seen table instead of loading")
         obj = cls.__new__(cls)
         obj.m = int(z["m"]); obj.k = int(z["k"]); obj.seed = int(z["seed"])
         obj.added = int(z["added"])

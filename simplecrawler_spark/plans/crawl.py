@@ -39,6 +39,7 @@ tests/test_crawl.py (table graphs) and tests/test_reference_e2e.py
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import time
 from concurrent.futures import ThreadPoolExecutor
@@ -331,6 +332,7 @@ class FrontierCrawler:
         # persisted robots TABLE via a relational join instead of the
         # driver-side pandas copy.
         self._ensure_robots()
+        _mark("robots_fetch")
         if (self._robots is not None
                 and len(self._robots) > CLOSURE_MAX_AUTHORITIES):
             allowed = can_fetch_join(eligible, self.store.read("robots"),
@@ -389,7 +391,22 @@ class FrontierCrawler:
         fetch_in = repartition_salted(scheduled, n_parts,
                                       salt_buckets=cfg.salt_buckets)
 
-        fetched = self.fetcher(fetch_in).persist()
+        # Fetch EXACTLY once, straight into a per-round staging file
+        # under the store root (tmpfs here; object store on a
+        # cluster). The results write, the seed check, and the parse
+        # chain are then column-pruned scans of this file. The
+        # previous design cached `fetched` and let the background
+        # results write race the parse chain to fill that cache —
+        # concurrent fill of a cold cache was measured (event logs,
+        # BENCH/ROUND3_NOTES.md) to nondeterministically duplicate the
+        # fetch join for 50-400 executor-seconds per incident; and
+        # with the network HttpFetcher a later cache miss would mean
+        # re-FETCHING live pages. Durable staging is the only
+        # fetch-once guarantee that also survives executor loss.
+        stage_dir = os.path.join(self.store.root, "stage", f"fetched-r{r}")
+        self.fetcher(fetch_in).write.parquet(stage_dir)
+        fetched = self.spark.read.parquet(stage_dir)
+        _mark("fetch_stage")
 
         cls = status_class_expr(F.col("status"))
         mime_ok = mime_ok_expr(F.col("content_type"), cfg.mime_types)
@@ -403,11 +420,10 @@ class FrontierCrawler:
             F.lit(r).alias("round"), "image_id",
             F.lit(None).cast("string").alias("caption"),
         )
-        # overlap #1: the results write only consumes the persisted
-        # `fetched`, as do the seed check and the parse chain — submit
-        # it as a concurrent driver-thread job instead of a barrier
-        # (block-level cache locks dedupe materialisation; joined
-        # before the round's counts are read)
+        # overlap #1: the results write is a body-pruned scan of the
+        # staged fetch file — submit it as a concurrent driver-thread
+        # job instead of a barrier (file reads, unlike cold-cache
+        # fills, are safe to overlap)
         fut_results = pool.submit(self.store.append, "results",
                                   results_new, f"r{r}")
         futures.append(fut_results)
@@ -492,23 +508,14 @@ class FrontierCrawler:
         # New-authority discovery is NOT a separate job here — it rides
         # on the bloom build below (or the no-bloom fallback).
         seen_df = self.store.read("seen")
-        new = anti_join_seen(cand, seen_df, self.bloom).persist()
+        new = anti_join_seen(cand, seen_df, self.bloom)
         _mark("parse_canon_antijoin")
 
-        self.store.append("seen", new.select(
-            "url_hash", "url_norm",
-            host_bucket_expr(F.col("host")).alias("host_bucket"),
-            F.lit(r).alias("round_added")), partition=f"r{r}")
-        _mark("seen_write")
-        seen_count = sum(
-            f["rows"]
-            for f in self.store._pending["seen"][-1]["lineage"])
         # G6: priority signal for next round's scheduling ORDER BY
         # (asc — more negative → earlier under budget). All sources
         # derive from columns the R1 aggregate already produced;
-        # hostrank adds one window shuffle on host over the (small,
-        # persisted) `new` DF — the same key the politeness window
-        # shuffles on anyway.
+        # hostrank adds one window shuffle on host — the same key the
+        # politeness window shuffles on anyway.
         if cfg.priority_source == "indegree":
             priority = (-F.col("n_disc")).cast("double")
         elif cfg.priority_source == "hostrank":
@@ -519,40 +526,89 @@ class FrontierCrawler:
             priority = F.col("depth").cast("double")
         else:  # "fifo"
             priority = F.lit(0.0)
-        next_frontier = new.select(
+
+        # THE round's single materialisation of the expensive tail
+        # (fused parse → dedupe shuffle → bloom split → anti-join):
+        # straight into the next frontier's parquet. Seen rows, the
+        # bloom build, and authority discovery all re-derive from this
+        # columnar file via column-pruned scans. Relying on the
+        # executor cache here instead (round-2 design: new.persist()
+        # consumed by three jobs) was measured to nondeterministically
+        # re-run the membership-UDF/anti-join tail or stall on cache
+        # block locks — ~340 duplicate executor-seconds per big round
+        # at 1M pages. A durable staged file is also the only version
+        # of this handoff that survives executor loss on a real
+        # cluster; cache does not.
+        next_new = new.select(
             "url_norm", "url_raw", "url_hash", "authority", "host",
             "depth", priority.alias("priority"), "discovered_from",
             F.lit(r + 1).alias("round"),
-        ).unionByName(
-            deferred.withColumn("round", F.lit(r + 1))
         )
-        # overlap #2: the frontier write and the bloom update are
-        # independent consumers of the (already materialised) `new` —
-        # run the write in a driver thread while the bloom updates in
-        # the main thread
-        fut_frontier = pool.submit(self.store.append, "frontier",
-                                   next_frontier, f"r{r + 1}")
-        futures.append(fut_frontier)
+        new_dir = self.store.append("frontier", next_new, f"r{r + 1}")
+        new_count = sum(
+            f["rows"]
+            for f in self.store._pending["frontier"][-1]["lineage"])
+        newf = (self.spark.read.parquet(new_dir) if new_count
+                else None)
+        _mark("frontier_write")
+
+        # overlap #2: the seen append is a pruned scan of the staged
+        # file — run it in a driver thread while the bloom (same
+        # input) updates in the main thread
+        if newf is not None:
+            fut_seen = pool.submit(
+                self.store.append, "seen", newf.select(
+                    "url_hash", "url_norm",
+                    host_bucket_expr(F.col("host")).alias("host_bucket"),
+                    F.lit(r).alias("round_added")), f"r{r}")
+            futures.append(fut_seen)
+        else:
+            fut_seen = None
+
+        # deferred rows re-enter the frontier as their own (small)
+        # append; on the unbudgeted fast path deferred is empty by
+        # construction — skip the job entirely
+        defer_count = 0
+        if budgeted:
+            self.store.append(
+                "frontier",
+                deferred.withColumn("round", F.lit(r + 1)).select(
+                    *next_new.columns),
+                partition=f"r{r + 1}")
+            defer_count = sum(
+                f["rows"]
+                for f in self.store._pending["frontier"][-1]["lineage"])
+
         if self.bloom is not None:
-            auths = self.bloom.add_df(
-                new, row_count=seen_count,
-                collect_authorities=not cfg.same_authority_only)
-            if auths:
-                self._register_authorities(auths)
+            if newf is not None:
+                auths = self.bloom.add_df(
+                    newf, row_count=new_count,
+                    collect_authorities=not cfg.same_authority_only)
+                if auths:
+                    self._register_authorities(auths)
             if self.bloom.saturated():
                 # amortised doubling: rebuild 4x bigger from the seen
-                # table (one distributed pass; O(1) per URL overall)
+                # table (one distributed pass; O(1) per URL overall).
+                # The rebuild reads the seen TABLE, so this round's
+                # background seen append must land first — otherwise
+                # the new filter misses round-r URLs and a Bloom false
+                # negative becomes a duplicate crawl.
+                if fut_seen is not None:
+                    fut_seen.result()
                 self.bloom = BloomSeen(
                     expected_items=self.bloom.added * 4,
                     fpp=cfg.bloom_fpp)
                 self.bloom.add_df(self.store.read("seen"))
+            _mark("bloom_add")
             self.bloom.save(self._bloom_path)
             self._sync_bloom_membership()
-        else:
-            self._note_new_authorities(new)
-        fut_frontier.result()
+            _mark("bloom_save")
+        elif newf is not None:
+            self._note_new_authorities(newf)
+        if fut_seen is not None:
+            fut_seen.result()
         fut_results.result()
-        _mark("frontier_write_and_bloom")
+        _mark("write_join")
 
         # row counts from parquet footers (no extra jobs)
         pend = self.store._pending
@@ -563,7 +619,7 @@ class FrontierCrawler:
             "round": r,
             "done_new": counts["results"],
             "new_urls": counts["seen"],
-            "frontier_next": counts["frontier"],
+            "frontier_next": new_count + defer_count,
             "wall_secs": time.monotonic() - t0,
             "phases": phases,
         }
@@ -571,10 +627,11 @@ class FrontierCrawler:
             self.store.commit_snapshot(r, metrics)
         if cache_sched:
             scheduled.unpersist(); deferred.unpersist()
-        fetched.unpersist(); cand.unpersist(); new.unpersist()
+        cand.unpersist()
         if log_cand is not None:
             log_cand.unpersist()
-        return counts["frontier"]
+        shutil.rmtree(stage_dir, ignore_errors=True)
+        return new_count + defer_count
 
     def _log_df(self, parts: list[DataFrame], r: int) -> DataFrame:
         """Union the round's transcript fragments into CRAWL_LOG rows."""
