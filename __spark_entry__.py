@@ -244,6 +244,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _t(spark, sf, "documents").where(F.col("doc_id") < 100)
         return D.simhash(docs, n_bits=16)
 
+    def q_phash_neardup(spark, sf):
+        """Band-blocked Hamming near-dup over an int64 fingerprint —
+        the image-pHash near-dup operator. The oracle-checked twin
+        runs it over SQL-regenerable SimHash-32 fingerprints (the real
+        pHash input needs pixel decode, which is pytest-pinned:
+        tests/test_dedup.py exercises the same operator on perturbed
+        decoded images)."""
+        docs = _t(spark, sf, "documents").where(F.col("doc_id") < 300)
+        fp = D.simhash(docs, n_bits=32)
+        return D.fingerprint_near_dup(fp, fp_col="simhash",
+                                      max_hamming=2, n_bits=32)
+
     def q_lang_quality(spark, sf):
         docs = _t(spark, sf, "documents")
         q = X.quality_score_expr(F.col("text"))
@@ -376,6 +388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lsh_pairs": q_lsh_pairs,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_simhash": q_simhash,
+        "q_phash_neardup": q_phash_neardup,
         "q_lang_quality": q_lang_quality,
         "q_token_stats": q_token_stats,
         "q_cosine_topk": q_cosine_topk,
@@ -446,6 +459,21 @@ def oracle_sql() -> dict[str, str]:
     sim_val = " + ".join(
         f"(case when s{j} > 0 then {1 << j} else 0 end)"
         for j in range(simhash_bits))
+    # q_phash_neardup twin: SimHash-32 fingerprints + the same band
+    # masks the Spark operator derives (operators/dedup.py
+    # _band_masks — masks, never shifts, so signed int64 semantics
+    # agree between engines)
+    from simplecrawler_spark.operators.dedup import _band_masks
+    nd_bits, nd_ham = 32, 2
+    nd_sums = ", ".join(
+        f"sum(case when (hv >> {j}) & 1 = 1 then 1 else -1 end) AS s{j}"
+        for j in range(nd_bits))
+    nd_val = " + ".join(
+        f"(case when s{j} > 0 then {1 << j} else 0 end)"
+        for j in range(nd_bits))
+    nd_bands = ", ".join(
+        f"({i}, {m}::BIGINT)"
+        for i, m in enumerate(_band_masks(nd_bits, nd_ham + 1)))
     markers = ", ".join(f"'{m}'" for m in X.EN_MARKERS)
     marker_ratio = (
         f"case when len(toks) > 0 then "
@@ -582,6 +610,31 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, {sim_sums} FROM h GROUP BY doc_id
             )
             SELECT doc_id, ({sim_val})::BIGINT AS simhash FROM s
+        """,
+        "q_phash_neardup": f"""
+            WITH t AS (
+              SELECT doc_id, {toks} AS toks FROM documents
+              WHERE doc_id < 300
+            ), u AS (
+              SELECT doc_id, unnest(toks) AS tok FROM t
+            ), h AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5('sh|' || tok), 1, 15))::BIGINT AS hv
+              FROM u
+            ), s AS (
+              SELECT doc_id, {nd_sums} FROM h GROUP BY doc_id
+            ), f AS (
+              SELECT doc_id, ({nd_val})::BIGINT AS fp FROM s
+            ), e AS (
+              SELECT doc_id, fp, band, fp & mask AS key
+              FROM f, (VALUES {nd_bands}) b(band, mask)
+            ), p AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                     bit_count(xor(a.fp, b.fp))::INTEGER AS hamming
+              FROM e a JOIN e b USING (band, key)
+              WHERE a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b, hamming FROM p WHERE hamming <= {nd_ham}
         """,
         "q_lang_quality": f"""
             WITH t AS (

@@ -175,6 +175,95 @@ def ngram_jaccard(pairs: DataFrame, docs: DataFrame,
         .otherwise(F.lit(0.0)).alias("jaccard"))
 
 
+def _band_masks(n_bits: int, n_bands: int) -> list[int]:
+    """Partition the low ``n_bits`` into ``n_bands`` contiguous mask
+    ranges (first bands one bit wider when n_bands ∤ n_bits). Returned
+    as signed-int64 literals (bit 63 set → negative) so they embed in
+    both Spark and DuckDB plans identically."""
+    base, rem = divmod(n_bits, n_bands)
+    masks, off = [], 0
+    for i in range(n_bands):
+        w = base + (1 if i < rem else 0)
+        m = ((1 << w) - 1) << off
+        masks.append(m - (1 << 64) if m >= (1 << 63) else m)
+        off += w
+    return masks
+
+
+def fingerprint_near_dup(fps: DataFrame, fp_col: str = "fingerprint",
+                         id_col: str = "doc_id", max_hamming: int = 2,
+                         n_bits: int = 64, n_bands: int | None = None,
+                         max_bucket: int | None = None,
+                         star_reps: int = 1) -> DataFrame:
+    """Near-duplicate (id_a < id_b, hamming) pairs by Hamming distance
+    over an integer fingerprint column — the image-pHash near-dup
+    operator (reference corpus carries phash:int64 per image,
+    BASELINE.json input_hint); equally applicable to SimHash.
+
+    Scale shape (same family as minhash_lsh_pairs): the n_bits are
+    partitioned into ``n_bands`` contiguous bit ranges (default
+    max_hamming+1). Pigeonhole: a pair within ``max_hamming``
+    differing bits agrees exactly on at least one band, so candidate
+    recall is EXACT — no tuning loss. Band keys are ``fp & band_mask``
+    (masking, never shifting: identical two's-complement semantics in
+    Spark and the DuckDB oracle twin, no signed-shift edge cases).
+    One equi-join shuffle on (band, key) bounded by band fan-in, then
+    a narrow bit_count(xor) verify — candidates never carry payload
+    columns, only (id, fp).
+
+    Degenerate-bucket guard: OPT-IN (``max_bucket``), because this
+    returns final verified pairs — capping linearises giant buckets to
+    ``star_reps`` representatives and silently drops pairs not
+    anchored to one (round-2 ADVICE semantics; same contract as
+    embedding_near_dup).
+    """
+    if n_bands is None:
+        n_bands = max_hamming + 1
+    masks = _band_masks(n_bits, n_bands)
+    bands = F.array(*[
+        F.struct(
+            F.lit(i).alias("band"),
+            F.col(fp_col).bitwiseAND(F.lit(m).cast("long")).alias("key"))
+        for i, m in enumerate(masks)
+    ])
+    exploded = fps.select(
+        F.col(id_col), F.col(fp_col).cast("long").alias("_fp"),
+        F.explode(bands).alias("bk"),
+    ).select(id_col, "_fp", F.col("bk.band").alias("band"),
+             F.col("bk.key").alias("key"))
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        wo = Window.partitionBy("band", "key").orderBy(F.col(id_col).asc())
+        full_frame = wo.rowsBetween(Window.unboundedPreceding,
+                                    Window.unboundedFollowing)
+        tagged = exploded.select(
+            F.col(id_col), "_fp", "band", "key",
+            F.count("*").over(full_frame).alias("_n"),
+            F.row_number().over(wo).alias("_rank"))
+        small = tagged.where(F.col("_n") <= max_bucket).drop("_n", "_rank")
+        reps = (tagged.where((F.col("_n") > max_bucket)
+                             & (F.col("_rank") <= star_reps))
+                .drop("_n", "_rank"))
+        big = tagged.where(F.col("_n") > max_bucket).drop("_n", "_rank")
+        a = small.unionByName(reps).alias("a")
+        b = small.unionByName(big).alias("b")
+    else:
+        a = exploded.alias("a")
+        b = exploded.alias("b")
+    ham = F.bit_count(
+        F.col("a._fp").bitwiseXOR(F.col("b._fp"))).cast("int")
+    return (
+        a.join(b, ["band", "key"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def simhash(docs: DataFrame, text_col: str = "text",
             id_col: str = "doc_id", n_bits: int = 16) -> DataFrame:
     """SimHash over tokens: bit j of the hash is the sign of

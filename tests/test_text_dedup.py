@@ -139,6 +139,67 @@ def test_simhash_similar_docs_close(spark):
     assert ham(h[1], h[3]) >= 5
 
 
+def test_fingerprint_near_dup_exact_recall(spark):
+    """Pigeonhole banding loses NO pair within max_hamming: operator
+    output == brute-force O(n²) pairs on random + planted fps."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    fps = [rng.getrandbits(63) for _ in range(40)]
+    # plant near-dups: flip ≤ max_hamming random bits of existing fps
+    for src in (3, 11, 27):
+        v = fps[src]
+        for bit in rng.sample(range(63), 3):
+            v ^= 1 << bit
+        fps.append(v)
+    want = {
+        (i, j, bin(fps[i] ^ fps[j]).count("1"))
+        for i, j in itertools.combinations(range(len(fps)), 2)
+        if bin(fps[i] ^ fps[j]).count("1") <= 3
+    }
+    df = spark.createDataFrame(
+        list(enumerate(fps)), "doc_id long, fingerprint long")
+    got = {(r.id_a, r.id_b, r.hamming)
+           for r in D.fingerprint_near_dup(df, max_hamming=3).collect()}
+    assert got == want and len(want) >= 3
+
+
+def test_phash_near_dup_finds_perturbed_images(spark):
+    """P4 × dedup (the image axis): near-dup pairs over REAL decoded
+    pixels — perturbed copies land within hamming 6; distinct images
+    (~30 bits apart, calibrated) never pair."""
+    import numpy as np
+
+    from simplecrawler_spark.functions.images import phash64, synth_pixels
+
+    rows = []
+    for k in range(8):
+        pix = synth_pixels(k)
+        rows.append((2 * k, phash64(pix)))
+        nrng = np.random.default_rng(100 + k)
+        noisy = np.clip(
+            pix.astype(np.int16) + nrng.integers(-4, 5, pix.shape),
+            0, 255).astype(np.uint8)
+        rows.append((2 * k + 1, phash64(noisy)))
+    df = spark.createDataFrame(rows, "doc_id long, fingerprint long")
+    got = {(r.id_a, r.id_b)
+           for r in D.fingerprint_near_dup(df, max_hamming=6).collect()}
+    assert got == {(2 * k, 2 * k + 1) for k in range(8)}
+
+
+def test_fingerprint_near_dup_capped_star(spark):
+    """Opt-in degenerate-bucket guard: a bucket of n identical fps
+    linearises to n-1 star pairs (rep = min id) instead of n(n-1)/2."""
+    n = 12
+    df = spark.createDataFrame(
+        [(i, 0x5A5A) for i in range(n)], "doc_id long, fingerprint long")
+    full = D.fingerprint_near_dup(df, max_hamming=0).count()
+    star = D.fingerprint_near_dup(df, max_hamming=0, max_bucket=4).count()
+    assert full == n * (n - 1) // 2
+    assert star == n - 1
+
+
 def test_quality_and_lang(docs):
     out = docs.select(
         X.quality_score_expr(F.col("text")).alias("q"),
