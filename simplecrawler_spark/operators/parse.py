@@ -213,6 +213,145 @@ def extract_links_canonical(fetched: DataFrame, *, trim_query: bool = True,
     return fetched.select(*cols).mapInPandas(gen, schema)
 
 
+def _page_links_schema(with_found: bool) -> T.StructType:
+    link_fields = [
+        T.StructField("url_resolved", T.StringType()),
+        T.StructField("url_norm", T.StringType()),
+        T.StructField("authority", T.StringType()),
+        T.StructField("host", T.StringType()),
+    ]
+    if with_found:
+        link_fields.append(T.StructField("href_norm", T.StringType()))
+    return T.StructType([
+        T.StructField("url_norm", T.StringType()),
+        T.StructField("authority", T.StringType()),
+        T.StructField("depth", T.IntegerType()),
+        T.StructField("status", T.IntegerType()),
+        T.StructField("content_type", T.StringType()),
+        T.StructField("redirect_location", T.StringType()),
+        T.StructField("image_id", T.StringType()),
+        T.StructField("links", T.ArrayType(T.StructType(link_fields))),
+    ])
+
+
+def attach_links_canonical(fetched: DataFrame, *, trim_query: bool = True,
+                           trim_fragment: bool = True,
+                           record_redirects: bool = False,
+                           with_found: bool = False,
+                           parse_flag_col: str = "_parse") -> DataFrame:
+    """PAGE-grain fused parse: every fetched row comes back as one row
+    of fetch metadata plus a ``links array<struct>`` column holding the
+    page's trimmed/resolved/canonicalised out-links (same per-link
+    semantics as extract_links_canonical — shared inner loop contract,
+    pinned by the crawl suites).
+
+    This is the shape the crawl's per-round STAGING file wants: the
+    round's single full materialisation keeps page grain, so the
+    results/transcript/seed consumers scan pruned metadata columns,
+    the link consumers explode the ``links`` column, and the page BODY
+    — the only column whose sole consumer is this parse — never
+    round-trips through the staged parquet at all: it streams from the
+    fetcher straight into this stage's Arrow batches and is dropped on
+    output. (Round-3 A/B: staging bodies cost ~40% of crawl wall at
+    1M pages / local[8].)
+
+    ``parse_flag_col`` is a JVM-computed boolean (done ∧ parseable —
+    the owner derives it from cfg's status/MIME gates): rows where it
+    is false come back with ``links = []`` without the body ever
+    entering the Python HTML parser.
+    """
+    cols = ["url_norm", "url_raw", "authority", "depth", "status",
+            "content_type", "redirect_location", "image_id", "body",
+            parse_flag_col]
+    schema = _page_links_schema(with_found)
+
+    def gen(batches):
+        for pdf in batches:
+            out_links: list[list[dict]] = []
+            for (src_raw, src_norm, status, loc, body, do_parse) in zip(
+                    pdf["url_raw"], pdf["url_norm"], pdf["status"],
+                    pdf["redirect_location"], pdf["body"],
+                    pdf[parse_flag_col]):
+                if not do_parse:
+                    out_links.append([])
+                    continue
+                if (record_redirects and status is not None
+                        and 300 <= int(status) < 400 and loc is not None):
+                    hrefs = [loc]
+                elif body is None:
+                    hrefs = []
+                else:
+                    collector = _HrefCollector()
+                    try:
+                        collector.feed(body)
+                    except Exception:
+                        pass  # parity: bad HTML ignored (parser.py:39-42)
+                    hrefs = collector.hrefs
+                base = src_raw if src_raw is not None else src_norm
+                page_seen: set[str] = set()
+                links: list[dict] = []
+                for raw in hrefs:
+                    if with_found:
+                        href_norm = canon_parts(raw)[0]
+                        if href_norm in page_seen:
+                            continue
+                        page_seen.add(href_norm)
+                    if trim_query or trim_fragment:
+                        head, _, frag = raw.partition("#")
+                        if trim_query:
+                            head = head.partition("?")[0]
+                        trimmed = (head if trim_fragment or not frag
+                                   else f"{head}#{frag}")
+                    else:
+                        trimmed = raw
+                    if trimmed.startswith(("http://", "https://")):
+                        resolved = trimmed
+                    else:
+                        resolved = resolve_raw(base, trimmed)
+                    parts = canon_parts(resolved)
+                    if not with_found:
+                        if parts[0] in page_seen:
+                            continue
+                        page_seen.add(parts[0])
+                    link = {
+                        "url_resolved": (None if resolved == parts[0]
+                                         else resolved),
+                        "url_norm": parts[0],
+                        "authority": parts[2],
+                        "host": parts[3],
+                    }
+                    if with_found:
+                        link["href_norm"] = href_norm
+                    links.append(link)
+                out_links.append(links)
+            out = pdf[["url_norm", "authority", "depth", "status",
+                       "content_type", "redirect_location",
+                       "image_id"]].copy()
+            out["links"] = out_links
+            yield out
+
+    return fetched.select(*cols).mapInPandas(gen, schema)
+
+
+def explode_page_links(staged: DataFrame,
+                       with_found: bool = False) -> DataFrame:
+    """Staged page rows → LINKS_CANON_MIN link rows (plus href_norm in
+    log mode): the downstream half of attach_links_canonical. Pure
+    built-ins — explode drops link-less pages."""
+    extra = [F.col("l.href_norm").alias("href_norm")] if with_found else []
+    return (
+        staged.select(
+            F.col("url_norm").alias("src_url"),
+            F.col("authority").alias("src_authority"),
+            "depth", F.explode("links").alias("l"))
+        .select("src_url", "src_authority", "depth",
+                F.col("l.url_resolved").alias("url_resolved"),
+                F.col("l.url_norm").alias("url_norm"),
+                F.col("l.authority").alias("authority"),
+                F.col("l.host").alias("host"), *extra)
+    )
+
+
 def explode_links(fetched: DataFrame, src_url_col: str = "url_norm",
                   src_raw_col: str = "url_raw",
                   body_col: str = "body",

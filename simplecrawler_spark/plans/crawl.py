@@ -51,7 +51,9 @@ from simplecrawler_spark.config import CrawlConfig
 from simplecrawler_spark.functions.canonical import (
     canon_parts, url_hash,
 )
-from simplecrawler_spark.operators.parse import extract_links_canonical
+from simplecrawler_spark.operators.parse import (
+    attach_links_canonical, explode_page_links,
+)
 from simplecrawler_spark.operators.partitioning import repartition_salted
 from simplecrawler_spark.operators.politeness import (
     DELAY_MAP_MAX_AUTHORITIES, UNLIMITED_BUDGET, apply_global_budget,
@@ -391,28 +393,44 @@ class FrontierCrawler:
         fetch_in = repartition_salted(scheduled, n_parts,
                                       salt_buckets=cfg.salt_buckets)
 
-        # Fetch EXACTLY once, straight into a per-round staging file
-        # under the store root (tmpfs here; object store on a
-        # cluster). The results write, the seed check, and the parse
-        # chain are then column-pruned scans of this file. The
-        # previous design cached `fetched` and let the background
-        # results write race the parse chain to fill that cache —
-        # concurrent fill of a cold cache was measured (event logs,
-        # BENCH/ROUND3_NOTES.md) to nondeterministically duplicate the
-        # fetch join for 50-400 executor-seconds per incident; and
-        # with the network HttpFetcher a later cache miss would mean
-        # re-FETCHING live pages. Durable staging is the only
-        # fetch-once guarantee that also survives executor loss.
-        stage_dir = os.path.join(self.store.root, "stage", f"fetched-r{r}")
-        self.fetcher(fetch_in).write.parquet(stage_dir)
-        fetched = self.spark.read.parquet(stage_dir)
-        _mark("fetch_stage")
-
         cls = status_class_expr(F.col("status"))
         mime_ok = mime_ok_expr(F.col("content_type"), cfg.mime_types)
         done_cond = (cls == 2) | (
             (cls == 3) & F.lit(cfg.record_redirects)
             & F.col("redirect_location").isNotNull())
+        parse_cond = done_cond & (
+            mime_ok | ((cls == 3) & F.lit(cfg.record_redirects)))
+
+        # Fetch AND parse exactly once, fused, straight into a
+        # per-round PAGE-grain staging file under the store root
+        # (tmpfs here; object store on a cluster): fetch metadata
+        # columns plus a `links array<struct>` of the page's
+        # trimmed/resolved/canonicalised out-links. Every downstream
+        # consumer — results write, transcript, seed check, the
+        # dedupe/anti-join chain — is a column-pruned scan of this
+        # file. Two measured failure modes died here
+        # (BENCH/ROUND3_NOTES.md): (a) the round-2 design cached
+        # `fetched` and let the background results write race the
+        # parse chain to fill that cache, nondeterministically
+        # duplicating the fetch join for 50-400 executor-seconds per
+        # incident (the bimodal scaling noise); (b) staging RAW BODIES
+        # cost ~40% of crawl wall, since the body's only consumer is
+        # the parse — fusing the parse into the staging job means the
+        # body streams fetcher→Arrow→HTMLParser inside one stage and
+        # never touches storage. Durable staging is also the only
+        # fetch-once guarantee (a live HttpFetcher must never re-GET
+        # on cache miss) and the only handoff that survives executor
+        # loss.
+        stage_dir = os.path.join(self.store.root, "stage", f"fetched-r{r}")
+        attach_links_canonical(
+            self.fetcher(fetch_in).withColumn(
+                "_parse", F.coalesce(parse_cond, F.lit(False))),
+            trim_query=cfg.trim_query, trim_fragment=cfg.trim_fragment,
+            record_redirects=cfg.record_redirects,
+            with_found=cfg.crawl_log,
+        ).write.parquet(stage_dir)
+        fetched = self.spark.read.parquet(stage_dir)
+        _mark("fetch_stage")
 
         results_new = fetched.filter(done_cond).select(
             "url_norm", "status", "content_type",
@@ -457,28 +475,18 @@ class FrontierCrawler:
             self._done_seeds.update(row.url_norm for row in hit)
         _mark("seed_check")
 
-        # P1/P2/P3 + F12/F16/F8 + R3: page → candidate child urls —
-        # the whole Python chain fused into one mapInPandas stage
-        parse_cond = done_cond & (
-            mime_ok | ((cls == 3) & F.lit(cfg.record_redirects)))
-        pages = fetched.filter(parse_cond)
-        cand = extract_links_canonical(
-            pages, trim_query=cfg.trim_query,
-            trim_fragment=cfg.trim_fragment,
-            record_redirects=cfg.record_redirects, minimal=True,
-            with_found=cfg.crawl_log)
-        log_cand = None
+        # P1/P2/P3 + F12/F16/F8 + R3: the parse already ran inside the
+        # staging job — link rows are a pruned scan + explode of the
+        # staged `links` column (no Python stage, no persist)
+        cand = explode_page_links(fetched, with_found=cfg.crawl_log)
         if cfg.crawl_log:
-            # FOUND rows come from the pre-filter link grain; persist so
-            # the Python parse stage still runs exactly once
-            log_cand = cand.persist()
-            log_parts.append(log_cand.select(
+            log_parts.append(cand.select(
                 F.lit("FOUND").alias("event"),
                 F.col("href_norm").alias("url"),
                 F.col("src_url").alias("detail")))
             self.store.append("crawl_log", self._log_df(log_parts, r),
                               partition=f"r{r}")
-            cand = log_cand.drop("href_norm")
+            cand = cand.drop("href_norm")
         if cfg.same_authority_only:
             cand = cand.filter(F.col("authority") == F.col("src_authority"))
         cand = cand.withColumn("url_hash", url_hash(F.col("url_norm")))
@@ -628,8 +636,6 @@ class FrontierCrawler:
         if cache_sched:
             scheduled.unpersist(); deferred.unpersist()
         cand.unpersist()
-        if log_cand is not None:
-            log_cand.unpersist()
         shutil.rmtree(stage_dir, ignore_errors=True)
         return new_count + defer_count
 
