@@ -129,13 +129,15 @@ def pipeline_benches(spark, sf_dir: str) -> dict[str, float]:
     timings: dict[str, float] = {}
     names = ["q_canonicalize", "q_seen_antijoin", "q_politeness_window",
              "q_dedup_exact", "q_lsh_pairs", "q_simhash", "q_lang_quality",
-             "q_cosine_topk", "q_ann_lsh", "q_robots_gate"]
+             "q_cosine_topk", "q_ann_lsh", "q_robots_gate",
+             "q_phash_neardup"]
     qs = E.queries()
     for name in names:
         t0 = time.monotonic()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.monotonic() - t0, 3)
     timings["image_validate"] = image_bench(spark)
+    timings["image_neardup"] = image_neardup_bench(spark)
     timings.update(expiry_bench(spark))
     timings["lsh_pairs_capped"] = lsh_capped_bench(spark)
     return timings
@@ -163,6 +165,31 @@ def image_bench(spark, n_images: int = 4096) -> float:
     wall = time.monotonic() - t0
     assert ok == n_images, f"payload validation failed: {ok}/{n_images}"
     corpus.unpersist()
+    return round(wall, 3)
+
+
+def image_neardup_bench(spark, n_images: int = 4096) -> float:
+    """pHash near-dup over REAL stored fingerprints (axis B × dedup):
+    banded-Hamming candidate join + bit_count verify across the
+    corpus' phash column. The synthetic corpus has no planted
+    near-dups, so this times the full candidate/verify machinery at
+    its natural selectivity; correctness of found pairs is pinned by
+    tests/test_text_dedup.py on perturbed decoded images."""
+    from pyspark.sql import functions as F
+
+    from simplecrawler_spark.operators.dedup import fingerprint_near_dup
+    from simplecrawler_spark.sources.fixtures import synthetic_corpus
+
+    corpus = synthetic_corpus(spark, n_images=n_images)
+    fps = corpus.select(
+        F.col("image_id").alias("doc_id"),
+        F.col("phash").alias("fingerprint")).persist()
+    fps.count()  # corpus generation outside the timed window
+    t0 = time.monotonic()
+    (fingerprint_near_dup(fps, max_hamming=8)
+     .write.format("noop").mode("overwrite").save())
+    wall = time.monotonic() - t0
+    fps.unpersist()
     return round(wall, 3)
 
 
@@ -267,6 +294,33 @@ def run_crawl_only():
     spark.stop()
 
 
+_PROBE_SNIPPET = (
+    "import time,numpy as np;a=np.random.default_rng(1).random(2_000_000)\n"
+    "for _ in range(20): a=np.sqrt(a*a+1e-9)  # warm: freq ramp, faults\n"
+    "t=time.perf_counter()\n"
+    "for _ in range(120): a=np.sqrt(a*a+1e-9)\n"
+    "print(time.perf_counter()-t)")
+
+
+def cpu_capacity_probe(workers: int) -> float:
+    """Host-capacity control for the scaling protocol: run `workers`
+    concurrent single-thread numpy kernels; return the median
+    per-worker seconds. On a healthy box this is ~flat from 2 to 8
+    workers (32 guest cores); when the HOST is oversubscribed (steal
+    stays 0 under firecracker, so the guest cannot see it directly)
+    the 8-worker probe inflates while the 2-worker probe does not —
+    exactly the condition that depresses the 4N leg's throughput for
+    reasons unrelated to the code under test."""
+    import statistics
+    import subprocess
+
+    procs = [subprocess.Popen([sys.executable, "-c", _PROBE_SNIPPET],
+                              stdout=subprocess.PIPE, text=True)
+             for _ in range(workers)]
+    vals = [float(p.communicate()[0].strip()) for p in procs]
+    return round(statistics.median(vals), 3)
+
+
 def run_scaling():
     """BASELINE.md protocol: identical job at N vs 4N cores.
 
@@ -295,6 +349,7 @@ def run_scaling():
     trials: dict[str, list[dict]] = {lo: [], hi: []}
     for t in range(n_trials):
         for cpus in (lo, hi):  # alternate legs so drift hits both alike
+            probe = cpu_capacity_probe(int(cpus))
             env = dict(os.environ, SPARK_GRAFT_CPUS=cpus,
                        SPARK_GRAFT_PAGES=n_pages)
             out = subprocess.run(
@@ -302,8 +357,11 @@ def run_scaling():
                 env=env, capture_output=True, text=True, check=True)
             line = [l for l in out.stdout.splitlines()
                     if l.startswith("{")][-1]
-            trials[cpus].append(json.loads(line))
-            print(f"trial {t + 1} local[{cpus}]: {line}")
+            rec = json.loads(line)
+            rec["probe_sec"] = probe
+            trials[cpus].append(rec)
+            print(f"trial {t + 1} local[{cpus}]: probe={probe} {line}",
+                  flush=True)
 
     med = {c: statistics.median(r["urls_per_sec"] for r in trials[c])
            for c in (lo, hi)}
@@ -324,11 +382,21 @@ def run_scaling():
     specs = (f"{platform.machine()}, {os.cpu_count()} cores, "
              f"python {platform.python_version()}")
 
+    # host-capacity control: per-trial ratio of the 4N leg's probe to
+    # the N leg's (1.0 = host delivered both core counts equally;
+    # >1 = the 4N leg ran on an oversubscribed host and its depressed
+    # throughput is attributable to the box, not the code)
+    probe_infl = [
+        round(trials[hi][i]["probe_sec"] / trials[lo][i]["probe_sec"], 3)
+        for i in range(n_trials)]
+
     def leg_row(c, label):
         runs = ", ".join(str(r["urls_per_sec"]) for r in trials[c])
+        probes = ", ".join(str(r["probe_sec"]) for r in trials[c])
         d = trials[c][0]
         return (f"| local[{c}] ({label}) | {d['done']} | {d['seen']} "
-                f"| {runs} | **{med[c]}** | {round(med[c] / int(c), 1)} |\n")
+                f"| {runs} | **{med[c]}** | {round(med[c] / int(c), 1)} "
+                f"| {probes} |\n")
 
     body = (
         "# Scaling protocol run (N vs 4N cores — BASELINE.md)\n\n"
@@ -340,11 +408,14 @@ def run_scaling():
         f"{n_trials} alternating trials per leg, per-leg median "
         "(this box shows ±10% run-to-run variance — every trial shown)\n\n"
         "| config | pages done | urls deduped | urls/sec per trial | "
-        "median urls/sec | urls/sec per core |\n"
-        "|---|---|---|---|---|---|\n"
+        "median urls/sec | urls/sec per core | capacity probe s/worker |\n"
+        "|---|---|---|---|---|---|---|\n"
         + leg_row(lo, "N") + leg_row(hi, "4N") +
         f"\nper-trial efficiency (4N/N per back-to-back pair ÷ 4): "
         f"{', '.join(f'{e:.3f}' for e in per_trial_eff)}\n\n"
+        f"per-trial host-capacity inflation (4N probe ÷ N probe, "
+        f"1.0 = host delivered both equally): "
+        f"{', '.join(f'{p:.3f}' for p in probe_infl)}\n\n"
         f"**median per-leg urls/sec: N={t_lo}, 4N={t_hi}; scaling "
         f"efficiency (median of per-trial ratios) = {eff:.2f}** "
         "(gate: ≥ 0.8). Per-trial ratios are used because the box "
@@ -367,6 +438,7 @@ def run_scaling():
                                  for c in (lo, hi)},
                       "per_trial_efficiency": [round(e, 3)
                                                for e in per_trial_eff],
+                      "probe_inflation": probe_infl,
                       "scaling_efficiency": round(eff, 3)}))
 
 
