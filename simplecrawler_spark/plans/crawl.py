@@ -422,13 +422,18 @@ class FrontierCrawler:
         # on cache miss) and the only handoff that survives executor
         # loss.
         stage_dir = os.path.join(self.store.root, "stage", f"fetched-r{r}")
+        # mode=overwrite: a crash between this write and the round's
+        # snapshot commit leaves the stage dir behind (unlike table
+        # appends, which go to fresh uuid dirs the manifest never
+        # references); the resumed round REPLAYS round r and must be
+        # able to clobber the orphan instead of dying on path-exists
         attach_links_canonical(
             self.fetcher(fetch_in).withColumn(
                 "_parse", F.coalesce(parse_cond, F.lit(False))),
             trim_query=cfg.trim_query, trim_fragment=cfg.trim_fragment,
             record_redirects=cfg.record_redirects,
             with_found=cfg.crawl_log,
-        ).write.parquet(stage_dir)
+        ).write.mode("overwrite").parquet(stage_dir)
         fetched = self.spark.read.parquet(stage_dir)
         _mark("fetch_stage")
 

@@ -5,6 +5,8 @@ engine on table-driven site graphs (FIXTURES.md §1).
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -329,6 +331,36 @@ def test_resume_identical_final_state(spark, tmp_path):
                  CrawlConfig(max_per_host_per_round=2, max_rounds=50))
     assert resumed.result_urls() == full.result_urls()
     assert partial.issubset(resumed.result_urls())
+
+
+def test_resume_over_orphan_stage_dir(spark, tmp_path):
+    """A crash BETWEEN the round's staging write and its snapshot
+    commit leaves stage/fetched-r{r} behind (fixed name, unlike table
+    appends which go to fresh uuid dirs the manifest never points at).
+    The resumed crawl replays round r and must clobber the orphan —
+    mode=overwrite on the staging write — instead of dying on
+    path-already-exists, and still reach the uninterrupted final
+    state."""
+    cfg = CrawlConfig(max_per_host_per_round=2, max_rounds=2)
+    rows = crawler_server_rows(BASE)
+    crawler = crawl(spark, tmp_path / "killed", rows, BASE, cfg)
+
+    # simulate the crashed attempt's leftover: the resumed crawl's
+    # first round is latest_round+1, and its stage write targets this
+    # exact path. Junk content proves it is overwritten, not read.
+    nxt = crawler.store.latest_round() + 1
+    orphan = os.path.join(crawler.store.root, "stage", f"fetched-r{nxt}")
+    spark.range(3).write.parquet(orphan)
+
+    cfg2 = CrawlConfig(max_per_host_per_round=2, max_rounds=50)
+    fetcher = TableFetcher(site_graph_df(spark, rows), cfg2)
+    resumed = FrontierCrawler.resume(
+        spark, fetcher, str(tmp_path / "killed" / "crawl"), cfg2)
+    resumed.continue_crawl()
+
+    full = crawl(spark, tmp_path / "full", rows, BASE,
+                 CrawlConfig(max_per_host_per_round=2, max_rounds=50))
+    assert resumed.result_urls() == full.result_urls()
 
 
 def test_expire_and_recrawl(spark, tmp_path):
