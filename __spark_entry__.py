@@ -222,6 +222,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_dedup_exact(spark, sf):
         return D.exact_dedup(_t(spark, sf, "documents"))
 
+    def q_corpus_clean(spark, sf):
+        """Composite pipeline stage: lang gate → quality gate → exact
+        dup collapse in one declarative plan (operators/dedup.py
+        clean_corpus)."""
+        return D.clean_corpus(_t(spark, sf, "documents"),
+                              lang="en", min_quality=0.5)
+
     def q_minhash(spark, sf):
         docs = _t(spark, sf, "documents").where(F.col("doc_id") < 100)
         return D.minhash_signature(docs, n_hashes=4)
@@ -384,6 +391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_trim_resolve": q_trim_resolve,
         "q_filter_by": q_filter_by,
         "q_dedup_exact": q_dedup_exact,
+        "q_corpus_clean": q_corpus_clean,
         "q_minhash": q_minhash,
         "q_lsh_pairs": q_lsh_pairs,
         "q_ngram_jaccard": q_ngram_jaccard,
@@ -567,6 +575,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT {_ORACLE_FP} AS fingerprint,
                    min(doc_id) AS keep_id, count(*) AS n_dups
             FROM documents GROUP BY 1
+        """,
+        "q_corpus_clean": f"""
+            WITH t AS (
+              SELECT doc_id, text, {toks} AS toks FROM documents
+            ), g AS (
+              SELECT doc_id, {_ORACLE_FP} AS fingerprint,
+                     len(toks)::BIGINT AS n_tokens
+              FROM t
+              WHERE (case when {marker_ratio} >= 0.15
+                          then 'en' else 'other' end) = 'en'
+                AND {quality} >= 0.5
+            )
+            SELECT fingerprint, min(doc_id) AS keep_id,
+                   min(n_tokens) AS n_tokens, count(*) AS n_dups
+            FROM g GROUP BY fingerprint
         """,
         "q_minhash": sig_cte.format(lim=100) + "SELECT * FROM sig",
         "q_lsh_pairs": sig_cte.format(lim=200) + """

@@ -23,7 +23,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from simplecrawler_spark.functions.text import (
-    fingerprint_expr, hash_hex16, hash_long60, tokens_expr,
+    fingerprint_expr, hash_hex16, hash_long60, lang_id_expr,
+    quality_score_expr, token_count_expr, tokens_expr,
 )
 
 
@@ -35,6 +36,42 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
                     .alias("fingerprint"))
         .groupBy("fingerprint")
         .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def clean_corpus(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", lang: str = "en",
+                 min_quality: float = 0.5) -> DataFrame:
+    """Composite training-corpus cleaning stage: language gate →
+    quality gate → exact-duplicate collapse (min-id survivor per
+    normalised-text fingerprint) — the composition a crawl corpus
+    runs between crawling and tokenisation, as ONE declarative plan.
+
+    Returns one row per surviving document:
+    (fingerprint, keep_id, n_tokens, n_dups).
+
+    Scale shape: both gates are pure JVM expressions evaluated in the
+    scan projection (column pruning reads only id+text; no Python);
+    everything that reaches the single groupBy shuffle is
+    (fingerprint, id, n_tokens) — 32 hex chars and two longs per
+    gate-surviving row, never the text. n_tokens is a function of the
+    normalised text, hence constant within a fingerprint group —
+    min() is used only to stay deterministic across engines.
+    """
+    q = quality_score_expr(F.col(text_col))
+    gated = (
+        docs.where(lang_id_expr(F.col(text_col)) == lang)
+        .where(q >= min_quality)
+        .select(F.col(id_col),
+                fingerprint_expr(F.col(text_col)).alias("fingerprint"),
+                token_count_expr(F.col(text_col)).cast("long")
+                .alias("n_tokens"))
+    )
+    return (
+        gated.groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keep_id"),
+             F.min("n_tokens").alias("n_tokens"),
+             F.count("*").alias("n_dups"))
     )
 
 

@@ -234,3 +234,34 @@ def test_ann_lsh_recall_vs_bruteforce(embeddings):
                     S.cosine_topk(embeddings, query, 500).collect()}
     for r in S.ann_lsh_topk(embeddings, query, 10, n_planes=6).collect():
         assert r.cosine == pytest.approx(exact_scores[r.vec_id], abs=1e-6)
+
+
+def test_clean_corpus_gates_and_collapses(spark):
+    base = ("the table holds data and the query scans the value rows "
+            "in order to find the key columns for this test case and "
+            "the data is good")
+    dup = base.upper().replace(" ", "  ") + "!!!"   # same normalised text
+    nonen = ("zzz qqq xxx www vvv uuu ttt sss rrr qqq ppp ooo nnn mmm "
+             "lll kkk jjj iii hhh ggg fff eee ddd ccc bbb aaa zzz qqq "
+             "xxx www vvv uuu ttt sss")              # no EN markers
+    lowq = "a an of to in is on"                     # short, tiny tokens
+    df = spark.createDataFrame(
+        [(1, base), (2, dup), (3, nonen), (4, lowq)], ["doc_id", "text"])
+    rows = D.clean_corpus(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.keep_id == 1 and r.n_dups == 2
+    assert r.n_tokens == len(base.split())
+
+
+def test_clean_corpus_matches_duckdb_on_testdata(docs, sf001_dir):
+    got = D.clean_corpus(docs).agg(
+        F.count("*").alias("groups"), F.sum("n_dups").alias("kept"),
+        F.sum("n_tokens").alias("toks")).first()
+    import __spark_entry__ as E
+    sql = E.oracle_sql()["q_corpus_clean"].replace(
+        "documents", f"'{sf001_dir}/documents.parquet'")
+    want = duckdb.sql(
+        f"select count(*), sum(n_dups), sum(n_tokens) from ({sql})"
+    ).fetchone()
+    assert (got.groups, got.kept, got.toks) == want
