@@ -237,6 +237,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
         return D.minhash_lsh_pairs(docs, n_hashes=4, band_rows=2)
 
+    def q_dedup_components(spark, sf):
+        """Dedup clustering: LSH candidate pairs → connected
+        components → one survivor (min id) per component
+        (operators/dedup.py connected_components — iterative min-label
+        propagation, one join+min-agg shuffle per round)."""
+        docs = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
+        pairs = D.minhash_lsh_pairs(docs, n_hashes=4, band_rows=2)
+        return D.connected_components(pairs)
+
     def q_ngram_jaccard(spark, sf):
         docs = _t(spark, sf, "documents")
         pairs = (docs.where(F.col("doc_id") % 10 == 0)
@@ -280,6 +289,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .groupBy("lang")
                 .agg(F.sum(F.col("tc").cast("long")).alias("total_tokens"),
                      F.countDistinct("fp").alias("n_fp")))
+
+    def q_repetition(spark, sf):
+        """Gopher-style repetition filters (functions/text.py): dup-
+        token fraction + top-2-gram fraction, floor-scaled to int64
+        for engine-portable comparison; keep-flag derived from the
+        scaled values so both engines threshold identical integers."""
+        docs = _t(spark, sf, "documents")
+        dup = F.floor(X.dup_token_frac_expr(F.col("text")) * 1000000) \
+               .cast("long")
+        top = F.floor(X.top_bigram_frac_expr(F.col("text")) * 1000000) \
+               .cast("long")
+        return (docs.select("doc_id", dup.alias("dup_scaled"),
+                            top.alias("topbg_scaled"))
+                .withColumn("keep", (F.col("dup_scaled") <= 300000)
+                            & (F.col("topbg_scaled") <= 200000)))
+
+    def q_hash_split(spark, sf):
+        """Deterministic train/val/test assignment from the stable
+        doc_id key (functions/text.py split_assign_expr): pure
+        per-row expression, no shuffle, stable under corpus growth."""
+        docs = _t(spark, sf, "documents")
+        return docs.select(
+            "doc_id",
+            X.split_assign_expr(
+                F.col("doc_id"),
+                {"train": 0.8, "val": 0.1, "test": 0.1}).alias("split"))
+
+    def q_span_dedup(spark, sf):
+        """C4-style cross-document span dedup (operators/dedup.py
+        span_dedup). The synthetic documents carry no newlines, so
+        both engines first inject deterministic line breaks (after
+        every 'table ' token) — the operator then keeps one corpus-
+        wide occurrence per distinct span and reassembles documents."""
+        docs = _t(spark, sf, "documents").select(
+            "doc_id",
+            F.regexp_replace("text", "table ", "table\n").alias("text"))
+        return D.span_dedup(docs, min_chars=20)
 
     def q_cosine_topk(spark, sf):
         emb = _t(spark, sf, "embeddings")
@@ -394,11 +440,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_corpus_clean": q_corpus_clean,
         "q_minhash": q_minhash,
         "q_lsh_pairs": q_lsh_pairs,
+        "q_dedup_components": q_dedup_components,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_simhash": q_simhash,
         "q_phash_neardup": q_phash_neardup,
         "q_lang_quality": q_lang_quality,
         "q_token_stats": q_token_stats,
+        "q_repetition": q_repetition,
+        "q_span_dedup": q_span_dedup,
+        "q_hash_split": q_hash_split,
         "q_cosine_topk": q_cosine_topk,
         "q_embedding_norms": q_embedding_norms,
         "q_ann_lsh": q_ann_lsh,
@@ -605,6 +655,33 @@ def oracle_sql() -> dict[str, str]:
               ON a.band = b.band AND a.key = b.key
               AND a.doc_id < b.doc_id
         """,
+        "q_dedup_components": sig_cte.format(lim=200).replace(
+            "WITH", "WITH RECURSIVE", 1) + """
+            , bands AS (
+              SELECT doc_id, 0 AS band, mh0 || '|' || mh1 AS key FROM sig
+              WHERE mh0 IS NOT NULL
+              UNION ALL
+              SELECT doc_id, 1, mh2 || '|' || mh3 FROM sig
+              WHERE mh0 IS NOT NULL
+            ), e0 AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.key = b.key
+                AND a.doc_id < b.doc_id
+            ), e AS (
+              SELECT id_a AS src, id_b AS dst FROM e0
+              UNION
+              SELECT id_b, id_a FROM e0
+            ), reach(id, comp) AS (
+              SELECT src, src FROM e
+              UNION
+              SELECT e.src, reach.comp
+              FROM e JOIN reach ON e.dst = reach.id
+            )
+            SELECT id::BIGINT AS doc_id, min(comp)::BIGINT AS component,
+                   (id = min(comp)) AS is_survivor
+            FROM reach GROUP BY id
+        """,
         "q_ngram_jaccard": f"""
             WITH t AS (
               SELECT doc_id, list_distinct({sh.replace('toks', _ORACLE_TOKS)})
@@ -677,6 +754,78 @@ def oracle_sql() -> dict[str, str]:
                    sum(len({toks}))::BIGINT AS total_tokens,
                    count(DISTINCT {_ORACLE_FP}) AS n_fp
             FROM documents GROUP BY 1
+        """,
+        "q_repetition": f"""
+            WITH t AS (
+              SELECT doc_id, {toks} AS toks FROM documents
+            ), b AS (
+              SELECT doc_id, toks,
+                     list_transform(range(1, greatest(len(toks), 1)),
+                                    i -> toks[i] || ' ' || toks[i + 1])
+                       AS bg
+              FROM t
+            ), s AS (
+              SELECT doc_id,
+                floor(1000000 * (case when len(toks) > 0 then
+                  (len(toks) - len(list_distinct(toks)))::DOUBLE
+                    / len(toks) else 0.0 end))::BIGINT AS dup_scaled,
+                floor(1000000 * (case when len(bg) > 0 and
+                  list_max(list_transform(list_distinct(bg),
+                    x -> len(list_filter(bg, y -> y = x)))) >= 2 then
+                  list_max(list_transform(list_distinct(bg),
+                    x -> len(list_filter(bg, y -> y = x))))::DOUBLE
+                    / len(bg) else 0.0 end))::BIGINT AS topbg_scaled
+              FROM b
+            )
+            SELECT doc_id, dup_scaled, topbg_scaled,
+                   (dup_scaled <= 300000 AND topbg_scaled <= 200000)
+                     AS keep
+            FROM s
+        """,
+        "q_hash_split": """
+            SELECT doc_id,
+                   CASE
+                     WHEN b < 800000 THEN 'train'
+                     WHEN b < 900000 THEN 'val'
+                     WHEN b < 1000000 THEN 'test'
+                   END AS split
+            FROM (
+              SELECT doc_id,
+                     ('0x' || substr(md5('split|' || doc_id::VARCHAR),
+                                     1, 15))::BIGINT % 1000000 AS b
+              FROM documents)
+        """,
+        "q_span_dedup": """
+            WITH pre AS (
+              SELECT doc_id,
+                     regexp_replace(text, 'table ', 'table' || chr(10),
+                                    'g') AS text
+              FROM documents
+            ), arrs AS (
+              SELECT doc_id, string_split(text, chr(10)) AS sp FROM pre
+            ), sp AS (
+              SELECT doc_id, unnest(sp) AS span,
+                     unnest(range(0, len(sp))) AS idx
+              FROM arrs
+            ), m AS (
+              SELECT doc_id, idx, span, md5(span) AS h,
+                     length(span) >= 20 AS ded
+              FROM sp
+            ), k AS (
+              SELECT doc_id, idx, span FROM m
+              QUALIFY (NOT ded) OR row_number() OVER (
+                  PARTITION BY h ORDER BY doc_id, idx) = 1
+            ), g AS (
+              SELECT doc_id,
+                     string_agg(span, chr(10) ORDER BY idx) AS text_dedup,
+                     count(*)::BIGINT AS n_kept
+              FROM k GROUP BY doc_id
+            )
+            SELECT arrs.doc_id,
+                   coalesce(g.text_dedup, '') AS text_dedup,
+                   len(arrs.sp)::BIGINT AS n_spans,
+                   coalesce(g.n_kept, 0)::BIGINT AS n_kept
+            FROM arrs LEFT JOIN g USING (doc_id)
         """,
         "q_cosine_topk": f"""
             SELECT vec_id,

@@ -88,6 +88,59 @@ def fingerprint_expr(text: Column) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# repetition signals (Gopher-style quality filters; Rae et al. 2021)
+# ---------------------------------------------------------------------------
+
+def dup_token_frac_expr(text: Column) -> Column:
+    """Fraction of tokens that are repeats of an earlier token:
+    1 - distinct/total. The cheapest within-document repetition signal
+    a pretraining filter uses (the line-level variant degenerates on
+    single-line documents, so the token-level form is the portable
+    one). Pure expressions — per-row cost bounded by document length,
+    no shuffle."""
+    toks = tokens_expr(text)
+    n = F.size(toks)
+    return F.when(
+        n > 0,
+        (n - F.size(F.array_distinct(toks))).cast("double") / n
+    ).otherwise(F.lit(0.0))
+
+
+def _bigrams_expr(toks: Column) -> Column:
+    """Token 2-grams via slice+zip_with (no positional element_at, so
+    ANSI mode can never raise on short documents)."""
+    m = F.greatest(F.size(toks) - 1, F.lit(0))
+    return F.zip_with(F.slice(toks, 1, m), F.slice(toks, 2, m),
+                      lambda a, b: F.concat(a, F.lit(" "), b))
+
+
+def top_bigram_frac_expr(text: Column) -> Column:
+    """Fraction of token 2-grams taken by the single most frequent
+    2-gram (the Gopher top-2-gram filter), floored at zero when that
+    2-gram occurs only once — a 2-gram seen once is not repetition,
+    and without the floor every document shorter than 1/threshold
+    bigrams trips the gate. Counting is O(d·u) per row in the
+    distinct-2-gram count u — bounded by document length,
+    embarrassingly parallel, nothing crosses rows."""
+    bg = _bigrams_expr(tokens_expr(text))
+    n_bg = F.size(bg)
+    top = F.array_max(F.transform(
+        F.array_distinct(bg),
+        lambda x: F.size(F.filter(bg, lambda y: y == x))))
+    return F.when((n_bg > 0) & (top >= 2),
+                  top.cast("double") / n_bg).otherwise(F.lit(0.0))
+
+
+def repetition_keep_expr(text: Column, max_dup: float = 0.3,
+                         max_top_bigram: float = 0.2) -> Column:
+    """Boolean keep-flag combining both repetition signals at the
+    published Gopher thresholds (dup fraction ≤ 0.3, top-2-gram
+    fraction ≤ 0.2)."""
+    return (dup_token_frac_expr(text) <= max_dup) & \
+        (top_bigram_frac_expr(text) <= max_top_bigram)
+
+
+# ---------------------------------------------------------------------------
 # portable hash primitives (shared contract with the DuckDB oracle)
 # ---------------------------------------------------------------------------
 
@@ -103,3 +156,37 @@ def hash_long60(col: Column, salt: str = "") -> Column:
     Oracle twin: ('0x' || substr(md5(salt||x),1,15))::BIGINT"""
     base = F.concat(F.lit(salt), col) if salt else col
     return F.conv(F.substring(F.md5(base), 1, 15), 16, 10).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# deterministic corpus splitting (train/val/test assignment)
+# ---------------------------------------------------------------------------
+
+SPLIT_BUCKETS = 1_000_000
+
+
+def split_assign_expr(key: Column, fractions: dict[str, float],
+                      salt: str = "split|") -> Column:
+    """Deterministic split label from a stable key: hash the key into
+    one of SPLIT_BUCKETS buckets and assign by cumulative fraction
+    ranges. The assignment is a pure per-row expression — reproducible
+    across runs, engines, cluster sizes, and row order (what
+    rand()-based sampling is NOT), shuffle-free, and stable under
+    corpus growth: a document's split never changes when other
+    documents are added, so eval contamination can't creep in between
+    pipeline runs. Keys beyond the last cumulative fraction get NULL
+    (dropped rows), so fractions may sum to < 1 for subsampling.
+    """
+    total = sum(fractions.values())
+    if not 0 < total <= 1 + 1e-9:
+        raise ValueError(f"fractions must sum to (0, 1], got {total}")
+    bucket = hash_long60(key.cast("string"), salt) % SPLIT_BUCKETS
+    expr = F.lit(None).cast("string")
+    cum = 0.0
+    conds = []
+    for name, frac in fractions.items():
+        cum += frac
+        conds.append((int(round(cum * SPLIT_BUCKETS)), name))
+    for bound, name in reversed(conds):
+        expr = F.when(bucket < bound, F.lit(name)).otherwise(expr)
+    return expr

@@ -1,5 +1,6 @@
 """Deduplication operators for the training-data pipeline: exact,
-MinHash+LSH, SimHash, n-gram Jaccard.
+MinHash+LSH, SimHash, n-gram Jaccard, C4-style span dedup, and
+connected-components clustering (pairs → survivor decisions).
 
 All hot paths are Spark built-ins (split/transform/slice/md5/array_min
 — whole-stage codegen); no Python UDFs anywhere. Each operator has a
@@ -72,6 +73,75 @@ def clean_corpus(docs: DataFrame, text_col: str = "text",
         .agg(F.min(id_col).alias("keep_id"),
              F.min("n_tokens").alias("n_tokens"),
              F.count("*").alias("n_dups"))
+    )
+
+
+def span_dedup(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", sep: str = "\n",
+               min_chars: int = 20) -> DataFrame:
+    """C4-style cross-document span dedup (Raffel et al. 2020 §2.2
+    "we discarded all but one of any three-sentence span occurring
+    more than once", at line/paragraph grain): split every document
+    on ``sep``, keep exactly ONE occurrence of each distinct span
+    corpus-wide — the lexicographically first (min doc id, then
+    position) — and reassemble the surviving spans in document order.
+
+    Spans shorter than ``min_chars`` characters are exempt (always
+    kept): they are separators/stubs, not content, and deduping them
+    would corrupt every document's structure.
+
+    Returns (doc_id, text_dedup, n_spans, n_kept) — one row per input
+    document (a document whose every span lost still appears, with
+    empty text_dedup and n_kept 0).
+
+    Scale shape: spans are keyed by md5, so the winner aggregate
+    shuffles (hash, id, idx) — never span text; min(struct) is
+    map-side combinable, so boilerplate spans repeated 10^9 times
+    arrive at the reducer as one partial per map task (no skew blow-
+    up). The join back is an equi-join on the hash (AQE can broadcast
+    a small winner side), and reassembly is one groupBy on doc id.
+    Three shuffles total, each carrying hashes/ids plus each span's
+    text exactly once.
+    """
+    import re as _re
+
+    spans = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep)))
+        .alias("idx", "span"),
+    ).select(
+        id_col, "idx", "span",
+        F.md5(F.col("span")).alias("_h"),
+        (F.length("span") >= min_chars).alias("_ded"),
+    )
+    winners = (spans.where(F.col("_ded"))
+               .groupBy("_h")
+               .agg(F.min(F.struct(F.col(id_col).alias("i"),
+                                   F.col("idx").alias("x"))).alias("_w")))
+    kept = (
+        spans.join(winners, "_h", "left")
+        .where((~F.col("_ded"))
+               | (F.struct(F.col(id_col).alias("i"),
+                           F.col("idx").alias("x")) == F.col("_w")))
+    )
+    surviving = F.array_sort(F.collect_list(F.struct("idx", "span")))
+    agg = kept.groupBy(id_col).agg(
+        F.concat_ws(sep, F.transform(surviving, lambda s: s["span"]))
+        .alias("text_dedup"),
+        F.count("*").cast("long").alias("n_kept"))
+    # left join from the source docs: a document whose every span lost
+    # must still appear (empty), and n_spans comes from the source
+    # text, not the survivors
+    return (
+        docs.select(
+            F.col(id_col),
+            F.size(F.split(F.col(text_col), _re.escape(sep)))
+            .cast("long").alias("n_spans"))
+        .join(agg, id_col, "left")
+        .select(id_col,
+                F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+                "n_spans",
+                F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"))
     )
 
 
@@ -210,6 +280,63 @@ def ngram_jaccard(pairs: DataFrame, docs: DataFrame,
         "id_a", "id_b",
         F.when(union > 0, inter.cast("double") / union)
         .otherwise(F.lit(0.0)).alias("jaccard"))
+
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b",
+                         max_iter: int = 25) -> DataFrame:
+    """Connected components over an undirected near-dup pair graph —
+    the clustering stage that turns candidate/verified PAIRS into a
+    dedup DECISION (one survivor per component). Returns
+    (doc_id, component, is_survivor) for every vertex that appears in
+    ``pairs``; component = min doc id of the component, survivor =
+    the vertex equal to its component label.
+
+    Algorithm: iterative min-label propagation — each round every
+    vertex takes the min of its own label and its neighbours' labels;
+    at fixpoint every vertex holds its component's min id. Rounds
+    needed = graph diameter, which for near-dup graphs is small by
+    construction (LSH buckets are cliques or — capped — stars, so
+    components are unions of overlapping cliques; single digits in
+    practice). ``max_iter`` bounds pathological chains; hitting it
+    raises rather than returning wrong labels.
+
+    Scale shape: one equi-join + one map-side-combinable min-agg per
+    round (labels carry (id:long, label:long) only); lineage is cut
+    every round with localCheckpoint so the plan stays flat, and the
+    convergence check (sum of changed flags) is a cheap scan of that
+    already-materialised round result, not a recompute. Edges are
+    materialised once, both directions, deduped.
+    """
+    edges = pairs.select(F.col(id_a).cast("long").alias("src"),
+                         F.col(id_b).cast("long").alias("dst"))
+    edges = (edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct().localCheckpoint(eager=True))
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+              .select("id", F.col("id").alias("label"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        nbr = (edges.join(labels, edges.dst == labels.id)
+               .groupBy("src").agg(F.min("label").alias("nbr_min")))
+        merged = (labels.join(nbr, labels.id == nbr.src, "left")
+                  .select(labels.id,
+                          F.least("label", F.coalesce("nbr_min", "label"))
+                          .alias("new_label"),
+                          (F.col("label") != F.least(
+                              "label", F.coalesce("nbr_min", "label")))
+                          .cast("int").alias("chg"))
+                  .localCheckpoint(eager=True))
+        changed = merged.agg(F.sum("chg")).first()[0] or 0
+        labels = merged.select("id", F.col("new_label").alias("label"))
+        if changed == 0:
+            return labels.select(
+                F.col("id").alias("doc_id"),
+                F.col("label").alias("component"),
+                (F.col("id") == F.col("label")).alias("is_survivor"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        "(pathological chain graph — raise max_iter)")
 
 
 def _band_masks(n_bits: int, n_bands: int) -> list[int]:

@@ -254,6 +254,154 @@ def test_clean_corpus_gates_and_collapses(spark):
     assert r.n_tokens == len(base.split())
 
 
+def test_split_assign_deterministic_and_proportional(spark):
+    df = spark.range(10_000).select(F.col("id").alias("doc_id"))
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = df.select(
+        "doc_id", X.split_assign_expr(F.col("doc_id"), fr).alias("s"))
+    counts = {r.s: r.n for r in
+              out.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}       # no NULL bucket
+    assert abs(counts["train"] / 10_000 - 0.8) < 0.02
+    assert abs(counts["val"] / 10_000 - 0.1) < 0.01
+    # determinism: same key -> same split on a re-shuffled frame
+    again = {r.doc_id: r.s for r in
+             df.repartition(7).select(
+                 "doc_id",
+                 X.split_assign_expr(F.col("doc_id"), fr).alias("s"))
+             .collect()}
+    first = {r.doc_id: r.s for r in out.collect()}
+    assert first == again
+    # subsampling: fractions summing < 1 leave a NULL remainder
+    sub = df.select(X.split_assign_expr(
+        F.col("doc_id"), {"sample": 0.25}).alias("s"))
+    n_null = sub.where(F.col("s").isNull()).count()
+    assert abs(n_null / 10_000 - 0.75) < 0.02
+    with pytest.raises(ValueError):
+        X.split_assign_expr(F.col("doc_id"), {"a": 0.9, "b": 0.2})
+
+
+def test_connected_components_planted(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3),           # chain
+         (10, 11),                 # isolated edge
+         (20, 21), (21, 22), (20, 22)],  # triangle
+        ["id_a", "id_b"])
+    got = {r.doc_id: (r.component, r.is_survivor)
+           for r in D.connected_components(pairs).collect()}
+    assert got == {1: (1, True), 2: (1, False), 3: (1, False),
+                   10: (10, True), 11: (10, False),
+                   20: (20, True), 21: (20, False), 22: (20, False)}
+
+
+def test_connected_components_long_chain_and_empty(spark):
+    # a 30-vertex chain needs ~30 propagation rounds at max_iter=25 →
+    # must raise, not return wrong labels
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], ["id_a", "id_b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(chain, max_iter=3)
+    assert D.connected_components(chain, max_iter=40).count() == 31
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert D.connected_components(empty).count() == 0
+
+
+def test_dedup_components_match_duckdb_on_testdata(spark, sf001_dir):
+    import __spark_entry__ as E
+    got = sorted(
+        tuple(r) for r in E.queries()["q_dedup_components"](
+            spark, sf001_dir).collect())
+    sql = E.oracle_sql()["q_dedup_components"].replace(
+        "documents", f"'{sf001_dir}/documents.parquet'")
+    want = sorted(tuple(r) for r in duckdb.sql(sql).fetchall())
+    assert got == want
+
+
+def test_span_dedup_planted(spark):
+    shared = "alpha beta gamma delta epsilon"     # 30 chars, dedupable
+    df = spark.createDataFrame(
+        [(1, f"{shared}\nshort\nzeta eta theta iota kappa"),
+         (2, f"{shared}\nunique second line of doc two"),
+         (3, shared)],                            # every span loses
+        ["doc_id", "text"])
+    got = {r.doc_id: r for r in D.span_dedup(df).collect()}
+    # doc 1 wins the shared span (min doc_id); 'short' is exempt
+    assert got[1].text_dedup == \
+        f"{shared}\nshort\nzeta eta theta iota kappa"
+    assert got[1].n_spans == 3 and got[1].n_kept == 3
+    # doc 2 loses its first span, keeps its unique one
+    assert got[2].text_dedup == "unique second line of doc two"
+    assert got[2].n_spans == 2 and got[2].n_kept == 1
+    # doc 3 loses everything but still appears
+    assert got[3].text_dedup == "" and got[3].n_kept == 0
+    assert got[3].n_spans == 1
+
+
+def test_span_dedup_exempts_short_spans(spark):
+    # identical sub-min_chars spans survive in EVERY document
+    df = spark.createDataFrame(
+        [(1, "tiny\nshared long span of document text"),
+         (2, "tiny\nanother unique long span here")],
+        ["doc_id", "text"])
+    got = {r.doc_id: r for r in D.span_dedup(df).collect()}
+    assert got[1].text_dedup.startswith("tiny\n")
+    assert got[2].text_dedup.startswith("tiny\n")
+
+
+def test_span_dedup_matches_duckdb_on_testdata(docs, sf001_dir):
+    pre = docs.select(
+        "doc_id",
+        F.regexp_replace("text", "table ", "table\n").alias("text"))
+    got = D.span_dedup(pre).agg(
+        F.sum("n_spans").alias("sp"), F.sum("n_kept").alias("kp"),
+        F.sum(F.md5("text_dedup").substr(1, 8).cast("string").isNotNull()
+              .cast("long")).alias("n"),
+        F.sum(F.length("text_dedup")).alias("chars")).first()
+    import __spark_entry__ as E
+    sql = E.oracle_sql()["q_span_dedup"].replace(
+        "documents", f"'{sf001_dir}/documents.parquet'")
+    want = duckdb.sql(
+        f"select sum(n_spans), sum(n_kept), count(*),"
+        f" sum(length(text_dedup)) from ({sql})").fetchone()
+    assert (got.sp, got.kp, got.n, got.chars) == want
+
+
+def test_repetition_signals_planted(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a a"),                 # dup 3/4; top bigram "a a" 3/3
+         (2, "one two three four"),      # no repetition at all
+         (3, "x"), (4, "")],             # degenerate: <2 tokens
+        ["doc_id", "text"])
+    got = {r.doc_id: r for r in df.select(
+        "doc_id",
+        X.dup_token_frac_expr(F.col("text")).alias("dup"),
+        X.top_bigram_frac_expr(F.col("text")).alias("top"),
+        X.repetition_keep_expr(F.col("text")).alias("keep")).collect()}
+    assert got[1].dup == pytest.approx(0.75) and got[1].top == 1.0
+    assert not got[1].keep
+    # all-distinct bigrams: top occurs once -> not repetition -> 0.0
+    assert got[2].dup == 0.0 and got[2].top == 0.0 and got[2].keep
+    assert got[3].dup == 0.0 and got[3].top == 0.0
+    assert got[4].dup == 0.0 and got[4].top == 0.0
+
+
+def test_repetition_matches_duckdb_on_testdata(docs, sf001_dir):
+    got = docs.select(
+        F.floor(X.dup_token_frac_expr(F.col("text")) * 1000000)
+         .cast("long").alias("d"),
+        F.floor(X.top_bigram_frac_expr(F.col("text")) * 1000000)
+         .cast("long").alias("t")).agg(
+        F.sum("d").alias("sd"), F.sum("t").alias("st"),
+        F.count("*").alias("n")).first()
+    import __spark_entry__ as E
+    sql = E.oracle_sql()["q_repetition"].replace(
+        "documents", f"'{sf001_dir}/documents.parquet'")
+    want = duckdb.sql(
+        f"select sum(dup_scaled), sum(topbg_scaled), count(*) from ({sql})"
+    ).fetchone()
+    assert (got.sd, got.st, got.n) == want
+
+
 def test_clean_corpus_matches_duckdb_on_testdata(docs, sf001_dir):
     got = D.clean_corpus(docs).agg(
         F.count("*").alias("groups"), F.sum("n_dups").alias("kept"),
