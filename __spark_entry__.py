@@ -99,6 +99,61 @@ _SQL_NOUN = _sql_list(_NOUN)
 _SQL_VERB = _sql_list(_VERB)
 
 
+def _sql_dims(n: int) -> str:
+    """VALUES literal of the deterministic corpus' (k, w, h) —
+    images.synth_dims replays synth_pixels' dimension draws, the same
+    inlining stance as the caption vocab above (the oracle checks the
+    RELATIONAL logic on identical inputs; pixel generation itself is
+    pytest-pinned)."""
+    from simplecrawler_spark.functions.images import synth_dims
+
+    return ", ".join(f"({k}, {w}, {h})"
+                     for k in range(n)
+                     for (h, w) in [synth_dims(k)])
+
+
+def _sql_neardup_phashes(n: int, every: int = 3) -> str:
+    """VALUES literal of the near-dup corpus' (id, phash) — built from
+    the SAME fixtures.corpus_record rows the Spark fixture emits
+    (deterministic numpy; the phash computation itself is pinned by
+    tests/test_images.py + the q_image_features phash_ok oracle row).
+    The SQL twin then re-runs the band-blocking + Hamming + connected-
+    components RELATIONAL logic independently."""
+    from simplecrawler_spark.sources.fixtures import corpus_record
+
+    rows = []
+    for k in range(n):
+        rows.append(corpus_record(k))
+        if k % every == 0:
+            rows.append(corpus_record(k, perturbed=True))
+    return ", ".join(
+        f"({int(r['image_id'].split('_')[1])}, {r['phash']}::BIGINT)"
+        for r in rows)
+
+
+def _sql_aspect_buckets() -> str:
+    """VALUES literal of multimodal.ASPECT_BUCKETS with the integer
+    distance multiplier LCM/rh pre-computed (see
+    assign_aspect_bucket's exact-rational argmin)."""
+    from simplecrawler_spark.functions.multimodal import (
+        _ASPECT_LCM, ASPECT_BUCKETS,
+    )
+
+    return ", ".join(
+        f"({i}, '{name}', {rw}, {rh}, {tw}, {th}, {_ASPECT_LCM // rh})"
+        for i, (name, rw, rh, tw, th) in enumerate(ASPECT_BUCKETS))
+
+
+def _sql_cluster_bands() -> str:
+    """VALUES literal of the 7 contiguous band masks
+    fingerprint_near_dup derives for n_bits=64, max_hamming=6
+    (operators/dedup.py _band_masks — masks, never shifts)."""
+    from simplecrawler_spark.operators.dedup import _band_masks
+
+    return ", ".join(f"({i}, {m}::BIGINT)"
+                     for i, m in enumerate(_band_masks(64, 7)))
+
+
 def _bfs_crawler(spark: SparkSession, sf_dir: str, n_nodes: int,
                  max_rounds: int = 20) -> FrontierCrawler:
     edges = _t(spark, sf_dir, "lineitem").select(
@@ -425,6 +480,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("decode_ok"),
             (F.col("phash") == F.col("phash_stored")).alias("phash_ok")))
 
+    def q_aspect_buckets(spark, sf):
+        """Aspect-ratio bucketing for batched image training
+        (multimodal.assign_aspect_bucket): nearest SDXL-style bucket
+        per image by EXACT integer rational distance — both engines
+        compute the identical int64, so the argmin can never flip on
+        float rounding. Dims enter the oracle as inlined literals
+        (images.synth_dims replays the corpus draws)."""
+        from simplecrawler_spark.functions.multimodal import (
+            assign_aspect_bucket,
+        )
+        from simplecrawler_spark.sources.fixtures import synthetic_corpus
+
+        return assign_aspect_bucket(synthetic_corpus(spark, n_images=256))
+
+    def q_caption_gate(spark, sf):
+        """Joint caption+image metadata gate
+        (multimodal.caption_image_gate): token-count bounds on the
+        caption (truncated for every 5th image so the caption gate
+        actually splits), min-dimension, exact-integer aspect bound,
+        and format whitelist — all metadata-only, so at scale this
+        prunes BEFORE any pixel decode."""
+        from simplecrawler_spark.functions.multimodal import (
+            caption_image_gate,
+        )
+        from simplecrawler_spark.sources.fixtures import synthetic_corpus
+
+        corpus = synthetic_corpus(spark, n_images=256).withColumn(
+            "caption",
+            F.when(
+                F.regexp_extract("image_id", r"img_0*(\d+)", 1)
+                .cast("long") % 5 == 0,
+                F.substring("caption", 1, 9),
+            ).otherwise(F.col("caption")))
+        return caption_image_gate(corpus, min_tokens=4)
+
+    def q_image_dedup_cluster(spark, sf):
+        """pHash near-dup CLUSTERING end-to-end on images: planted
+        perturbed copies (fixtures.near_dup_corpus) → banded Hamming
+        pairs (dedup.fingerprint_near_dup, exact recall by pigeonhole)
+        → connected components → one survivor per cluster. The oracle
+        twin re-runs the band/Hamming/CC relational logic in SQL over
+        the same deterministic (id, phash) rows inlined as literals
+        (the phash computation itself is pinned by q_image_features'
+        phash_ok and tests/test_images.py)."""
+        from simplecrawler_spark.sources.fixtures import near_dup_corpus
+
+        corpus = near_dup_corpus(spark, n_images=48)
+        fp = corpus.select(
+            F.regexp_extract("image_id", r"img_0*(\d+)", 1)
+            .cast("long").alias("doc_id"), "phash")
+        pairs = D.fingerprint_near_dup(fp, fp_col="phash",
+                                       max_hamming=6, n_bits=64)
+        return D.connected_components(pairs.select("id_a", "id_b"))
+
     return {
         "q_canonicalize": q_canonicalize,
         "q_url_dedupe": q_url_dedupe,
@@ -456,6 +565,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ivf_assign": q_ivf_assign,
         "q_robots_gate": q_robots_gate,
         "q_image_features": q_image_features,
+        "q_aspect_buckets": q_aspect_buckets,
+        "q_caption_gate": q_caption_gate,
+        "q_image_dedup_cluster": q_image_dedup_cluster,
     }
 
 
@@ -909,5 +1021,85 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS decode_ok,
                    TRUE AS phash_ok
             FROM range(64) t(k), v
+        """,
+        # nearest-aspect bucket by EXACT integer rational distance —
+        # the same |w·rh − rw·h| · (LCM/rh) int64 the Spark operator
+        # computes (multimodal.assign_aspect_bucket), so the argmin is
+        # engine-portable; dims inlined via images.synth_dims
+        "q_aspect_buckets": f"""
+            WITH dims(k, w, h) AS (VALUES {_sql_dims(256)}),
+            b(ord, bucket, rw, rh, tw, th, mul) AS (
+              VALUES {_sql_aspect_buckets()}
+            ), r AS (
+              SELECT k, w, h, bucket, tw, th,
+                     row_number() OVER (
+                       PARTITION BY k
+                       ORDER BY abs(w * rh - rw * h) * mul, ord) AS rn
+              FROM dims, b
+            )
+            SELECT printf('img_%08d', k) AS image_id, w, h, bucket,
+                   tw AS target_w, th AS target_h
+            FROM r WHERE rn = 1
+        """,
+        "q_caption_gate": f"""
+            WITH v AS (
+              SELECT {_SQL_ADJ} AS adj, {_SQL_NOUN} AS noun,
+                     {_SQL_VERB} AS verb
+            ), dims(k, w, h) AS (VALUES {_sql_dims(256)}),
+            c AS (
+              SELECT k, w, h,
+                     'a ' || adj[(k % 8) + 1] || ' '
+                          || noun[((k // 8) % 8) + 1] || ' '
+                          || verb[((k // 64) % 8) + 1]
+                          || ' #' || printf('%08d', k) AS cap0
+              FROM dims, v
+            ), c2 AS (
+              SELECT k, w, h,
+                     CASE WHEN k % 5 = 0 THEN substr(cap0, 1, 9)
+                          ELSE cap0 END AS caption
+              FROM c
+            ), t AS (
+              SELECT k, w, h,
+                     len(list_filter(regexp_split_to_array(
+                       lower(caption), '[^a-z0-9]+'), x -> x <> ''))
+                       AS tc
+              FROM c2
+            )
+            SELECT printf('img_%08d', k) AS image_id,
+                   (tc >= 4 AND tc <= 64) AS caption_ok,
+                   least(w, h) >= 48 AS dims_ok,
+                   (w <= h * 2 AND h <= w * 2) AS aspect_ok,
+                   TRUE AS fmt_ok,
+                   ((tc >= 4 AND tc <= 64) AND least(w, h) >= 48
+                    AND (w <= h * 2 AND h <= w * 2)) AS keep
+            FROM t
+        """,
+        # band-blocked Hamming pairs + recursive-CTE connected
+        # components over the SAME deterministic (id, phash) rows the
+        # Spark fixture emits (fixtures.corpus_record, inlined)
+        "q_image_dedup_cluster": f"""
+            WITH RECURSIVE f(doc_id, fp) AS (
+              VALUES {_sql_neardup_phashes(48)}
+            ), bands(band, mask) AS (VALUES {_sql_cluster_bands()}),
+            x AS (
+              SELECT doc_id, fp, band, fp & mask AS key FROM f, bands
+            ), e0 AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM x a JOIN x b USING (band, key)
+              WHERE a.doc_id < b.doc_id
+                AND bit_count(xor(a.fp, b.fp)) <= 6
+            ), e AS (
+              SELECT id_a AS src, id_b AS dst FROM e0
+              UNION
+              SELECT id_b, id_a FROM e0
+            ), reach(id, comp) AS (
+              SELECT src, src FROM e
+              UNION
+              SELECT e.src, reach.comp
+              FROM e JOIN reach ON e.dst = reach.id
+            )
+            SELECT id::BIGINT AS doc_id, min(comp)::BIGINT AS component,
+                   (id = min(comp)) AS is_survivor
+            FROM reach GROUP BY id
         """,
     }

@@ -138,6 +138,7 @@ def pipeline_benches(spark, sf_dir: str) -> dict[str, float]:
         timings[name] = round(time.monotonic() - t0, 3)
     timings["image_validate"] = image_bench(spark)
     timings["image_neardup"] = image_neardup_bench(spark)
+    timings["image_cluster"] = image_cluster_bench(spark)
     timings.update(expiry_bench(spark))
     timings["lsh_pairs_capped"] = lsh_capped_bench(spark)
     return timings
@@ -191,6 +192,35 @@ def image_neardup_bench(spark, n_images: int = 4096) -> float:
     wall = time.monotonic() - t0
     fps.unpersist()
     return round(wall, 3)
+
+
+def image_cluster_bench(spark, n_images: int = 4096) -> float:
+    """Image dedup CLUSTERING end-to-end (axis B × dedup clustering):
+    planted perturbed near-dups (fixtures.near_dup_corpus, 1 per 3
+    base images) → banded-Hamming pairs → connected components →
+    survivor count. Times the pairs+CC tail; the corpus (with its
+    pixel decode/encode) is materialised outside the window."""
+    from pyspark.sql import functions as F
+
+    from simplecrawler_spark.operators.dedup import (
+        connected_components, fingerprint_near_dup,
+    )
+    from simplecrawler_spark.sources.fixtures import near_dup_corpus
+
+    fps = near_dup_corpus(spark, n_images=n_images).select(
+        F.regexp_extract("image_id", r"img_0*(\d+)", 1)
+        .cast("long").alias("doc_id"), "phash").persist()
+    fps.count()  # generation outside the timed window
+    t0 = time.monotonic()
+    pairs = fingerprint_near_dup(fps, fp_col="phash", max_hamming=6)
+    n_clusters = (connected_components(pairs)
+                  .filter(F.col("is_survivor")).count())
+    wall = round(time.monotonic() - t0, 3)
+    # ~1/3 of base images have a planted variant within the gate
+    # (a deterministic few land just above hamming 6)
+    assert n_clusters >= n_images // 4, n_clusters
+    fps.unpersist()
+    return wall
 
 
 def expiry_bench(spark, n_urls: int = 1_000_000) -> dict[str, float]:

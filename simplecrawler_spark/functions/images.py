@@ -46,6 +46,29 @@ _VERB = ["at dawn", "in fog", "after rain", "at night", "in summer",
          "under snow", "at noon", "in motion"]
 
 
+def synth_dims(k: int, seed: int = 42) -> tuple[int, int]:
+    """(h, w) of synth_pixels(k, seed) WITHOUT generating pixels —
+    replicates its first two RNG draws (pinned by
+    tests/test_multimodal.py::test_synth_dims_match_pixels). Used by
+    the DuckDB oracle builders (__spark_entry__) to inline the
+    corpus' dimensions as SQL literals, the same way the caption
+    vocab is inlined."""
+    rng = np.random.Generator(np.random.PCG64(seed * 1_000_003 + k))
+    return int(rng.integers(32, 128)), int(rng.integers(32, 128))
+
+
+def perturb_pixels(pixels: np.ndarray, k: int, seed: int = 42,
+                   sigma: float = 2.5) -> np.ndarray:
+    """Deterministic mild perturbation of an image — the planted
+    near-duplicate for pHash dedup tests/queries. Small gaussian
+    noise flips only DCT coefficients near the phash median, so the
+    perturbed copy stays within a few Hamming bits of the original."""
+    rng = np.random.Generator(np.random.PCG64(seed * 7_919 + k))
+    img = pixels.astype(np.float64) + rng.normal(0, sigma,
+                                                 size=pixels.shape)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
 def synth_pixels(k: int, seed: int = 42) -> np.ndarray:
     """Deterministic H×W×3 uint8 image for corpus index k."""
     rng = np.random.Generator(np.random.PCG64(seed * 1_000_003 + k))

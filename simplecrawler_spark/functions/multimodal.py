@@ -213,3 +213,103 @@ def audio_features(audio: DataFrame) -> DataFrame:
 
     cols = ["audio_id", "bytes", "fmt", "sample_rate"]
     return audio.select(*cols).mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# aspect-ratio bucketing — batched-training resize buckets
+# ---------------------------------------------------------------------------
+
+# (name, ratio_w, ratio_h, target_w, target_h) — the SDXL-style bucket
+# set: images are grouped by nearest aspect ratio so a training batch
+# resizes to ONE target shape without extreme cropping.
+ASPECT_BUCKETS = [
+    ("square",     1,  1, 512, 512),
+    ("landscape",  4,  3, 576, 448),
+    ("portrait",   3,  4, 448, 576),
+    ("wide",      16,  9, 672, 384),
+    ("tall",       9, 16, 384, 672),
+]
+
+# LCM of the ratio_h values {1, 3, 4, 9, 16} — scales every bucket's
+# rational distance to a common integer denominator (see below)
+_ASPECT_LCM = 144
+
+
+def assign_aspect_bucket(corpus: DataFrame, w_col: str = "w",
+                         h_col: str = "h",
+                         buckets=None) -> DataFrame:
+    """Nearest-aspect-ratio bucket per image — the sharding key a
+    batched image-training pipeline groups on before resizing
+    (per-bucket batches resize to one target shape).
+
+    Distance is EXACT integer rational arithmetic, never floats:
+      |w/h − rw/rh| = |w·rh − rw·h| / (h·rh); h is common across
+    buckets, so comparing |w·rh − rw·h| · (LCM/rh) ranks identically —
+    and both Spark and the DuckDB oracle compute the identical int64,
+    so the argmin can never flip on a last-ulp log/division
+    difference. Ties break on bucket order. Pure narrow expressions
+    (array_min over a literal struct array): no shuffle, no UDF,
+    whole-stage codegen at any scale.
+    """
+    from pyspark.sql import functions as F
+
+    buckets = buckets or ASPECT_BUCKETS
+    w, h = F.col(w_col).cast("long"), F.col(h_col).cast("long")
+    cands = F.array(*[
+        F.struct(
+            (F.abs(w * F.lit(rh) - F.lit(rw) * h)
+             * F.lit(_ASPECT_LCM // rh)).cast("long").alias("d"),
+            F.lit(i).alias("ord"),
+            F.lit(name).alias("bucket"),
+            F.lit(tw).alias("target_w"),
+            F.lit(th).alias("target_h"),
+        )
+        for i, (name, rw, rh, tw, th) in enumerate(buckets)
+    ])
+    best = F.array_min(cands)
+    return corpus.select(
+        "image_id", w_col, h_col,
+        best.getField("bucket").alias("bucket"),
+        best.getField("target_w").alias("target_w"),
+        best.getField("target_h").alias("target_h"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# joint caption+image quality gate — clean_corpus for image pairs
+# ---------------------------------------------------------------------------
+
+def caption_image_gate(corpus: DataFrame, min_tokens: int = 7,
+                       max_tokens: int = 64, min_dim: int = 48,
+                       max_aspect: int = 2,
+                       fmts: tuple = ("raw", "pngz")) -> DataFrame:
+    """Keep/drop decision per image+caption pair with per-gate reason
+    flags — the image-pair analogue of operators.dedup.clean_corpus:
+      caption_ok  — token count in [min_tokens, max_tokens]
+      dims_ok     — min(w, h) ≥ min_dim
+      aspect_ok   — longer side ≤ max_aspect × shorter side
+                    (exact integer comparison, no ratio floats)
+      fmt_ok      — decodable format whitelist
+    Pure narrow expressions over metadata columns — the pixel payload
+    is never touched, so this gate runs BEFORE any decode stage and
+    prunes its input (at 100 TB, gating on metadata first is the
+    difference between decoding every image and decoding survivors).
+    """
+    from pyspark.sql import functions as F
+
+    from simplecrawler_spark.functions.text import token_count_expr
+
+    tc = token_count_expr(F.col("caption"))
+    w, h = F.col("w").cast("long"), F.col("h").cast("long")
+    caption_ok = (tc >= min_tokens) & (tc <= max_tokens)
+    dims_ok = F.least(w, h) >= min_dim
+    aspect_ok = (w <= h * max_aspect) & (h <= w * max_aspect)
+    fmt_ok = F.col("fmt").isin(*fmts)
+    return corpus.select(
+        "image_id",
+        caption_ok.alias("caption_ok"),
+        dims_ok.alias("dims_ok"),
+        aspect_ok.alias("aspect_ok"),
+        fmt_ok.alias("fmt_ok"),
+        (caption_ok & dims_ok & aspect_ok & fmt_ok).alias("keep"),
+    )

@@ -136,13 +136,57 @@ def graph_from_edges(spark: SparkSession, edges: DataFrame, n_nodes: int,
         F.lit(None).cast("string").alias("image_id"))
 
 
+NEAR_DUP_ID_OFFSET = 100_000  # variant of base k carries id k + offset
+
+
+def corpus_record(k: int, seed: int = 42, perturbed: bool = False) -> dict:
+    """One deterministic corpus row (input_hint schema). With
+    ``perturbed`` the pixels are a mild noise variant of base image k
+    (images.perturb_pixels) carried under id k + NEAR_DUP_ID_OFFSET —
+    a planted pHash near-duplicate. Shared by the Spark fixtures below
+    AND the DuckDB oracle literal builders (__spark_entry__), so both
+    engines see byte-identical rows."""
+    from simplecrawler_spark.functions import images as I
+
+    px = I.synth_pixels(k, seed)
+    rid = k
+    if perturbed:
+        px = I.perturb_pixels(px, k, seed)
+        rid = k + NEAR_DUP_ID_OFFSET
+    fmt = "raw" if k % 2 == 0 else "pngz"
+    data = I.encode_pixels(px, fmt)
+    return {
+        "image_id": I.image_id_of(rid),
+        "bytes": data,
+        "w": px.shape[1], "h": px.shape[0], "fmt": fmt,
+        "caption": I.synth_caption(k),
+        "phash": I.phash64(
+            I.decode_pixels(data, fmt, px.shape[1], px.shape[0])),
+    }
+
+
 def synthetic_corpus(spark: SparkSession, n_images: int,
                      seed: int = 42) -> DataFrame:
     """Deterministic image+caption corpus (input_hint schema,
     BASELINE.json:15). Generated distributively: spark.range →
     mapInPandas, one numpy image per row; even/odd ids alternate
     lossless 'raw' / lossy 'pngz'."""
-    from simplecrawler_spark.functions import images as I
+
+    def gen(iterator):
+        import pandas as pd
+
+        for pdf in iterator:
+            recs = [corpus_record(int(k), seed) for k in pdf["id"]]
+            yield pd.DataFrame(recs, columns=schemas.CORPUS.fieldNames())
+
+    return spark.range(n_images).mapInPandas(gen, schemas.CORPUS)
+
+
+def near_dup_corpus(spark: SparkSession, n_images: int,
+                    seed: int = 42, every: int = 3) -> DataFrame:
+    """synthetic_corpus plus a planted near-duplicate (perturbed
+    pixels, id k + NEAR_DUP_ID_OFFSET) for every ``every``-th base
+    image — the ground-truth input for pHash near-dup clustering."""
 
     def gen(iterator):
         import pandas as pd
@@ -151,17 +195,9 @@ def synthetic_corpus(spark: SparkSession, n_images: int,
             recs = []
             for k in pdf["id"]:
                 k = int(k)
-                px = I.synth_pixels(k, seed)
-                fmt = "raw" if k % 2 == 0 else "pngz"
-                recs.append({
-                    "image_id": I.image_id_of(k),
-                    "bytes": I.encode_pixels(px, fmt),
-                    "w": px.shape[1], "h": px.shape[0], "fmt": fmt,
-                    "caption": I.synth_caption(k),
-                    "phash": I.phash64(
-                        I.decode_pixels(I.encode_pixels(px, fmt), fmt,
-                                        px.shape[1], px.shape[0])),
-                })
+                recs.append(corpus_record(k, seed))
+                if k % every == 0:
+                    recs.append(corpus_record(k, seed, perturbed=True))
             yield pd.DataFrame(recs, columns=schemas.CORPUS.fieldNames())
 
     return spark.range(n_images).mapInPandas(gen, schemas.CORPUS)

@@ -222,3 +222,82 @@ def test_ivf_build_probe_partition_pruned(spark, tmp_path, embeddings):
     # planning), not in the data filters
     pf_line = [l for l in plan.splitlines() if "PartitionFilters" in l][-1]
     assert "cell" in pf_line
+
+
+# ---------------------------------------------------------------------------
+# aspect bucketing / caption gate / image dedup clustering (round 3)
+# ---------------------------------------------------------------------------
+
+def test_synth_dims_match_pixels():
+    from simplecrawler_spark.functions.images import synth_dims
+
+    for k in range(24):
+        assert synth_dims(k) == synth_pixels(k).shape[:2]
+
+
+def test_aspect_bucket_assignment(spark):
+    rows = [("a", 100, 100), ("b", 400, 300), ("c", 300, 400),
+            ("d", 160, 90), ("e", 90, 160), ("f", 128, 32)]
+    df = spark.createDataFrame(rows, "image_id string, w int, h int")
+    got = {r.image_id: (r.bucket, r.target_w, r.target_h)
+           for r in MM.assign_aspect_bucket(df).collect()}
+    assert got == {
+        "a": ("square", 512, 512), "b": ("landscape", 576, 448),
+        "c": ("portrait", 448, 576), "d": ("wide", 672, 384),
+        "e": ("tall", 384, 672),
+        # 4:1 is nearest 16:9 by exact rational distance
+        "f": ("wide", 672, 384),
+    }
+
+
+def test_caption_image_gate(spark):
+    rows = [
+        # ok on every gate
+        ("ok", "a quiet harbor at dawn #00000042", 64, 64, "raw"),
+        ("short_cap", "a quiet", 64, 64, "raw"),
+        ("tiny", "a quiet harbor at dawn #00000042", 32, 64, "pngz"),
+        ("stretched", "a quiet harbor at dawn #00000042", 127, 48, "raw"),
+        ("badfmt", "a quiet harbor at dawn #00000042", 64, 64, "jpeg"),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, caption string, w int, h int, fmt string")
+    got = {r.image_id: r for r in
+           MM.caption_image_gate(df, min_tokens=4).collect()}
+    assert got["ok"].keep
+    assert not got["short_cap"].caption_ok and not got["short_cap"].keep
+    assert not got["tiny"].dims_ok
+    assert not got["stretched"].aspect_ok  # 127 > 2*48 exactly-integer
+    assert not got["badfmt"].fmt_ok
+    assert got["tiny"].caption_ok  # gates are independent
+
+
+def test_image_dedup_cluster_finds_planted_pairs(spark):
+    """near_dup_corpus plants a perturbed copy (id k+100000) of every
+    3rd image; pHash band pairs + connected components must cluster
+    each variant with its base (planted hamming measured 0-8; the
+    one pair above the <=6 gate is deterministically excluded on both
+    engines) and never merge unrelated images (cross hamming >=22)."""
+    from simplecrawler_spark.operators import dedup as D
+    from simplecrawler_spark.sources.fixtures import (
+        NEAR_DUP_ID_OFFSET, near_dup_corpus,
+    )
+
+    corpus = near_dup_corpus(spark, n_images=48)
+    fp = corpus.select(
+        F.regexp_extract("image_id", r"img_0*(\d+)", 1)
+        .cast("long").alias("doc_id"), "phash")
+    pairs = D.fingerprint_near_dup(fp, fp_col="phash",
+                                   max_hamming=6, n_bits=64)
+    comp = {r.doc_id: r for r in
+            D.connected_components(pairs).collect()}
+    found = 0
+    for k in range(0, 48, 3):
+        v = k + NEAR_DUP_ID_OFFSET
+        if v in comp and k in comp:
+            assert comp[v].component == comp[k].component == k
+            assert comp[k].is_survivor and not comp[v].is_survivor
+            found += 1
+    assert found >= 14  # 16 planted; at most the hamming-8 outlier missing
+    # no unrelated merge: every component is {k, k+offset}
+    for r in comp.values():
+        assert r.doc_id % NEAR_DUP_ID_OFFSET == r.component
