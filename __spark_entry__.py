@@ -515,6 +515,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).otherwise(F.col("caption")))
         return caption_image_gate(corpus, min_tokens=4)
 
+    def q_unigram_logprob(spark, sf):
+        """CCNet-style LM quality scoring (operators/quality.py):
+        mean unigram log-probability per document under an
+        additive-smoothed model estimated from the corpus itself.
+        Floor-scaled to int64 for engine-portable comparison."""
+        from simplecrawler_spark.operators.quality import unigram_logprob
+
+        docs = _t(spark, sf, "documents")
+        s = unigram_logprob(docs)
+        return s.select(
+            "doc_id", "n_tokens",
+            F.floor(F.col("logprob") * 1000000).cast("long")
+            .alias("lp_scaled"))
+
     def q_image_dedup_cluster(spark, sf):
         """pHash near-dup CLUSTERING end-to-end on images: planted
         perturbed copies (fixtures.near_dup_corpus) → banded Hamming
@@ -568,6 +582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_aspect_buckets": q_aspect_buckets,
         "q_caption_gate": q_caption_gate,
         "q_image_dedup_cluster": q_image_dedup_cluster,
+        "q_unigram_logprob": q_unigram_logprob,
     }
 
 
@@ -1073,6 +1088,29 @@ def oracle_sql() -> dict[str, str]:
                    ((tc >= 4 AND tc <= 64) AND least(w, h) >= 48
                     AND (w <= h * 2 AND h <= w * 2)) AS keep
             FROM t
+        """,
+        # self-trained additive-smoothed unigram LM: TF per (doc,
+        # token), vocab counts off the TF rows, corpus totals via a
+        # scalar subquery — the identical estimator quality.py builds
+        "q_unigram_logprob": f"""
+            WITH u AS (
+              SELECT doc_id, unnest({_ORACLE_TOKS}) AS tok
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, tok, count(*) AS tf FROM u GROUP BY 1, 2
+            ), vocab AS (
+              SELECT tok, sum(tf) AS cnt FROM tf GROUP BY tok
+            ), tot AS (
+              SELECT sum(cnt)::DOUBLE AS n_total,
+                     count(*)::DOUBLE AS v_size
+              FROM vocab
+            )
+            SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+                   floor((sum(tf * ln(cnt::DOUBLE + 1.0)) / sum(tf)
+                          - ln(n_total + v_size)) * 1000000)::BIGINT
+                     AS lp_scaled
+            FROM tf JOIN vocab USING (tok), tot
+            GROUP BY doc_id, n_total, v_size
         """,
         # band-blocked Hamming pairs + recursive-CTE connected
         # components over the SAME deterministic (id, phash) rows the

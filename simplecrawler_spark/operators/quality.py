@@ -1,0 +1,86 @@
+"""Corpus-level quality scoring: unigram LM log-probability.
+
+CCNet-style quality filtering ranks documents by the log-probability a
+language model trained on the corpus (or a trusted reference corpus)
+assigns them; low-probability docs are gibberish/boilerplate
+candidates. The reference crawler has no analogue (it gates on HTTP
+status/MIME only) — this is training-data-pipeline machinery over the
+`documents` table, same family as functions/text.py's per-row
+heuristics but CORPUS-trained: the model is an aggregate of the very
+DataFrame being scored (or of a separate reference DataFrame).
+
+Scale shape (the whole point at 100 TB):
+  * tokens are counted per (doc, token) FIRST — the explode feeds a
+    map-side-combinable groupBy, so the join below carries one row per
+    distinct (doc, token), not one per token instance;
+  * the vocabulary (token → corpus count) is a second
+    map-side-combinable agg off those TF rows — no second pass over
+    the text;
+  * scoring joins TF rows to the vocab on `token`. Hot stopword
+    tokens are exactly the keys AQE's skew-join splits; with a
+    bounded vocab the optimizer broadcasts it outright;
+  * the corpus totals (N tokens, V vocab size) ride in via a
+    broadcast 1-row cross join — never a driver collect.
+
+Everything is built-in expressions (explode / groupBy / join / ln) —
+no Python UDF anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from simplecrawler_spark.functions.text import tokens_expr
+
+__all__ = ["unigram_logprob"]
+
+
+def unigram_logprob(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", alpha: float = 1.0,
+                    model_docs: DataFrame | None = None) -> DataFrame:
+    """Per-document mean unigram log-probability under an
+    additive-smoothed unigram LM estimated from ``model_docs``
+    (default: the scored corpus itself).
+
+    For a doc with tokens t_1..t_n:
+        score = (1/n) * Σ_i ln( (c(t_i) + α) / (N + α·V) )
+    where c(t) is the model corpus count of t, N total model tokens,
+    V distinct model tokens. Unknown tokens (when ``model_docs`` is a
+    separate reference corpus) get the α-smoothed floor. Docs with no
+    tokens are omitted (no defined probability).
+
+    Returns (id_col, n_tokens, logprob). Floor-scale ``logprob``
+    before cross-engine comparison (see __spark_entry__ docstring).
+    """
+    toks = docs.select(F.col(id_col),
+                       F.explode(tokens_expr(F.col(text_col)))
+                       .alias("tok"))
+    tf = toks.groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
+
+    if model_docs is None:
+        model_tf = tf
+    else:
+        model_tf = (model_docs.select(
+            F.explode(tokens_expr(F.col(text_col))).alias("tok"))
+            .groupBy("tok").agg(F.count("*").alias("tf")))
+    vocab = model_tf.groupBy("tok").agg(F.sum("tf").alias("cnt"))
+    totals = vocab.agg(F.sum("cnt").alias("n_total"),
+                       F.count("*").alias("v_size"))
+
+    scored = (
+        tf.join(vocab, "tok", "left")  # left: unknown tokens → floor
+        .select(id_col, "tf",
+                F.log(F.coalesce(F.col("cnt"), F.lit(0)).cast("double")
+                      + F.lit(alpha)).alias("ln_c"))
+        .groupBy(id_col)
+        .agg(F.sum("tf").alias("n_tokens"),
+             F.sum(F.col("tf") * F.col("ln_c")).alias("sum_ln"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            id_col, "n_tokens",
+            (F.col("sum_ln") / F.col("n_tokens")
+             - F.log(F.col("n_total").cast("double")
+                     + F.lit(alpha) * F.col("v_size"))).alias("logprob"))
+    )
+    return scored

@@ -413,3 +413,55 @@ def test_clean_corpus_matches_duckdb_on_testdata(docs, sf001_dir):
         f"select count(*), sum(n_dups), sum(n_tokens) from ({sql})"
     ).fetchone()
     assert (got.groups, got.kept, got.toks) == want
+
+
+# ---------------------------------------------------------------------------
+# unigram LM quality scoring (operators/quality.py)
+# ---------------------------------------------------------------------------
+
+def test_unigram_logprob_matches_python(spark):
+    import math
+    import re
+    from collections import Counter
+
+    from simplecrawler_spark.operators.quality import unigram_logprob
+
+    texts = {1: "the cat sat on the mat",
+             2: "the the the the",
+             3: "zorp qux flibber",
+             4: ""}
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {r.doc_id: r for r in unigram_logprob(df).collect()}
+
+    tok = lambda t: [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+    corpus = Counter(w for t in texts.values() for w in tok(t))
+    n_total, v = sum(corpus.values()), len(corpus)
+    for d, t in texts.items():
+        ws = tok(t)
+        if not ws:
+            assert d not in got  # no tokens -> omitted
+            continue
+        want = (sum(math.log(corpus[w] + 1.0) for w in ws) / len(ws)
+                - math.log(n_total + v))
+        assert got[d].n_tokens == len(ws)
+        assert got[d].logprob == pytest.approx(want, rel=1e-12)
+    # the all-stopword doc scores higher than the gibberish doc
+    assert got[2].logprob > got[3].logprob
+
+
+def test_unigram_logprob_reference_model(spark):
+    """Scoring corpus B under a model trained on corpus A: unknown
+    tokens get the smoothed floor ln(alpha / (N + alpha*V))."""
+    import math
+
+    from simplecrawler_spark.operators.quality import unigram_logprob
+
+    model = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the dog ran")], "doc_id long, text string")
+    score = spark.createDataFrame(
+        [(10, "the unseen")], "doc_id long, text string")
+    got = unigram_logprob(score, model_docs=model).collect()[0]
+    # model: the=2 cat=1 sat=1 dog=1 ran=1 -> N=6, V=5
+    want = ((math.log(2 + 1.0) + math.log(0 + 1.0)) / 2
+            - math.log(6 + 5))
+    assert got.logprob == pytest.approx(want, rel=1e-12)
