@@ -119,14 +119,30 @@ def top_bigram_frac_expr(text: Column) -> Column:
     2-gram (the Gopher top-2-gram filter), floored at zero when that
     2-gram occurs only once — a 2-gram seen once is not repetition,
     and without the floor every document shorter than 1/threshold
-    bigrams trips the gate. Counting is O(d·u) per row in the
-    distinct-2-gram count u — bounded by document length,
-    embarrassingly parallel, nothing crosses rows."""
+    bigrams trips the gate.
+
+    Counting is O(d log d) per row: sort the 2-gram array, then one
+    aggregate pass finds the longest run of equal neighbours (= the
+    max count). The first version counted each distinct 2-gram with a
+    nested filter — O(d·u), ~10 ms/doc on the testdata and quadratic
+    on long documents; the sort+run-length form is the same value at
+    a per-row cost that stays flat as documents grow. Embarrassingly
+    parallel, nothing crosses rows."""
     bg = _bigrams_expr(tokens_expr(text))
     n_bg = F.size(bg)
-    top = F.array_max(F.transform(
-        F.array_distinct(bg),
-        lambda x: F.size(F.filter(bg, lambda y: y == x))))
+
+    def step(acc, x):
+        run = (F.when(x == acc.getField("prev"),
+                      acc.getField("run") + 1).otherwise(F.lit(1)))
+        return F.struct(x.alias("prev"), run.alias("run"),
+                        F.greatest(acc.getField("best"), run).alias("best"))
+
+    top = F.aggregate(
+        F.array_sort(bg),
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                 F.lit(0).alias("best")),
+        step,
+    ).getField("best")
     return F.when((n_bg > 0) & (top >= 2),
                   top.cast("double") / n_bg).otherwise(F.lit(0.0))
 
