@@ -515,6 +515,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).otherwise(F.col("caption")))
         return caption_image_gate(corpus, min_tokens=4)
 
+    def q_event_window_rollup(spark, sf):
+        """Tumbling-window event rollup (streaming/rollup.py) run in
+        BATCH mode — the identical transformation also runs as a
+        Structured Streaming query with a watermark
+        (stream_event_rollup); batch/stream parity is pinned by
+        tests/test_streaming.py::test_stream_rollup_matches_batch.
+        Value sums are floor-scaled per row BEFORE the sum (long
+        arithmetic — order-independent), windows exported as epoch
+        seconds."""
+        from simplecrawler_spark.streaming.rollup import (
+            event_window_rollup,
+        )
+
+        return event_window_rollup(_t(spark, sf, "events"))
+
     def q_unigram_logprob(spark, sf):
         """CCNet-style LM quality scoring (operators/quality.py):
         mean unigram log-probability per document under an
@@ -583,6 +598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_caption_gate": q_caption_gate,
         "q_image_dedup_cluster": q_image_dedup_cluster,
         "q_unigram_logprob": q_unigram_logprob,
+        "q_event_window_rollup": q_event_window_rollup,
     }
 
 
@@ -1088,6 +1104,19 @@ def oracle_sql() -> dict[str, str]:
                    ((tc >= 4 AND tc <= 64) AND least(w, h) >= 48
                     AND (w <= h * 2 AND h <= w * 2)) AS keep
             FROM t
+        """,
+        # tumbling hour windows via time_bucket (epoch-aligned, same
+        # origin as Spark's window() for divisor-of-day intervals);
+        # window start as wall-clock string (timezone-proof on both
+        # engines); value summed as per-row-floored cents — long math
+        "q_event_window_rollup": """
+            SELECT time_bucket(INTERVAL '1 hour', ts)::VARCHAR
+                     AS win_start,
+                   event_type,
+                   count(*)::BIGINT AS n_events,
+                   sum(floor(value * 100)::BIGINT)::BIGINT AS value_cents
+            FROM events
+            GROUP BY 1, 2
         """,
         # self-trained additive-smoothed unigram LM: TF per (doc,
         # token), vocab counts off the TF rows, corpus totals via a

@@ -3,6 +3,9 @@
 from __future__ import annotations
 
 import os
+import time
+
+from pyspark.sql import functions as F
 
 from simplecrawler_spark.plans import schemas
 from simplecrawler_spark.plans.tables import SnapshotStore
@@ -107,3 +110,70 @@ def test_ingest_stream_registers_state(spark, tmp_path):
             .count())
     assert n_ok == 1
     assert first <= final
+
+
+def test_stream_rollup_matches_batch(spark, tmp_path):
+    """Batch/stream parity for the windowed event rollup: the same
+    transformation drained as a streaming query (complete mode,
+    availableNow) must equal the batch run over the same files."""
+    from simplecrawler_spark.streaming.rollup import (
+        event_window_rollup, stream_event_rollup,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    d = str(tmp_path / "events")
+    half = ev.count() // 2
+    # two files, chronological halves; the sleep forces distinct
+    # mtimes so the file source processes them in event-time order
+    # (no late data — parity must hold exactly)
+    ev.where(F.col("event_id") < half).write.mode("append").parquet(d)
+    time.sleep(1.1)
+    ev.where(F.col("event_id") >= half).write.mode("append").parquet(d)
+
+    batch = {(r.win_start, r.event_type): (r.n_events, r.value_cents)
+             for r in event_window_rollup(spark.read.parquet(d)).collect()}
+
+    q = (stream_event_rollup(spark, d).writeStream
+         .format("memory").queryName("rollup_parity")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {(r.win_start, r.event_type): (r.n_events, r.value_cents)
+           for r in spark.table("rollup_parity").collect()}
+    assert got == batch and len(batch) > 10
+
+
+def test_stream_rollup_append_withholds_unfinalised_windows(spark, tmp_path):
+    """Append mode + watermark: only windows the watermark has passed
+    are emitted — the tail windows (within the 2h lateness bound of
+    the max event time) are withheld, whatever the file order. This is
+    the state-bounding semantics that keeps a 10^10-event rollup's
+    state store finite."""
+    from simplecrawler_spark.streaming.rollup import (
+        event_window_rollup, stream_event_rollup,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    d = str(tmp_path / "events")
+    half = ev.count() // 2
+    ev.where(F.col("event_id") < half).write.mode("append").parquet(d)
+    time.sleep(1.1)
+    ev.where(F.col("event_id") >= half).write.mode("append").parquet(d)
+
+    batch = {(r.win_start, r.event_type): (r.n_events, r.value_cents)
+             for r in event_window_rollup(spark.read.parquet(d)).collect()}
+
+    q = (stream_event_rollup(spark, d).writeStream
+         .format("memory").queryName("rollup_append")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck2"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {(r.win_start, r.event_type): (r.n_events, r.value_cents)
+           for r in spark.table("rollup_append").collect()}
+    # finalised windows match the batch result exactly...
+    for k, v in got.items():
+        assert batch[k] == v
+    # ...and the unfinalised tail is withheld
+    assert 0 < len(got) < len(batch)
