@@ -110,6 +110,80 @@ def main():
     checks.append(("anti-join present",
                    "LeftAnti" in plan or "left_anti" in plan.lower(), ""))
 
+    def n_python(plan: str) -> int:
+        return (n_ops(plan, "ArrowEvalPython")
+                + n_ops(plan, "BatchEvalPython")
+                + n_ops(plan, "MapInPandas"))
+
+    # 5. corpus cleaning: pruned scan, pure JVM, map-side combine
+    plan = formatted(qs["q_corpus_clean"](spark, SF_DIR))
+    sections.append(("q_corpus_clean", plan))
+    read = [l for l in plan.splitlines() if "ReadSchema" in l]
+    checks.append(("q_corpus_clean scans only doc_id,text",
+                   bool(read) and "doc_id" in read[0]
+                   and "n_chars" not in read[0] and "source" not in read[0],
+                   read[0].strip() if read else "no ReadSchema"))
+    checks.append(("q_corpus_clean has zero Python evals",
+                   n_python(plan) == 0, f"python_ops={n_python(plan)}"))
+    checks.append(("q_corpus_clean map-side partial aggregation",
+                   "partial_" in plan, ""))
+
+    # 6. hash split: narrow projection, zero exchanges
+    plan = formatted(qs["q_hash_split"](spark, SF_DIR))
+    sections.append(("q_hash_split", plan))
+    checks.append(("q_hash_split plans no Exchange and no Python",
+                   n_ops(plan, "Exchange") == 0 and n_python(plan) == 0,
+                   f"exchanges={n_ops(plan, 'Exchange')}"))
+
+    # 7. unigram LM scoring: corpus totals ride a broadcast, not a
+    # driver collect; token-count aggs combine map-side
+    plan = formatted(qs["q_unigram_logprob"](spark, SF_DIR))
+    sections.append(("q_unigram_logprob", plan))
+    checks.append(("q_unigram_logprob broadcasts corpus totals",
+                   "BroadcastExchange" in plan
+                   or "BroadcastNestedLoopJoin" in plan, ""))
+    checks.append(("q_unigram_logprob pure JVM with partial aggs",
+                   n_python(plan) == 0 and "partial_" in plan,
+                   f"python_ops={n_python(plan)}"))
+
+    # 8. windowed event rollup: one shuffle, partial+final agg
+    plan = formatted(qs["q_event_window_rollup"](spark, SF_DIR))
+    sections.append(("q_event_window_rollup", plan))
+    checks.append(("event rollup: single exchange, partial agg",
+                   n_ops(plan, "Exchange") == 1 and "partial_" in plan,
+                   f"exchanges={n_ops(plan, 'Exchange')}"))
+
+    # 9. banded Hamming near-dup: equi-join on band key, no cartesian
+    plan = formatted(qs["q_phash_neardup"](spark, SF_DIR))
+    sections.append(("q_phash_neardup", plan))
+    checks.append(("phash near-dup plans no CartesianProduct",
+                   n_ops(plan, "CartesianProduct") == 0
+                   and n_ops(plan, "BroadcastNestedLoopJoin") == 0, ""))
+
+    # 10. IVF probe is a partition-pruned scan: non-probed cell
+    # directories never reach the file index
+    import shutil
+    import tempfile
+
+    from simplecrawler_spark.operators.similarity import (
+        ann_ivf_probe,
+        ivf_build,
+    )
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    tmp = tempfile.mkdtemp(prefix="ivf_audit_")
+    try:
+        ivf_build(emb, tmp, n_cells=8)
+        probe = ann_ivf_probe(spark, tmp, [1.0] * dim, k=5, nprobe=2)
+        plan = formatted(probe)
+        sections.append(("ann_ivf_probe (built index, nprobe=2/8)", plan))
+        part = [l for l in plan.splitlines() if "PartitionFilters" in l]
+        checks.append(("IVF probe partition-prunes on cell",
+                       bool(part) and "cell" in part[0],
+                       part[0].strip()[:110] if part else "none"))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/PLANS.md", "w") as fh:
         fh.write("# Physical-plan audit (`explain(\"formatted\")`)\n\n")
