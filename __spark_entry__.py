@@ -371,6 +371,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.col("doc_id"),
                 {"train": 0.8, "val": 0.1, "test": 0.1}).alias("split"))
 
+    def q_pack_shards(spark, sf):
+        """Token-budget shard packing (operators/packing.py
+        pack_sequences): deterministic md5 hash-range layout, global
+        token offset via a two-phase distributed prefix sum (per-range
+        window cumsum + an n_ranges-row offset agg broadcast back),
+        shard_id = floor(preceding-token offset / budget)."""
+        from simplecrawler_spark.operators.packing import pack_sequences
+
+        return pack_sequences(_t(spark, sf, "documents"),
+                              budget_tokens=4096, n_ranges=8)
+
+    def q_mix_rebalance(spark, sf):
+        """Domain-mix rebalancing (operators/packing.py
+        rebalance_mix): per-source keep probability from a tiny count
+        agg (scale = min_s n_s/frac_s), selection by per-row md5
+        bucket threshold — no document row shuffles, no per-source
+        rank window (the skew trap at 10^10 rows)."""
+        from simplecrawler_spark.operators.packing import rebalance_mix
+
+        return rebalance_mix(_t(spark, sf, "documents"),
+                             {"src0": 0.5, "src1": 0.3, "src2": 0.2})
+
     def q_span_dedup(spark, sf):
         """C4-style cross-document span dedup (operators/dedup.py
         span_dedup). The synthetic documents carry no newlines, so
@@ -587,6 +609,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repetition": q_repetition,
         "q_span_dedup": q_span_dedup,
         "q_hash_split": q_hash_split,
+        "q_pack_shards": q_pack_shards,
+        "q_mix_rebalance": q_mix_rebalance,
         "q_cosine_topk": q_cosine_topk,
         "q_embedding_norms": q_embedding_norms,
         "q_ann_lsh": q_ann_lsh,
@@ -937,6 +961,48 @@ def oracle_sql() -> dict[str, str]:
                      ('0x' || substr(md5('split|' || doc_id::VARCHAR),
                                      1, 15))::BIGINT % 1000000 AS b
               FROM documents)
+        """,
+        "q_pack_shards": f"""
+            WITH base AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5('pack|' || doc_id::VARCHAR),
+                                     1, 15))::BIGINT % 1000000 AS h,
+                     len({toks})::BIGINT AS n_tokens
+              FROM documents
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(floor(
+                     COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) / 4096.0)
+                     AS BIGINT) AS shard_id
+            FROM base
+        """,
+        "q_mix_rebalance": """
+            WITH tgt(source, frac) AS (
+              VALUES ('src0', 0.5::DOUBLE), ('src1', 0.3::DOUBLE),
+                     ('src2', 0.2::DOUBLE)
+            ), sized AS (
+              SELECT doc_id, d.source FROM documents d
+              JOIN tgt USING (source)
+            ), j AS (
+              SELECT c.source, c.n, t.frac, c.n / t.frac AS cap
+              FROM (SELECT source, count(*) AS n FROM sized
+                    GROUP BY 1) c
+              JOIN tgt t USING (source)
+            ), thr AS (
+              SELECT source,
+                     least(1000000, CAST(floor(
+                       frac * (SELECT min(cap) FROM j) / n * 1000000)
+                       AS BIGINT)) AS thr
+              FROM j
+            )
+            SELECT s.doc_id, s.source,
+                   (('0x' || substr(md5('mix|' || s.doc_id::VARCHAR),
+                                    1, 15))::BIGINT % 1000000) < t.thr
+                     AS keep
+            FROM sized s JOIN thr t USING (source)
         """,
         "q_span_dedup": """
             WITH pre AS (

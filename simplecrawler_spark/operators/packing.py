@@ -1,0 +1,158 @@
+"""Training-batch assembly: token-budget shard packing and
+domain-mix rebalancing.
+
+After cleaning/dedup (operators/dedup.py, functions/text.py) a
+pretraining pipeline still has to (a) carve the surviving corpus into
+fixed-token-budget shards for the data loader and (b) reweight the
+domain mixture (web/books/code/...) to target fractions. The
+reference crawler stops at fetch+store (crawler.py:240-260 writes a
+results dict) — these are the downstream operators a 100 TB corpus
+consumer needs, same family as the cleaning stages.
+
+Scale shapes (the design constraints at 10^10 documents):
+
+* ``pack_sequences`` needs a GLOBAL running token offset — the naive
+  form is one window over one partition (a single-task sort of the
+  whole corpus). Implemented instead as the classic two-phase
+  distributed prefix sum: deterministic hash-range bucketing into P
+  partitions, per-partition window cumsum (P-way parallel), then a
+  P-row per-partition-total aggregate whose own cumsum rides back via
+  a broadcast join. The only wide ops are one P-way hash shuffle and
+  one P-row agg; nothing about the plan changes at 1000 executors.
+* ``rebalance_mix`` must NOT rank-per-source (the largest domain's
+  window would serialise into one task — the exact skew the crawl's
+  salted repartition exists to avoid). Selection is instead a pure
+  per-row hash threshold: a tiny per-source count aggregate fixes the
+  keep-probability p_s, broadcast back, and every row decides locally
+  with the same md5 bucket contract as split_assign_expr. Kept counts
+  are binomial(n_s, p_s) rather than exact — the documented price of
+  a shuffle-free selection that never moves a document row.
+
+Both stay engine-portable (the md5/hex contract from
+functions/text.py) so the DuckDB oracle replays them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from simplecrawler_spark.functions.text import (
+    SPLIT_BUCKETS,
+    hash_long60,
+    token_count_expr,
+)
+
+__all__ = ["pack_sequences", "rebalance_mix"]
+
+
+def pack_sequences(docs: DataFrame, budget_tokens: int = 4096,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   n_ranges: int = 64,
+                   salt: str = "pack|") -> DataFrame:
+    """Assign each document to a fixed-token-budget shard.
+
+    Documents are laid out in a deterministic global order (md5-hash
+    range, then id — reproducible across runs, engines, and cluster
+    sizes, unlike any rand()/partition-id scheme) and a global running
+    token offset is computed; a document belongs to the shard its
+    first token lands in::
+
+        shard_id = floor(offset_before_doc / budget_tokens)
+
+    so every shard spans ~budget_tokens tokens (the last document of a
+    shard may straddle the boundary — standard pretraining packing,
+    where the loader truncates or wraps at the shard seam).
+
+    Returns (id_col, n_tokens, shard_id).
+
+    The global offset is a two-phase distributed prefix sum over
+    ``n_ranges`` deterministic hash buckets: per-bucket window cumsum
+    runs n_ranges-way parallel, and only the n_ranges per-bucket
+    totals pass through the tiny second phase. ``n_ranges`` should be
+    ~2-4x the executor count at scale; it changes parallelism only,
+    never the assignment (the order is (hash, id), bucket = hash
+    prefix, so bucket boundaries align with the order).
+    """
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    if not 1 <= n_ranges <= SPLIT_BUCKETS:
+        raise ValueError("n_ranges out of range")
+    bucket_width = SPLIT_BUCKETS // n_ranges + 1
+    h = hash_long60(F.col(id_col).cast("string"), salt) % SPLIT_BUCKETS
+    base = docs.select(
+        F.col(id_col),
+        h.alias("_h"),
+        (h / F.lit(bucket_width)).cast("int").alias("_rng"),
+        token_count_expr(F.col(text_col)).cast("long").alias("n_tokens"))
+
+    # phase 1: cumsum within each hash range (parallel over ranges)
+    w_local = (Window.partitionBy("_rng")
+               .orderBy(F.col("_h").asc(), F.col(id_col).asc())
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    local = base.withColumn("_cum_in", F.sum("n_tokens").over(w_local))
+
+    # phase 2: per-range totals (n_ranges rows) -> exclusive offsets;
+    # the window below runs over <= n_ranges rows, not the corpus
+    w_off = (Window.orderBy(F.col("_rng").asc())
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = (base.groupBy("_rng")
+               .agg(F.sum("n_tokens").alias("_tot"))
+               .select("_rng", F.coalesce(F.sum("_tot").over(w_off),
+                                          F.lit(0)).alias("_off")))
+
+    return (local.join(F.broadcast(offsets), "_rng")
+            .select(id_col, "n_tokens",
+                    F.floor((F.col("_off") + F.col("_cum_in")
+                             - F.col("n_tokens"))
+                            / F.lit(budget_tokens)).alias("shard_id")))
+
+
+def rebalance_mix(docs: DataFrame, targets: dict[str, float],
+                  source_col: str = "source", id_col: str = "doc_id",
+                  salt: str = "mix|") -> DataFrame:
+    """Downsample per-domain so the surviving corpus matches the
+    target mixture, without upsampling and at the largest size the
+    targets allow.
+
+    ``targets`` maps source value -> desired fraction of the output
+    (must sum to ~1). With n_s documents in source s, the achievable
+    output size is ``scale = min_s(n_s / frac_s)`` and each source
+    keeps ~``frac_s * scale`` documents, chosen by the deterministic
+    md5 bucket of the id (lowest buckets first — stable under corpus
+    growth, engine-portable). Sources absent from ``targets`` are
+    dropped.
+
+    Returns (id_col, source_col, keep) for every input row whose
+    source is targeted; ``keep`` marks survivors. Kept counts are
+    binomial, not exact (see module docstring); the threshold is
+    computed from a per-source count aggregate that produces one row
+    per source and broadcasts back — no document row ever shuffles.
+    """
+    total = sum(targets.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"target fractions must sum to 1, got {total}")
+    if any(f <= 0 for f in targets.values()):
+        raise ValueError("target fractions must be positive")
+
+    tgt = F.create_map(*[F.lit(x) for kv in targets.items() for x in kv])
+    sized = (docs.where(F.col(source_col).isin(list(targets)))
+             .select(F.col(id_col), F.col(source_col)))
+    counts = (sized.groupBy(source_col)
+              .agg(F.count("*").alias("_n"))
+              .withColumn("_frac", tgt[F.col(source_col)])
+              .withColumn("_cap", F.col("_n") / F.col("_frac")))
+    # scale = min over sources of n_s/frac_s : a 1-row agg, then a
+    # broadcast back onto the per-source thresholds
+    scale = counts.agg(F.min("_cap").alias("_scale"))
+    thresholds = (counts.crossJoin(F.broadcast(scale))
+                  .select(source_col,
+                          F.least(
+                              F.lit(SPLIT_BUCKETS),
+                              F.floor(F.col("_frac") * F.col("_scale")
+                                      / F.col("_n") * SPLIT_BUCKETS)
+                              .cast("long")).alias("_thr")))
+    bucket = hash_long60(F.col(id_col).cast("string"), salt) % SPLIT_BUCKETS
+    return (sized.join(F.broadcast(thresholds), source_col)
+            .select(id_col, source_col,
+                    (bucket < F.col("_thr")).alias("keep")))

@@ -1,0 +1,118 @@
+"""Training-batch assembly operators (operators/packing.py):
+token-budget shard packing + domain-mix rebalancing.
+
+No reference analogue (the reference stops at fetch+store,
+crawler.py:240-260) — these pin the LLM-pipeline contract: packing is
+a deterministic global layout whose shard assignment is independent
+of parallelism, and rebalancing matches target domain fractions via
+the portable md5 bucket, never a per-source rank window.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from simplecrawler_spark.functions.text import SPLIT_BUCKETS
+from simplecrawler_spark.operators.packing import (
+    pack_sequences,
+    rebalance_mix,
+)
+
+
+def _docs(spark, n=400, words_lo=3, words_hi=40):
+    # deterministic variable-length texts: doc k has (k % span) tokens
+    span = words_hi - words_lo
+    rows = [(k, " ".join(f"w{j}" for j in range(words_lo + k % span)))
+            for k in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _h60(key: str, salt: str) -> int:
+    return int(hashlib.md5((salt + key).encode()).hexdigest()[:15], 16)
+
+
+def test_pack_sequences_matches_serial_recompute(spark):
+    budget = 256
+    out = {r.doc_id: (r.n_tokens, r.shard_id)
+           for r in pack_sequences(_docs(spark), budget_tokens=budget,
+                                   n_ranges=8).collect()}
+    # serial ground truth: order by (md5 bucket, id), exclusive cumsum
+    ordered = sorted(out, key=lambda k: (_h60(str(k), "pack|")
+                                         % SPLIT_BUCKETS, k))
+    off = 0
+    for k in ordered:
+        n_tok, shard = out[k]
+        assert shard == off // budget, f"doc {k}"
+        off += n_tok
+    # every shard except the last begins exactly at a budget boundary
+    # crossing: shard ids are contiguous 0..max
+    shards = sorted({s for _, s in out.values()})
+    assert shards == list(range(len(shards)))
+
+
+def test_pack_sequences_invariant_to_n_ranges_and_layout(spark):
+    docs = _docs(spark, n=300)
+    a = {r.doc_id: r.shard_id
+         for r in pack_sequences(docs, 512, n_ranges=1).collect()}
+    b = {r.doc_id: r.shard_id
+         for r in pack_sequences(docs.repartition(13), 512,
+                                 n_ranges=7).collect()}
+    c = {r.doc_id: r.shard_id
+         for r in pack_sequences(docs.orderBy(F.desc("doc_id")), 512,
+                                 n_ranges=64).collect()}
+    assert a == b == c  # parallelism / input layout never move a doc
+
+
+def test_pack_sequences_validates_budget(spark):
+    with pytest.raises(ValueError):
+        pack_sequences(_docs(spark, n=4), budget_tokens=0)
+    with pytest.raises(ValueError):
+        pack_sequences(_docs(spark, n=4), n_ranges=0)
+
+
+def _mix_docs(spark, sizes: dict[str, int]):
+    rows, k = [], 0
+    for src, n in sizes.items():
+        for _ in range(n):
+            rows.append((k, src))
+            k += 1
+    return spark.createDataFrame(rows, "doc_id long, source string")
+
+
+def test_rebalance_mix_hits_target_fractions(spark):
+    docs = _mix_docs(spark, {"web": 8000, "books": 1000, "code": 1000})
+    out = rebalance_mix(docs, {"web": 0.6, "books": 0.3, "code": 0.1})
+    kept = {r.source: r.n for r in
+            out.where("keep").groupBy("source")
+            .agg(F.count("*").alias("n")).collect()}
+    # scale = min(8000/.6, 1000/.3, 1000/.1) = 3333 -> targets
+    # web 2000, books 1000 (binding: keeps everything), code 333
+    assert kept["books"] == 1000          # p=1.0 keeps all, exactly
+    assert abs(kept["web"] - 2000) < 150  # binomial tolerance
+    assert abs(kept["code"] - 333) < 70
+    total = sum(kept.values())
+    assert abs(kept["web"] / total - 0.6) < 0.04
+    assert abs(kept["code"] / total - 0.1) < 0.03
+
+
+def test_rebalance_mix_untargeted_sources_dropped_and_deterministic(spark):
+    docs = _mix_docs(spark, {"web": 500, "books": 200, "junk": 300})
+    tgt = {"web": 0.7, "books": 0.3}
+    out = rebalance_mix(docs, tgt)
+    assert out.where(F.col("source") == "junk").count() == 0
+    assert out.count() == 700             # one row per targeted doc
+    a = {r.doc_id: r.keep for r in out.collect()}
+    b = {r.doc_id: r.keep for r in
+         rebalance_mix(docs.repartition(11), tgt).collect()}
+    assert a == b
+
+
+def test_rebalance_mix_validates_fractions(spark):
+    docs = _mix_docs(spark, {"web": 10})
+    with pytest.raises(ValueError):
+        rebalance_mix(docs, {"web": 0.5})          # sums to 0.5
+    with pytest.raises(ValueError):
+        rebalance_mix(docs, {"web": 1.2, "books": -0.2})
