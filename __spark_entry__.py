@@ -135,12 +135,13 @@ def _sql_aspect_buckets() -> str:
     """VALUES literal of multimodal.ASPECT_BUCKETS with the integer
     distance multiplier LCM/rh pre-computed (see
     assign_aspect_bucket's exact-rational argmin)."""
-    from simplecrawler_spark.functions.multimodal import (
-        _ASPECT_LCM, ASPECT_BUCKETS,
-    )
+    import math
 
+    from simplecrawler_spark.functions.multimodal import ASPECT_BUCKETS
+
+    lcm = math.lcm(*[rh for _, _, rh, _, _ in ASPECT_BUCKETS])
     return ", ".join(
-        f"({i}, '{name}', {rw}, {rh}, {tw}, {th}, {_ASPECT_LCM // rh})"
+        f"({i}, '{name}', {rw}, {rh}, {tw}, {th}, {lcm // rh})"
         for i, (name, rw, rh, tw, th) in enumerate(ASPECT_BUCKETS))
 
 
@@ -560,7 +561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from simplecrawler_spark.operators.quality import unigram_logprob
 
         docs = _t(spark, sf, "documents")
-        s = unigram_logprob(docs)
+        s = unigram_logprob(docs, ln_scale=10**9)
         return s.select(
             "doc_id", "n_tokens",
             F.floor(F.col("logprob") * 1000000).cast("long")
@@ -1201,8 +1202,15 @@ def oracle_sql() -> dict[str, str]:
               FROM vocab
             )
             SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
-                   floor((sum(tf * ln(cnt::DOUBLE + 1.0)) / sum(tf)
-                          - ln(n_total + v_size)) * 1000000)::BIGINT
+                   -- per-token ln floor-scaled to int64; the document
+                   -- sum runs in LONG arithmetic (order-independent),
+                   -- mirroring unigram_logprob(ln_scale=1e9)
+                   floor((sum(tf * floor(ln(cnt::DOUBLE + 1.0)
+                                         * 1000000000)::BIGINT)
+                            / sum(tf)
+                          - floor(ln(n_total + 1.0 * v_size)
+                                  * 1000000000)::BIGINT)
+                         / 1000000000.0 * 1000000)::BIGINT
                      AS lp_scaled
             FROM tf JOIN vocab USING (tok), tot
             GROUP BY doc_id, n_total, v_size

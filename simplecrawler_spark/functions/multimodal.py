@@ -230,11 +230,6 @@ ASPECT_BUCKETS = [
     ("tall",       9, 16, 384, 672),
 ]
 
-# LCM of the ratio_h values {1, 3, 4, 9, 16} — scales every bucket's
-# rational distance to a common integer denominator (see below)
-_ASPECT_LCM = 144
-
-
 def assign_aspect_bucket(corpus: DataFrame, w_col: str = "w",
                          h_col: str = "h",
                          buckets=None) -> DataFrame:
@@ -251,14 +246,20 @@ def assign_aspect_bucket(corpus: DataFrame, w_col: str = "w",
     (array_min over a literal struct array): no shuffle, no UDF,
     whole-stage codegen at any scale.
     """
+    import math
+
     from pyspark.sql import functions as F
 
     buckets = buckets or ASPECT_BUCKETS
+    # common denominator computed FROM the given buckets, so a custom
+    # bucket set whose ratio_h doesn't divide the built-in LCM still
+    # gets exact integer weights (LCM/rh is exact by construction)
+    lcm = math.lcm(*[rh for _, _, rh, _, _ in buckets])
     w, h = F.col(w_col).cast("long"), F.col(h_col).cast("long")
     cands = F.array(*[
         F.struct(
             (F.abs(w * F.lit(rh) - F.lit(rw) * h)
-             * F.lit(_ASPECT_LCM // rh)).cast("long").alias("d"),
+             * F.lit(lcm // rh)).cast("long").alias("d"),
             F.lit(i).alias("ord"),
             F.lit(name).alias("bucket"),
             F.lit(tw).alias("target_w"),

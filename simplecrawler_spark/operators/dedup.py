@@ -20,7 +20,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from simplecrawler_spark.functions.text import (
@@ -176,6 +176,38 @@ def minhash_signature(docs: DataFrame, text_col: str = "text",
     return docs.select(F.col(id_col), *cols)
 
 
+def bucket_cap_split(exploded: DataFrame, key_cols: list[str],
+                     id_col: str, max_bucket: int, star_reps: int,
+                     payload_cols: tuple[str, ...] = ()):
+    """THE degenerate-bucket guard kernel, shared by
+    minhash_lsh_pairs, fingerprint_near_dup and
+    similarity.embedding_near_dup so the star-cap semantics can never
+    drift between them: one window pass over the exploded bucket keys
+    (count + row_number share a single shuffle — no cached side
+    tables, nothing driver-side) splits rows into
+
+      small  — rows of buckets with ≤ max_bucket members (safe to
+               self-join),
+      capped — rows of larger buckets (self-joining them would be
+               O(n²) in one task),
+      reps   — the ``star_reps`` lowest-id rows of each capped bucket:
+               the star-linearisation anchors every capped member
+               pairs against instead.
+
+    All three carry (id_col, *key_cols, *payload_cols)."""
+    wo = Window.partitionBy(*key_cols).orderBy(F.col(id_col).asc())
+    full_frame = wo.rowsBetween(Window.unboundedPreceding,
+                                Window.unboundedFollowing)
+    tagged = exploded.select(
+        F.col(id_col), *[F.col(c) for c in (*key_cols, *payload_cols)],
+        F.count("*").over(full_frame).alias("_n"),
+        F.row_number().over(wo).alias("_rank"))
+    small = tagged.where(F.col("_n") <= max_bucket).drop("_n", "_rank")
+    big = tagged.where(F.col("_n") > max_bucket)
+    reps = big.where(F.col("_rank") <= star_reps).drop("_n", "_rank")
+    return small, big.drop("_n", "_rank"), reps
+
+
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", n_hashes: int = 8,
                       band_rows: int = 2, k: int = 3,
@@ -232,16 +264,8 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                     F.col(f"b.{id_col}").alias("id_b"))
             .distinct()
         )
-    from pyspark.sql import Window
-
-    wo = Window.partitionBy("band", "key").orderBy(F.col(id_col).asc())
-    full_frame = wo.rowsBetween(Window.unboundedPreceding,
-                                Window.unboundedFollowing)
-    tagged = exploded.select(
-        F.col(id_col), "band", "key",
-        F.count("*").over(full_frame).alias("_n"),
-        F.row_number().over(wo).alias("_rank"))
-    small = tagged.where(F.col("_n") <= max_bucket)
+    small, capped, reps = bucket_cap_split(
+        exploded, ["band", "key"], id_col, max_bucket, star_reps)
     a = small.alias("a")
     b = small.alias("b")
     full_pairs = (
@@ -250,11 +274,10 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
         .select(F.col(f"a.{id_col}").alias("id_a"),
                 F.col(f"b.{id_col}").alias("id_b"))
     )
-    capped = tagged.where(F.col("_n") > max_bucket)
-    reps = (capped.where(F.col("_rank") <= star_reps)
-            .select("band", "key", F.col(id_col).alias("_rep")))
     star_pairs = (
-        capped.join(reps, ["band", "key"])
+        capped.join(reps.select("band", "key",
+                                F.col(id_col).alias("_rep")),
+                    ["band", "key"])
         .where(F.col("_rep") < F.col(id_col))
         .select(F.col("_rep").alias("id_a"), F.col(id_col).alias("id_b"))
     )
@@ -396,20 +419,9 @@ def fingerprint_near_dup(fps: DataFrame, fp_col: str = "fingerprint",
     ).select(id_col, "_fp", F.col("bk.band").alias("band"),
              F.col("bk.key").alias("key"))
     if max_bucket is not None:
-        from pyspark.sql import Window
-
-        wo = Window.partitionBy("band", "key").orderBy(F.col(id_col).asc())
-        full_frame = wo.rowsBetween(Window.unboundedPreceding,
-                                    Window.unboundedFollowing)
-        tagged = exploded.select(
-            F.col(id_col), "_fp", "band", "key",
-            F.count("*").over(full_frame).alias("_n"),
-            F.row_number().over(wo).alias("_rank"))
-        small = tagged.where(F.col("_n") <= max_bucket).drop("_n", "_rank")
-        reps = (tagged.where((F.col("_n") > max_bucket)
-                             & (F.col("_rank") <= star_reps))
-                .drop("_n", "_rank"))
-        big = tagged.where(F.col("_n") > max_bucket).drop("_n", "_rank")
+        small, big, reps = bucket_cap_split(
+            exploded, ["band", "key"], id_col, max_bucket, star_reps,
+            payload_cols=("_fp",))
         a = small.unionByName(reps).alias("a")
         b = small.unionByName(big).alias("b")
     else:

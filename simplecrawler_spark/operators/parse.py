@@ -72,6 +72,77 @@ def extract_hrefs(bodies: pd.Series) -> pd.Series:
     ])
 
 
+def _page_links(src_raw, src_norm, status, loc, body, *,
+                record_redirects: bool, trim_query: bool,
+                trim_fragment: bool, with_found: bool):
+    """THE per-page link contract, shared by extract_links_canonical
+    (link grain) and attach_links_canonical (page grain) so the staged
+    crawl path and the standalone operator can never drift:
+    redirect-as-link / HTML parse → page-level dedupe → trim →
+    resolve → canonicalise. Returns [(raw, href_norm|None,
+    url_resolved|None, parts)] in document order.
+
+    Page-level dedupe happens on the FINAL canonical form (one
+    canon_parts per href instead of two — the reference's pre-trim
+    set-dedupe and this collapse to the same visited set because the
+    cross-page groupBy dedupes on url_norm anyway; first spelling
+    wins, deterministic). ``with_found`` (S5 log mode) switches the
+    dedupe key to the pre-trim normalised href — the exact grain the
+    reference's HyperlinkSet keeps (parser.py:45-56) and the string
+    it prints as "FOUND: {href} ON {url}" (crawler.py:155)."""
+    if (record_redirects and status is not None
+            and 300 <= int(status) < 400 and loc is not None):
+        hrefs = [loc]
+    elif body is None:
+        hrefs = []
+    else:
+        collector = _HrefCollector()
+        try:
+            collector.feed(body)
+        except Exception:
+            pass  # parity: bad HTML ignored (parser.py:39-42)
+        hrefs = collector.hrefs
+    base = src_raw if src_raw is not None else src_norm
+    page_seen: set[str] = set()
+    out = []
+    for raw in hrefs:
+        href_norm = None
+        if with_found:
+            href_norm = canon_parts(raw)[0]
+            if href_norm in page_seen:
+                continue
+            page_seen.add(href_norm)
+        # string-level trim — same semantics as the JVM
+        # trim_query_fragment_expr fast path (the crawl's only trim
+        # use, crawler.py:136)
+        if trim_query or trim_fragment:
+            head, _, frag = raw.partition("#")
+            if trim_query:
+                head = head.partition("?")[0]
+            trimmed = (head if trim_fragment or not frag
+                       else f"{head}#{frag}")
+        else:
+            trimmed = raw
+        # urljoin returns already-lowercase-absolute hrefs verbatim —
+        # skip it for the common case
+        if trimmed.startswith(("http://", "https://")):
+            resolved = trimmed
+        else:
+            resolved = resolve_raw(base, trimmed)
+        parts = canon_parts(resolved)
+        if not with_found:
+            if parts[0] in page_seen:
+                continue
+            page_seen.add(parts[0])
+        # url_resolved rides as NULL when it equals the canonical form
+        # (the overwhelming majority): downstream resolution bases
+        # coalesce to url_norm, and the dedupe/anti-join shuffles
+        # carry one wide string instead of two
+        rv = None if resolved == parts[0] else resolved
+        out.append((raw, href_norm, rv, parts))
+    return out
+
+
 LINKS_CANON = T.StructType([
     T.StructField("src_url", T.StringType()),
     T.StructField("src_authority", T.StringType()),
@@ -145,63 +216,13 @@ def extract_links_canonical(fetched: DataFrame, *, trim_query: bool = True,
                               pdf["authority"], pdf["depth"],
                               pdf["status"], pdf["redirect_location"],
                               pdf["body"]):
-                if (record_redirects and status is not None
-                        and 300 <= int(status) < 400 and loc is not None):
-                    hrefs = [loc]
-                elif body is None:
-                    hrefs = []
-                else:
-                    collector = _HrefCollector()
-                    try:
-                        collector.feed(body)
-                    except Exception:
-                        pass  # parity: bad HTML ignored (parser.py:39-42)
-                    hrefs = collector.hrefs
-                base = src_raw if src_raw is not None else src_norm
-                # page-level dedupe happens on the FINAL canonical form
-                # (one canon_parts per href instead of two — the
-                # reference's pre-trim set-dedupe and this collapse to
-                # the same visited set because the cross-page groupBy
-                # dedupes on url_norm anyway; first spelling wins,
-                # document order, deterministic)
-                page_seen: set[str] = set()
-                for raw in hrefs:
-                    if with_found:
-                        # reference-set grain: dedupe on the normalised
-                        # raw href, pre-trim (parser.py:45-56)
-                        href_norm = canon_parts(raw)[0]
-                        if href_norm in page_seen:
-                            continue
-                        page_seen.add(href_norm)
-                    # string-level trim — same semantics as the JVM
-                    # trim_query_fragment_expr fast path (the crawl's
-                    # only trim use, crawler.py:136)
-                    if trim_query or trim_fragment:
-                        head, _, frag = raw.partition("#")
-                        if trim_query:
-                            head = head.partition("?")[0]
-                        trimmed = (head if trim_fragment or not frag
-                                   else f"{head}#{frag}")
-                    else:
-                        trimmed = raw
-                    # urljoin returns already-lowercase-absolute hrefs
-                    # verbatim — skip it for the common case
-                    if trimmed.startswith(("http://", "https://")):
-                        resolved = trimmed
-                    else:
-                        resolved = resolve_raw(base, trimmed)
-                    parts = canon_parts(resolved)
-                    if not with_found:
-                        if parts[0] in page_seen:
-                            continue
-                        page_seen.add(parts[0])
-                    # url_resolved rides as NULL when it equals the
-                    # canonical form (the overwhelming majority):
-                    # downstream resolution bases coalesce to url_norm,
-                    # and the dedupe/anti-join shuffles carry one wide
-                    # string instead of two
-                    d = None if depth is None else int(depth)
-                    rv = None if resolved == parts[0] else resolved
+                d = None if depth is None else int(depth)
+                for raw, href_norm, rv, parts in _page_links(
+                        src_raw, src_norm, status, loc, body,
+                        record_redirects=record_redirects,
+                        trim_query=trim_query,
+                        trim_fragment=trim_fragment,
+                        with_found=with_found):
                     if minimal:
                         row = (src_norm, src_auth, d, rv, parts[0],
                                parts[2], parts[3])
@@ -275,47 +296,15 @@ def attach_links_canonical(fetched: DataFrame, *, trim_query: bool = True,
                 if not do_parse:
                     out_links.append([])
                     continue
-                if (record_redirects and status is not None
-                        and 300 <= int(status) < 400 and loc is not None):
-                    hrefs = [loc]
-                elif body is None:
-                    hrefs = []
-                else:
-                    collector = _HrefCollector()
-                    try:
-                        collector.feed(body)
-                    except Exception:
-                        pass  # parity: bad HTML ignored (parser.py:39-42)
-                    hrefs = collector.hrefs
-                base = src_raw if src_raw is not None else src_norm
-                page_seen: set[str] = set()
                 links: list[dict] = []
-                for raw in hrefs:
-                    if with_found:
-                        href_norm = canon_parts(raw)[0]
-                        if href_norm in page_seen:
-                            continue
-                        page_seen.add(href_norm)
-                    if trim_query or trim_fragment:
-                        head, _, frag = raw.partition("#")
-                        if trim_query:
-                            head = head.partition("?")[0]
-                        trimmed = (head if trim_fragment or not frag
-                                   else f"{head}#{frag}")
-                    else:
-                        trimmed = raw
-                    if trimmed.startswith(("http://", "https://")):
-                        resolved = trimmed
-                    else:
-                        resolved = resolve_raw(base, trimmed)
-                    parts = canon_parts(resolved)
-                    if not with_found:
-                        if parts[0] in page_seen:
-                            continue
-                        page_seen.add(parts[0])
+                for _raw, href_norm, rv, parts in _page_links(
+                        src_raw, src_norm, status, loc, body,
+                        record_redirects=record_redirects,
+                        trim_query=trim_query,
+                        trim_fragment=trim_fragment,
+                        with_found=with_found):
                     link = {
-                        "url_resolved": (None if resolved == parts[0]
-                                         else resolved),
+                        "url_resolved": rv,
                         "url_norm": parts[0],
                         "authority": parts[2],
                         "host": parts[3],

@@ -38,7 +38,8 @@ __all__ = ["unigram_logprob"]
 
 def unigram_logprob(docs: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", alpha: float = 1.0,
-                    model_docs: DataFrame | None = None) -> DataFrame:
+                    model_docs: DataFrame | None = None,
+                    ln_scale: int | None = None) -> DataFrame:
     """Per-document mean unigram log-probability under an
     additive-smoothed unigram LM estimated from ``model_docs``
     (default: the scored corpus itself).
@@ -50,8 +51,16 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text",
     separate reference corpus) get the α-smoothed floor. Docs with no
     tokens are omitted (no defined probability).
 
-    Returns (id_col, n_tokens, logprob). Floor-scale ``logprob``
-    before cross-engine comparison (see __spark_entry__ docstring).
+    Returns (id_col, n_tokens, logprob).
+
+    ``ln_scale`` arms the ENGINE-PORTABLE mode: each distinct token's
+    ln(c+α) is floor-scaled to int64 once, the per-document sum runs
+    in long arithmetic (order-independent — a cross-engine float SUM
+    would drift with partial-agg order), and the final value is the
+    deterministic composition (Σtf·lnₛ/n − lnₛ_total)/ln_scale of
+    IEEE ops on identical longs. Use it whenever scores are compared
+    across engines/runs (the q_unigram_logprob oracle twin); leave
+    None for full float precision.
     """
     toks = docs.select(F.col(id_col),
                        F.explode(tokens_expr(F.col(text_col)))
@@ -68,19 +77,25 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text",
     totals = vocab.agg(F.sum("cnt").alias("n_total"),
                        F.count("*").alias("v_size"))
 
+    ln_c = F.log(F.coalesce(F.col("cnt"), F.lit(0)).cast("double")
+                 + F.lit(alpha))
+    ln_tot = F.log(F.col("n_total").cast("double")
+                   + F.lit(alpha) * F.col("v_size"))
+    if ln_scale is not None:
+        ln_c = F.floor(ln_c * F.lit(ln_scale))
+        ln_tot = F.floor(ln_tot * F.lit(ln_scale))
     scored = (
         tf.join(vocab, "tok", "left")  # left: unknown tokens → floor
-        .select(id_col, "tf",
-                F.log(F.coalesce(F.col("cnt"), F.lit(0)).cast("double")
-                      + F.lit(alpha)).alias("ln_c"))
+        .select(id_col, "tf", ln_c.alias("ln_c"))
         .groupBy(id_col)
         .agg(F.sum("tf").alias("n_tokens"),
              F.sum(F.col("tf") * F.col("ln_c")).alias("sum_ln"))
         .crossJoin(F.broadcast(totals))
         .select(
             id_col, "n_tokens",
-            (F.col("sum_ln") / F.col("n_tokens")
-             - F.log(F.col("n_total").cast("double")
-                     + F.lit(alpha) * F.col("v_size"))).alias("logprob"))
+            (F.col("sum_ln") / F.col("n_tokens") - ln_tot).alias("logprob"))
     )
+    if ln_scale is not None:
+        scored = scored.withColumn(
+            "logprob", F.col("logprob") / F.lit(ln_scale))
     return scored

@@ -541,9 +541,16 @@ class CuckooSeen:
         SidecarIO) or any SidecarIO; at cluster scale these are one
         object per shard in shared storage and a bulk-op task fetches
         only its shard."""
-        self.sidecar = _as_sidecar(dir_or_io)
+        # hydrate every lazy shard from the CURRENT sidecar before
+        # repointing, or a re-export of a load_shards() filter would
+        # read the not-yet-copied shard files from the destination
+        tables = {s: self._shard_table(s) for s in range(self.n_shards)}
+        new_io = _as_sidecar(dir_or_io)
+        if self.sidecar is None or new_io.root != self.sidecar.root:
+            self._manifest = {}  # old names belong to the old sidecar
+        self.sidecar = new_io
         for s in range(self.n_shards):
-            self._write_shard(s, self._shard_table(s))
+            self._write_shard(s, tables[s])
         self._save_manifest()
 
     @classmethod

@@ -20,7 +20,7 @@ from __future__ import annotations
 import hashlib
 import math
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -184,21 +184,14 @@ def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.9,
         F.explode(F.array(*[F.least(F.col("_sig"), p) for p in probes]))
         .alias("bucket")).dropDuplicates([id_col, "bucket"])
     if max_bucket is not None:
-        # one window pass tags each exploded row with its bucket size
-        # and rank — count + row_number share a single shuffle, no
-        # cached side table, nothing driver-side (round-2 ADVICE)
-        wo = Window.partitionBy("bucket").orderBy(F.col(id_col).asc())
-        full_frame = wo.rowsBetween(Window.unboundedPreceding,
-                                    Window.unboundedFollowing)
-        tagged = exploded.select(
-            F.col(id_col), F.col(vec_col), "bucket",
-            F.count("*").over(full_frame).alias("_n"),
-            F.row_number().over(wo).alias("_rank"))
-        small = tagged.where(F.col("_n") <= max_bucket) \
-                      .select(id_col, vec_col, "bucket")
-        capped = tagged.where(F.col("_n") > max_bucket)
-        reps = (capped.where(F.col("_rank") <= star_reps)
-                .select("bucket", F.col(id_col).alias("_rep")))
+        # shared guard kernel (single window shuffle, nothing
+        # driver-side) — see dedup.bucket_cap_split
+        from simplecrawler_spark.operators.dedup import bucket_cap_split
+
+        small, capped, reps = bucket_cap_split(
+            exploded.select(id_col, vec_col, "bucket"), ["bucket"],
+            id_col, max_bucket, star_reps, payload_cols=(vec_col,))
+        reps = reps.select("bucket", F.col(id_col).alias("_rep"))
         vecs = embeddings.select(F.col(id_col), F.col(vec_col))
         star = (
             capped.join(reps, "bucket")

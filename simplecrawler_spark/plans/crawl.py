@@ -900,7 +900,14 @@ class FrontierCrawler:
         continue_crawl() finishes the remaining rounds exactly."""
         obj = cls(spark, fetcher, cfg, root=root)
         if os.path.exists(obj._bloom_path):
-            obj.bloom = BloomSeen.load(obj._bloom_path)
+            try:
+                obj.bloom = BloomSeen.load(obj._bloom_path)
+            except ValueError:
+                # sidecar written under an incompatible position scheme
+                # (a cross-scheme load would false-negative ⇒ duplicate
+                # crawls) — drop it; continue_crawl rebuilds from the
+                # seen table exactly as for a missing sidecar
+                obj.bloom = None
         cuckoo_io = obj.store.sidecar("cuckoo_shards")
         if cuckoo_io.exists("manifest.json"):
             from simplecrawler_spark.operators.seen import CuckooSeen

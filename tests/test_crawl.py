@@ -333,6 +333,37 @@ def test_resume_identical_final_state(spark, tmp_path):
     assert partial.issubset(resumed.result_urls())
 
 
+def test_resume_with_incompatible_bloom_scheme(spark, tmp_path):
+    """A checkpoint whose bloom.npz was written under a different
+    position scheme must not abort the resume: the load raises
+    ValueError (cross-scheme bitsets false-negative → duplicate
+    crawls), resume drops the filter, and continue_crawl rebuilds it
+    from the seen table — same path as a missing sidecar."""
+    import numpy as np
+
+    cfg = CrawlConfig(max_per_host_per_round=2, max_rounds=2)
+    rows = crawler_server_rows(BASE)
+    crawler = crawl(spark, tmp_path / "killed", rows, BASE, cfg)
+
+    # rewrite the sidecar as if an older build (per-k-seed scheme) had
+    # checkpointed it
+    z = dict(np.load(crawler._bloom_path))
+    z["scheme"] = "per-k-seed"
+    np.savez(crawler._bloom_path[:-4], **z)
+
+    cfg2 = CrawlConfig(max_per_host_per_round=2, max_rounds=50)
+    fetcher = TableFetcher(site_graph_df(spark, rows), cfg2)
+    resumed = FrontierCrawler.resume(
+        spark, fetcher, str(tmp_path / "killed" / "crawl"), cfg2)
+    assert resumed.bloom is None  # stale filter dropped, not loaded
+    resumed.continue_crawl()
+    assert resumed.bloom is not None  # rebuilt from the seen table
+
+    full = crawl(spark, tmp_path / "full", rows, BASE,
+                 CrawlConfig(max_per_host_per_round=2, max_rounds=50))
+    assert resumed.result_urls() == full.result_urls()
+
+
 def test_resume_over_orphan_stage_dir(spark, tmp_path):
     """A crash BETWEEN the round's staging write and its snapshot
     commit leaves stage/fetched-r{r} behind (fixed name, unlike table

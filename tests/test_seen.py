@@ -221,6 +221,28 @@ def test_cuckoo_sidecar_load_shards_roundtrip(spark, tmp_path):
     assert "http://h.test/p/4999" not in reloaded
 
 
+def test_cuckoo_sidecar_reexport_to_new_dir(spark, tmp_path):
+    """save_shards on a load_shards()-opened filter must hydrate the
+    lazy shard tables from the OLD sidecar before repointing — a
+    migration/re-export of a resumed filter used to FileNotFoundError
+    reading the not-yet-copied shards from the destination."""
+    cf = CuckooSeen(capacity=1 << 14)
+    cf.save_shards(str(tmp_path / "a"))
+    urls = spark.range(2_000).select(
+        F.concat(F.lit("http://h.test/p/"), F.col("id").cast("string"))
+        .alias("url_norm"))
+    cf.add_df(urls)
+
+    reopened = CuckooSeen.load_shards(str(tmp_path / "a"))
+    reopened.save_shards(str(tmp_path / "b"))       # lazy tables unloaded
+    migrated = CuckooSeen.load_shards(str(tmp_path / "b"))
+    assert "http://h.test/p/1999" in migrated
+    assert "http://h.test/p/0" in migrated
+    # and the ORIGINAL sidecar is untouched by the re-export
+    assert "http://h.test/p/1999" in CuckooSeen.load_shards(
+        str(tmp_path / "a"))
+
+
 def test_attach_cuckoo_expire_recrawl(spark, tmp_path):
     """attach_cuckoo arms the sidecar path on the crawler's snapshot
     root; expire_seen then takes per-key cuckoo deletes with no
