@@ -553,6 +553,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return event_window_rollup(_t(spark, sf, "events"))
 
+    def q_sessionize(spark, sf):
+        """Gap-based sessionization, batch twin
+        (streaming/sessions.py sessionize_batch): lag + running-sum
+        windows partitioned by user — one shuffle, parallel over
+        keys. The applyInPandasWithState streaming twin emits the
+        identical closed sessions (parity pinned by
+        tests/test_streaming.py::test_stream_sessionize_matches_batch;
+        stateful streaming itself is not SQL-expressible)."""
+        from simplecrawler_spark.streaming.sessions import (
+            sessionize_batch,
+        )
+
+        return sessionize_batch(_t(spark, sf, "events"), gap_sec=86400)
+
     def q_unigram_logprob(spark, sf):
         """CCNet-style LM quality scoring (operators/quality.py):
         mean unigram log-probability per document under an
@@ -624,6 +638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_image_dedup_cluster": q_image_dedup_cluster,
         "q_unigram_logprob": q_unigram_logprob,
         "q_event_window_rollup": q_event_window_rollup,
+        "q_sessionize": q_sessionize,
     }
 
 
@@ -1176,6 +1191,36 @@ def oracle_sql() -> dict[str, str]:
         # origin as Spark's window() for divisor-of-day intervals);
         # window start as wall-clock string (timezone-proof on both
         # engines); value summed as per-row-floored cents — long math
+        "q_sessionize": """
+            WITH base AS (
+              SELECT user_id,
+                     datediff('microsecond',
+                              TIMESTAMP '1970-01-01 00:00:00',
+                              ts) AS ts_us,
+                     CAST(floor(value * 100) AS BIGINT) AS v_cents
+              FROM events
+            ), flagged AS (
+              SELECT user_id, ts_us, v_cents,
+                     CASE WHEN ts_us - lag(ts_us) OVER w
+                               > 86400::BIGINT * 1000000 THEN 1
+                          WHEN lag(ts_us) OVER w IS NULL THEN 1
+                          ELSE 0 END AS new_sess
+              FROM base
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+            ), sessed AS (
+              SELECT user_id, ts_us, v_cents,
+                     SUM(new_sess) OVER (PARTITION BY user_id
+                                         ORDER BY ts_us
+                                         ROWS UNBOUNDED PRECEDING)
+                       AS sess
+              FROM flagged
+            )
+            SELECT user_id, min(ts_us) AS start_us,
+                   max(ts_us) AS end_us,
+                   count(*)::BIGINT AS n_events,
+                   sum(v_cents)::BIGINT AS value_cents
+            FROM sessed GROUP BY user_id, sess
+        """,
         "q_event_window_rollup": """
             SELECT time_bucket(INTERVAL '1 hour', ts)::VARCHAR
                      AS win_start,

@@ -177,3 +177,74 @@ def test_stream_rollup_append_withholds_unfinalised_windows(spark, tmp_path):
         assert batch[k] == v
     # ...and the unfinalised tail is withheld
     assert 0 < len(got) < len(batch)
+
+
+def test_stream_sessionize_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization == the batch lag/cumsum
+    twin. A far-future sentinel event pushes the final watermark past
+    every real session's close time (last_event + gap), so the stream
+    emits ALL real sessions as closed; the sentinel's own (still-open)
+    session is the only one withheld."""
+    import pandas as pd
+
+    from simplecrawler_spark.streaming.sessions import (
+        sessionize_batch, stream_sessionize,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    d = str(tmp_path / "events")
+    half = ev.count() // 2
+    ev.where(F.col("event_id") < half).write.mode("append").parquet(d)
+    time.sleep(1.1)
+    ev.where(F.col("event_id") >= half).write.mode("append").parquet(d)
+    time.sleep(1.1)
+    # sentinel: one event far beyond max(ts) + watermark + gap
+    sent = pd.DataFrame([{
+        "event_id": 10 ** 9, "ts": pd.Timestamp("2030-01-01"),
+        "user_id": 10 ** 6, "event_type": "sentinel", "value": 0.0,
+        "props": "", }])
+    spark.createDataFrame(sent).write.mode("append").parquet(d)
+
+    batch = {(r.user_id, r.start_us, r.end_us): (r.n_events, r.value_cents)
+             for r in sessionize_batch(spark.read.parquet(d)).collect()
+             if r.user_id != 10 ** 6}
+
+    q = (stream_sessionize(spark, d).writeStream
+         .format("memory").queryName("sess_parity")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {(r.user_id, r.start_us, r.end_us): (r.n_events, r.value_cents)
+           for r in spark.table("sess_parity").collect()
+           if r.user_id != 10 ** 6}
+    assert got == batch and len(batch) > 50
+
+
+def test_stream_sessionize_withholds_open_sessions(spark, tmp_path):
+    """Without the sentinel, sessions within gap+watermark of the max
+    event time stay OPEN in the state store and are not emitted — the
+    exactly-once append contract (no session is ever emitted twice or
+    emitted before it can no longer grow)."""
+    from simplecrawler_spark.streaming.sessions import (
+        sessionize_batch, stream_sessionize,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    d = str(tmp_path / "events")
+    ev.write.parquet(d)
+
+    q = (stream_sessionize(spark, d).writeStream
+         .format("memory").queryName("sess_open")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {(r.user_id, r.start_us): r.n_events
+           for r in spark.table("sess_open").collect()}
+    batch = {(r.user_id, r.start_us): r.n_events
+             for r in sessionize_batch(spark.read.parquet(d)).collect()}
+    # emitted ⊆ batch, identical where emitted, and something withheld
+    assert set(got).issubset(set(batch))
+    assert all(batch[k] == v for k, v in got.items())
+    assert len(got) < len(batch)
