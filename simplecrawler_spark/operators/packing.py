@@ -124,7 +124,11 @@ def rebalance_mix(docs: DataFrame, targets: dict[str, float],
     dropped.
 
     Returns (id_col, source_col, keep) for every input row whose
-    source is targeted; ``keep`` marks survivors. Kept counts are
+    source is targeted; ``keep`` marks survivors. A targeted source
+    ABSENT from the corpus contributes no rows and no scale
+    constraint — the mixture is balanced over the sources actually
+    present (strict all-or-nothing semantics would instead need
+    scale=0; callers wanting that should validate presence first). Kept counts are
     binomial, not exact (see module docstring); the threshold is
     computed from a per-source count aggregate that produces one row
     per source and broadcasts back — no document row ever shuffles.
