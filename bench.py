@@ -90,7 +90,9 @@ def crawl_bench(spark, n_pages: int, n_hosts: int = 64):
     cfg = CrawlConfig(same_authority_only=False, max_rounds=6,
                       bloom_enabled=True,
                       priority_source=os.environ.get(
-                          "SPARK_GRAFT_PRIORITY", "indegree"))
+                          "SPARK_GRAFT_PRIORITY", "indegree"),
+                      link_extractor=os.environ.get(
+                          "SPARK_GRAFT_EXTRACTOR", "stdlib"))
     fetcher = TableFetcher(graph, cfg)
     # snapshot tables on tmpfs too (same rationale as spark.local.dir)
     root_base = "/dev/shm" if os.path.isdir("/dev/shm") else None

@@ -91,6 +91,12 @@ class CrawlConfig:
     # default — the transcript grain is one row per (page, href),
     # which a 10^10-URL crawl should only pay for when asked.
     crawl_log: bool = False
+    # link extraction: "stdlib" = html.parser.HTMLParser, exact
+    # reference parity (parser.py:11-56, the default); "regex" = the
+    # ~9x-faster scan in operators/parse.py::hrefs_fast — identical on
+    # well-formed HTML but also matches <a> markup inside comments and
+    # <script> text (divergence documented + pinned in test_parse.py).
+    link_extractor: str = "stdlib"
 
     def as_dict(self) -> dict:
         return asdict(self)

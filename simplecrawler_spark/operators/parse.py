@@ -17,6 +17,8 @@ BASELINE.json:15).
 
 from __future__ import annotations
 
+import re
+from html import unescape
 from html.parser import HTMLParser
 
 import pandas as pd
@@ -46,18 +48,59 @@ class _HrefCollector(HTMLParser):
         pass
 
 
-def hrefs_from_html(html: str) -> list[str]:
-    """Pure-Python core: raw hrefs, deduped by canonical form
-    (first raw spelling wins), document order."""
+# --- opt-in fast link extractor --------------------------------------------
+# The stdlib HTMLParser is the reference-parity default (parser.py:11-56)
+# but costs ~87 µs/page on the 8-link synthetic body — ~83% of the whole
+# fused parse stage (measured round 3). The regex scan below is ~9x
+# faster and byte-identical on well-formed HTML: same tags (<a>, any
+# case), every href attribute per tag (duplicates kept, document
+# order), quoted or unquoted values, entity-unescaped like HTMLParser
+# unescapes attribute values. DOCUMENTED DIVERGENCE: it also matches
+# <a> markup inside comments and <script>/CDATA text, which a real
+# parser skips — hence opt-in (CrawlConfig.link_extractor="regex"),
+# never the default. Equivalence + divergence pinned by
+# tests/test_parse.py::test_fast_extractor_*.
+
+_A_TAG_RE = re.compile(r"<a(\s[^>]*)?>", re.I | re.S)
+_HREF_RE = re.compile(
+    r"""href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.I)
+
+
+def hrefs_fast(html: str) -> list[str]:
+    """Regex href scan — see the divergence note above."""
+    out: list[str] = []
+    for m in _A_TAG_RE.finditer(html):
+        attrs = m.group(1)
+        if not attrs:
+            continue
+        for hm in _HREF_RE.finditer(attrs):
+            v = hm.group(1)
+            if v is None:
+                v = hm.group(2)
+            if v is None:
+                v = hm.group(3)
+            out.append(unescape(v))
+    return out
+
+
+def _hrefs_stdlib(html: str) -> list[str]:
     collector = _HrefCollector()
     try:
         collector.feed(html)
     except Exception:
-        # reference ignores parse errors (parser.py:39-42)
-        pass
+        pass  # parity: bad HTML ignored (parser.py:39-42)
+    return collector.hrefs
+
+
+_EXTRACTORS = {"stdlib": _hrefs_stdlib, "regex": hrefs_fast}
+
+
+def hrefs_from_html(html: str) -> list[str]:
+    """Pure-Python core: raw hrefs, deduped by canonical form
+    (first raw spelling wins), document order."""
     out: list[str] = []
     seen_norm: set[str] = set()
-    for raw in collector.hrefs:
+    for raw in _hrefs_stdlib(html):
         norm = canon_parts(raw)[0]
         if norm not in seen_norm:
             seen_norm.add(norm)
@@ -74,7 +117,8 @@ def extract_hrefs(bodies: pd.Series) -> pd.Series:
 
 def _page_links(src_raw, src_norm, status, loc, body, *,
                 record_redirects: bool, trim_query: bool,
-                trim_fragment: bool, with_found: bool):
+                trim_fragment: bool, with_found: bool,
+                hrefs_fn=_hrefs_stdlib):
     """THE per-page link contract, shared by extract_links_canonical
     (link grain) and attach_links_canonical (page grain) so the staged
     crawl path and the standalone operator can never drift:
@@ -96,12 +140,7 @@ def _page_links(src_raw, src_norm, status, loc, body, *,
     elif body is None:
         hrefs = []
     else:
-        collector = _HrefCollector()
-        try:
-            collector.feed(body)
-        except Exception:
-            pass  # parity: bad HTML ignored (parser.py:39-42)
-        hrefs = collector.hrefs
+        hrefs = hrefs_fn(body)
     base = src_raw if src_raw is not None else src_norm
     page_seen: set[str] = set()
     out = []
@@ -180,7 +219,8 @@ def extract_links_canonical(fetched: DataFrame, *, trim_query: bool = True,
                             trim_fragment: bool = True,
                             record_redirects: bool = False,
                             minimal: bool = False,
-                            with_found: bool = False) -> DataFrame:
+                            with_found: bool = False,
+                            extractor: str = "stdlib") -> DataFrame:
     """Fused P1/P2/P3 → F12 trim → F16 resolve → F8 canonicalize in ONE
     mapInPandas stage.
 
@@ -202,6 +242,7 @@ def extract_links_canonical(fetched: DataFrame, *, trim_query: bool = True,
     either way; log mode just keeps the finer grain the transcript
     needs.
     """
+    hrefs_fn = _EXTRACTORS[extractor]
     cols = ["url_norm", "url_raw", "authority", "depth", "status",
             "redirect_location", "body"]
     schema = LINKS_CANON_MIN if minimal else LINKS_CANON
@@ -222,7 +263,7 @@ def extract_links_canonical(fetched: DataFrame, *, trim_query: bool = True,
                         record_redirects=record_redirects,
                         trim_query=trim_query,
                         trim_fragment=trim_fragment,
-                        with_found=with_found):
+                        with_found=with_found, hrefs_fn=hrefs_fn):
                     if minimal:
                         row = (src_norm, src_auth, d, rv, parts[0],
                                parts[2], parts[3])
@@ -259,7 +300,8 @@ def attach_links_canonical(fetched: DataFrame, *, trim_query: bool = True,
                            trim_fragment: bool = True,
                            record_redirects: bool = False,
                            with_found: bool = False,
-                           parse_flag_col: str = "_parse") -> DataFrame:
+                           parse_flag_col: str = "_parse",
+                           extractor: str = "stdlib") -> DataFrame:
     """PAGE-grain fused parse: every fetched row comes back as one row
     of fetch metadata plus a ``links array<struct>`` column holding the
     page's trimmed/resolved/canonicalised out-links (same per-link
@@ -281,6 +323,7 @@ def attach_links_canonical(fetched: DataFrame, *, trim_query: bool = True,
     is false come back with ``links = []`` without the body ever
     entering the Python HTML parser.
     """
+    hrefs_fn = _EXTRACTORS[extractor]
     cols = ["url_norm", "url_raw", "authority", "depth", "status",
             "content_type", "redirect_location", "image_id", "body",
             parse_flag_col]
@@ -302,7 +345,7 @@ def attach_links_canonical(fetched: DataFrame, *, trim_query: bool = True,
                         record_redirects=record_redirects,
                         trim_query=trim_query,
                         trim_fragment=trim_fragment,
-                        with_found=with_found):
+                        with_found=with_found, hrefs_fn=hrefs_fn):
                     link = {
                         "url_resolved": rv,
                         "url_norm": parts[0],

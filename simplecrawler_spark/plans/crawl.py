@@ -433,6 +433,7 @@ class FrontierCrawler:
             trim_query=cfg.trim_query, trim_fragment=cfg.trim_fragment,
             record_redirects=cfg.record_redirects,
             with_found=cfg.crawl_log,
+            extractor=cfg.link_extractor,
         ).write.mode("overwrite").parquet(stage_dir)
         fetched = self.spark.read.parquet(stage_dir)
         _mark("fetch_stage")

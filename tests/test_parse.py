@@ -82,3 +82,69 @@ def test_explode_links_df(spark):
     got = {r.src_url: sorted([r.href_raw]) for r in redir.collect()
            if r.src_url == "http://s/r"}
     assert got == {"http://s/r": ["http://s/target"]}
+
+
+# --- opt-in fast extractor (CrawlConfig.link_extractor="regex") ----------
+
+_EQUIV_CASES = [
+    '<a href="http://x.test/a">a</a><br><a href="/b">b</a>',
+    "<html><body><a href='/hello'>hello</a></body></html>",
+    '<A HREF="/UP">case</A>',
+    '<a class="x" href="/a" href="/b">dup attrs kept</a>',
+    '<a href=/unquoted>u</a>',
+    '<a href="/with&amp;amp">entity</a>',
+    '<a href="">empty</a>',
+    '<a>no href</a>',
+    '<p><a\nhref="/nl">newline in tag</a></p>',
+    '<a href="/a"><a href="/b">nested</a></a>',
+    'text with no links at all',
+    '<a href="/x" disabled>boolean attr</a>',
+    '<a href = "/spaced" >spaces around =</a>',
+]
+
+
+def test_fast_extractor_equivalent_on_wellformed_html():
+    from simplecrawler_spark.operators.parse import (
+        _hrefs_stdlib, hrefs_fast,
+    )
+
+    for html in _EQUIV_CASES:
+        assert hrefs_fast(html) == _hrefs_stdlib(html), html
+
+
+def test_fast_extractor_documented_divergence():
+    """The regex scan matches <a> markup inside comments/script text
+    that a real parser skips — the reason it is opt-in, never the
+    default (operators/parse.py divergence note)."""
+    from simplecrawler_spark.operators.parse import (
+        _hrefs_stdlib, hrefs_fast,
+    )
+
+    comment = '<!-- <a href="/comment">c</a> -->'
+    assert _hrefs_stdlib(comment) == []
+    assert hrefs_fast(comment) == ["/comment"]
+
+
+def test_fast_extractor_crawl_visited_set_identical(spark, tmp_path):
+    """Full crawl A/B on the fixture graph: link_extractor='regex'
+    reaches the identical visited set, depths, and link rows as the
+    stdlib default (the fixture corpus is well-formed HTML)."""
+    from simplecrawler_spark.config import CrawlConfig
+    from simplecrawler_spark.plans.crawl import FrontierCrawler
+    from simplecrawler_spark.sources.fetch import TableFetcher
+    from simplecrawler_spark.sources.fixtures import (
+        crawler_server_rows, site_graph_df,
+    )
+
+    base = "http://www.crawler-test-server.com"
+    rows = crawler_server_rows(base)
+    out = {}
+    for ex in ("stdlib", "regex"):
+        cfg = CrawlConfig(link_extractor=ex)
+        fetcher = TableFetcher(site_graph_df(spark, rows), cfg)
+        c = FrontierCrawler(spark, fetcher, cfg,
+                            root=str(tmp_path / ex))
+        c.crawl(base + "/")
+        out[ex] = {(r.url_norm, r.depth, r.status)
+                   for r in c.results().collect()}
+    assert out["stdlib"] == out["regex"] and len(out["stdlib"]) > 5
