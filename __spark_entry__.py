@@ -312,6 +312,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.floor(F.col("jaccard") * 1000000)
                         .cast("long").alias("jac_scaled"))
 
+    def q_decontaminate(spark, sf):
+        """Benchmark decontamination (operators/dedup.py
+        decontaminate): docs with doc_id % 50 == 0 stand in as the
+        held-out eval set; the rest are the training side. n=3 keeps
+        the synthetic corpus discriminating (the 13-gram default
+        yields ~no overlap at this scale); output is the contaminated
+        ids with their distinct-overlapping-gram counts."""
+        docs = _t(spark, sf, "documents")
+        bench = docs.where(F.col("doc_id") % 50 == 0)
+        # test-scale plumbing: the sf tables are single parquet files,
+        # so without this the training-side gram explode runs on one
+        # core (a real corpus arrives already multi-partitioned)
+        train = (docs.where(F.col("doc_id") % 50 != 0)
+                 .repartition(spark.sparkContext.defaultParallelism))
+        out = D.decontaminate(train, bench, n=3)
+        return out.where(F.col("contaminated")).select("doc_id", "n_hits")
+
     def q_simhash(spark, sf):
         docs = _t(spark, sf, "documents").where(F.col("doc_id") < 100)
         return D.simhash(docs, n_bits=16)
@@ -457,6 +474,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cents = SIM.ivf_centroids(emb, n_cells=8)
         return (SIM.ivf_assign(emb, cents)
                 .groupBy("cell").agg(F.count("*").alias("n")))
+
+    def q_semantic_dedup(spark, sf):
+        """SemDeDup-style semantic dedup (operators/similarity.py
+        semantic_dedup): IVF-cell blocking + pairwise keep-lowest-id
+        at cosine >= 0.4 (the synthetic embeddings carry no planted
+        near-dups; in-cell cosines top out ~0.49, so 0.4 exercises
+        both drop and survive paths)."""
+        emb = _t(spark, sf, "embeddings")
+        return SIM.semantic_dedup(emb, n_cells=8, threshold=0.4)
 
     def q_robots_gate(spark, sf):
         """G4: stdlib-robotparser can_fetch gate vs a first-match-wins
@@ -617,6 +643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lsh_pairs": q_lsh_pairs,
         "q_dedup_components": q_dedup_components,
         "q_ngram_jaccard": q_ngram_jaccard,
+        "q_decontaminate": q_decontaminate,
         "q_simhash": q_simhash,
         "q_phash_neardup": q_phash_neardup,
         "q_lang_quality": q_lang_quality,
@@ -631,6 +658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_lsh": q_ann_lsh,
         "q_cosine_pairs": q_cosine_pairs,
         "q_ivf_assign": q_ivf_assign,
+        "q_semantic_dedup": q_semantic_dedup,
         "q_robots_gate": q_robots_gate,
         "q_image_features": q_image_features,
         "q_aspect_buckets": q_aspect_buckets,
@@ -880,6 +908,19 @@ def oracle_sql() -> dict[str, str]:
             FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
             WHERE a.doc_id % 10 = 0
         """,
+        "q_decontaminate": f"""
+            WITH t AS (
+              SELECT doc_id, {toks} AS toks FROM documents
+            ), g AS (
+              SELECT doc_id, unnest({sh}) AS gram FROM t
+            ), bench AS (
+              SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0
+            )
+            SELECT doc_id, count(DISTINCT gram) AS n_hits
+            FROM g
+            WHERE doc_id % 50 <> 0 AND gram IN (SELECT gram FROM bench)
+            GROUP BY doc_id
+        """,
         "q_simhash": f"""
             WITH t AS (
               SELECT doc_id, {toks} AS toks FROM documents WHERE doc_id < 100
@@ -1098,6 +1139,39 @@ def oracle_sql() -> dict[str, str]:
               FROM d
             )
             SELECT cell, count(*) AS n FROM a WHERE rn = 1 GROUP BY cell
+        """,
+        "q_semantic_dedup": """
+            WITH c AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                     embedding::DOUBLE[] AS cv
+              FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+            ), e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), d AS (
+              SELECT e.vec_id, c.cell,
+                     list_aggregate(list_transform(range(1, len(v) + 1),
+                       i -> (v[i] - cv[i]) * (v[i] - cv[i])), 'sum') AS dist
+              FROM e CROSS JOIN c
+            ), a AS (
+              SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+                       ORDER BY dist, cell) AS rn
+              FROM d
+            ), asg AS (
+              SELECT vec_id, cell FROM a WHERE rn = 1
+            ), e2 AS (
+              SELECT asg.vec_id, asg.cell, e.v,
+                     sqrt(list_aggregate(list_transform(e.v, x -> x * x),
+                       'sum')) AS nm
+              FROM asg JOIN e ON e.vec_id = asg.vec_id
+            ), dropped AS (
+              SELECT DISTINCT y.vec_id
+              FROM e2 x JOIN e2 y
+                ON x.cell = y.cell AND y.vec_id > x.vec_id
+              WHERE list_aggregate(list_transform(range(1, len(x.v) + 1),
+                      i -> x.v[i] * y.v[i]), 'sum') / (x.nm * y.nm) >= 0.4
+            )
+            SELECT vec_id, cell FROM asg
+            WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
         """,
         "q_robots_gate": """
             WITH u AS (

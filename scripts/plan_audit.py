@@ -160,7 +160,26 @@ def main():
                    n_ops(plan, "CartesianProduct") == 0
                    and n_ops(plan, "BroadcastNestedLoopJoin") == 0, ""))
 
-    # 10. IVF probe is a partition-pruned scan: non-probed cell
+    # 10. decontamination: benchmark gram set broadcast (the training
+    # explode must never shuffle), pure JVM, partial agg on hit rows
+    plan = formatted(qs["q_decontaminate"](spark, SF_DIR))
+    sections.append(("q_decontaminate", plan))
+    checks.append(("decontaminate broadcasts the benchmark gram set",
+                   n_ops(plan, "BroadcastHashJoin") >= 1, ""))
+    checks.append(("decontaminate pure JVM with partial aggregation",
+                   n_python(plan) == 0 and "partial" in plan.lower(), ""))
+
+    # 11. semantic dedup: cell-keyed self-join (never cartesian),
+    # pure built-in expressions end to end
+    plan = formatted(qs["q_semantic_dedup"](spark, SF_DIR))
+    sections.append(("q_semantic_dedup", plan))
+    checks.append(("semantic dedup joins on cell, no CartesianProduct",
+                   n_ops(plan, "CartesianProduct") == 0
+                   and n_ops(plan, "BroadcastNestedLoopJoin") == 0, ""))
+    checks.append(("semantic dedup has zero Python evals",
+                   n_python(plan) == 0, ""))
+
+    # 12. IVF probe is a partition-pruned scan: non-probed cell
     # directories never reach the file index
     import shutil
     import tempfile

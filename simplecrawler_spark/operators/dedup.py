@@ -305,6 +305,56 @@ def ngram_jaccard(pairs: DataFrame, docs: DataFrame,
         .otherwise(F.lit(0.0)).alias("jaccard"))
 
 
+def decontaminate(docs: DataFrame, benchmark: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 13, min_hits: int = 1,
+                  bench_text_col: str | None = None) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share
+    any token n-gram with a held-out evaluation/benchmark corpus (the
+    published GPT-3/PaLM-style 13-gram rule; ``n`` is the knob).
+
+    Returns one row per ``docs`` row: (id_col, n_hits, contaminated),
+    where n_hits counts DISTINCT overlapping n-grams and
+    contaminated = n_hits >= min_hits. Callers drop or quarantine the
+    flagged rows before training.
+
+    Scale shape (100 TB training corpus vs MB-scale benchmarks):
+      * the benchmark side collapses to DISTINCT n-grams first — eval
+        sets are tiny next to the corpus, so that side is explicitly
+        broadcast and the training-side explode NEVER shuffles: each
+        exploded gram probes the broadcast hash table inside the same
+        whole-stage-codegen stage that produced it, and non-hits (the
+        overwhelming majority) die immediately;
+      * only hit rows — rare by construction — reach the per-doc
+        countDistinct shuffle;
+      * grams join as exact strings, not 64-bit hashes: the broadcast
+        side is small enough that exactness is free, and a hash
+        false-positive would silently discard a clean training doc.
+
+    The reference crawler has no analogue (HTTP/MIME gates only) —
+    this is training-pipeline machinery in the clean_corpus family,
+    with a full SQL twin (q_decontaminate).
+    """
+    bcol = bench_text_col or text_col
+    bench_grams = (
+        benchmark
+        .select(F.explode(shingles_expr(F.col(bcol), n)).alias("gram"))
+        .distinct())
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode(shingles_expr(F.col(text_col), n)).alias("gram"))
+    hits = (doc_grams.join(F.broadcast(bench_grams), "gram")
+            .groupBy(id_col)
+            .agg(F.countDistinct("gram").alias("n_hits")))
+    return (docs.select(id_col)
+            .join(hits, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce(F.col("n_hits"), F.lit(0))
+                    .cast("long").alias("n_hits"))
+            .withColumn("contaminated",
+                        F.col("n_hits") >= F.lit(min_hits)))
+
+
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b",
                          max_iter: int = 25) -> DataFrame:

@@ -292,6 +292,63 @@ def ivf_centroids_kmeans(embeddings: DataFrame, n_cells: int = 16,
     return cents
 
 
+def semantic_dedup(embeddings: DataFrame, n_cells: int = 16,
+                   threshold: float = 0.9,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   centroids: list[list[float]] | None = None) -> DataFrame:
+    """SemDeDup-style semantic deduplication: quantise vectors into
+    IVF cells, then within each cell drop every row that has a
+    LOWER-id neighbour at cosine >= threshold. Returns the surviving
+    (id_col, cell) rows.
+
+    The keep-lowest-id rule is deliberately PAIRWISE, not transitive:
+    a row is dropped iff some lower-id row in its cell clears the
+    threshold against it — even if that lower-id row was itself
+    dropped. Decisions never depend on cluster closure, so the
+    operator is one flat self-join + anti-join (no iteration) with an
+    exact SQL twin (q_semantic_dedup); for closure semantics compose
+    the pair output with connected_components instead. Like SemDeDup,
+    cross-cell duplicates are invisible by design — the quantiser IS
+    the blocking structure.
+
+    Scale shape: the self-join fans in per cell (bounded by cell
+    occupancy — the IVF contract), both sides shuffle once on the
+    same `cell` key, and the dropped-id set is DISTINCT ids only, so
+    the final anti-join's build side stays far smaller than the
+    corpus and AQE broadcasts it.
+    """
+    cents = centroids or ivf_centroids(embeddings, n_cells,
+                                       vec_col, id_col)
+    if not cents:  # empty input → empty survivors, stable schema
+        return (embeddings.select(id_col)
+                .withColumn("cell", F.lit(0).cast("int")).limit(0))
+    assigned = ivf_assign(embeddings.select(id_col, vec_col),
+                          cents, vec_col)
+    # normalise ONCE per row (narrow), so each candidate pair costs a
+    # single dot product instead of dot + two norms — at bucket
+    # occupancy b that's 3× fewer element ops on O(b²) pairs for an
+    # O(b) preprocessing pass
+    nm = _norm(F.col(vec_col))
+    unit = assigned.select(
+        F.col(id_col), "cell",
+        F.when(nm > 0, F.transform(_dbl(F.col(vec_col)),
+                                   lambda x: x / nm))
+        .otherwise(F.transform(_dbl(F.col(vec_col)),
+                               lambda x: x * 0.0)).alias("_vn"))
+    a = unit.select(F.col(id_col).alias("id_a"),
+                    F.col("_vn").alias("va"), "cell")
+    b = unit.select(F.col(id_col).alias("id_b"),
+                    F.col("_vn").alias("vb"), "cell")
+    dropped = (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(_dot(F.col("va"), F.col("vb")) >= F.lit(threshold))
+        .select(F.col("id_b").alias(id_col))
+        .distinct())
+    return (assigned.join(dropped, id_col, "left_anti")
+            .select(id_col, "cell"))
+
+
 def ann_ivf_topk(embeddings: DataFrame, query: list[float], k: int = 10,
                  n_cells: int = 16, nprobe: int = 4,
                  vec_col: str = "embedding", id_col: str = "vec_id",

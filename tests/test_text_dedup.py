@@ -465,3 +465,108 @@ def test_unigram_logprob_reference_model(spark):
     want = ((math.log(2 + 1.0) + math.log(0 + 1.0)) / 2
             - math.log(6 + 5))
     assert got.logprob == pytest.approx(want, rel=1e-12)
+
+
+# -- decontamination ---------------------------------------------------------
+
+def test_decontaminate_planted(spark):
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string")
+    docs = spark.createDataFrame([
+        (1, "intro text then the quick brown fox appears here"),
+        (2, "completely disjoint words without any overlap at all"),
+        (3, "the quick brown fox jumps again and the lazy dog sleeps"),
+        (4, "the quick brown stop the quick brown"),
+    ], "doc_id long, text string")
+    got = {r.doc_id: (r.n_hits, r.contaminated)
+           for r in D.decontaminate(docs, bench, n=3).collect()}
+    # doc 1 shares {the quick brown, quick brown fox}; doc 3 adds
+    # {brown fox jumps, the lazy dog}; doc 4's repeated hit gram
+    # counts ONCE (distinct semantics)
+    assert got == {1: (2, True), 2: (0, False), 3: (4, True),
+                   4: (1, True)}
+
+
+def test_decontaminate_min_hits_and_default_n(spark):
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string")
+    docs = spark.createDataFrame([
+        (1, "intro text then the quick brown fox appears here"),
+        (3, "the quick brown fox jumps again and the lazy dog sleeps"),
+    ], "doc_id long, text string")
+    got = {r.doc_id: r.contaminated
+           for r in D.decontaminate(docs, bench, n=3,
+                                    min_hits=3).collect()}
+    assert got == {1: False, 3: True}
+    # 13-gram default: no 13-token overlap exists in these docs
+    got13 = {r.doc_id: r.n_hits
+             for r in D.decontaminate(docs, bench).collect()}
+    assert got13 == {1: 0, 3: 0}
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The benchmark gram set must reach the corpus side as a
+    broadcast — a shuffled gram join would shuffle the full training
+    explode at 100 TB."""
+    bench = spark.createDataFrame([(0, "a b c d e")],
+                                  "doc_id long, text string")
+    docs = spark.createDataFrame([(1, "a b c x y")],
+                                 "doc_id long, text string")
+    out = D.decontaminate(docs, bench, n=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+
+
+# -- semantic dedup ----------------------------------------------------------
+
+def test_semantic_dedup_pairwise_not_transitive(spark):
+    """A~B and B~C clear the threshold, A~C does not: B drops (lower
+    neighbour A), and C ALSO drops — its lower-id neighbour B clears
+    the threshold even though B itself was dropped. Pins the flat
+    pairwise rule (the SQL-twin semantics) against a
+    closure/iterative reading."""
+    import math
+    t18, t36 = math.radians(18), math.radians(36)
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [math.cos(t18), math.sin(t18)]),   # cos vs 1: 0.951
+        (3, [math.cos(t36), math.sin(t36)]),   # cos vs 1: 0.809, vs 2: 0.951
+        (4, [0.0, -1.0]),                      # other cell, survives
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.vec_id: r.cell for r in S.semantic_dedup(
+        emb, threshold=0.95,
+        centroids=[[1.0, 0.0], [0.0, -1.0]]).collect()}
+    assert got == {1: 0, 4: 1}
+
+
+def test_semantic_dedup_matches_bruteforce_rule(embeddings):
+    import numpy as np
+    got = {r.vec_id for r in S.semantic_dedup(
+        embeddings, n_cells=4, threshold=0.4).collect()}
+    rows = sorted(embeddings.select("vec_id", "embedding").collect(),
+                  key=lambda r: r.vec_id)
+    ids = np.array([r.vec_id for r in rows])
+    V = np.array([r.embedding for r in rows], dtype=np.float64)
+    cents = V[:4]
+    d2 = ((V[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    cell = d2.argmin(axis=1)           # ties: lowest cell, like argmin
+    nrm = np.linalg.norm(V, axis=1)
+    want = set()
+    for i in range(len(ids)):
+        dropped = any(
+            cell[j] == cell[i]
+            and V[j] @ V[i] / (nrm[j] * nrm[i]) >= 0.4
+            for j in range(i))
+        if not dropped:
+            want.add(int(ids[i]))
+    assert got == want
+
+
+def test_semantic_dedup_empty_input(spark):
+    emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = S.semantic_dedup(emb, n_cells=4, threshold=0.9)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["vec_id", "cell"]
