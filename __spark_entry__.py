@@ -607,6 +607,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.floor(F.col("logprob") * 1000000).cast("long")
             .alias("lp_scaled"))
 
+    def q_quality_buckets(spark, sf):
+        """CCNet-style head/middle/tail bucketing per source
+        (operators/quality.py quality_buckets): score-grain terciles
+        over the quantised unigram logprob — the window runs on the
+        per-source score HISTOGRAM, never a row-grain ntile sort."""
+        from simplecrawler_spark.operators.quality import quality_buckets
+
+        docs = _t(spark, sf, "documents")
+        b = quality_buckets(docs, n_buckets=3)
+        return b.select(
+            "doc_id", "source", "bucket",
+            F.floor(F.col("logprob") * 1000000).cast("long")
+            .alias("lp_scaled"))
+
     def q_image_dedup_cluster(spark, sf):
         """pHash near-dup CLUSTERING end-to-end on images: planted
         perturbed copies (fixtures.near_dup_corpus) → banded Hamming
@@ -665,6 +679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_caption_gate": q_caption_gate,
         "q_image_dedup_cluster": q_image_dedup_cluster,
         "q_unigram_logprob": q_unigram_logprob,
+        "q_quality_buckets": q_quality_buckets,
         "q_event_window_rollup": q_event_window_rollup,
         "q_sessionize": q_sessionize,
     }
@@ -1333,6 +1348,50 @@ def oracle_sql() -> dict[str, str]:
                      AS lp_scaled
             FROM tf JOIN vocab USING (tok), tot
             GROUP BY doc_id, n_total, v_size
+        """,
+        # same LM CTEs as q_unigram_logprob, then: exact double score →
+        # quantise (floor ×1000) → per-source histogram → descending
+        # cumulative mass → tercile band per quantised score
+        "q_quality_buckets": f"""
+            WITH u AS (
+              SELECT doc_id, unnest({toks}) AS tok
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, tok, count(*) AS tf FROM u GROUP BY 1, 2
+            ), vocab AS (
+              SELECT tok, sum(tf) AS cnt FROM tf GROUP BY tok
+            ), tot AS (
+              SELECT sum(cnt)::DOUBLE AS n_total,
+                     count(*)::DOUBLE AS v_size
+              FROM vocab
+            ), s AS (
+              SELECT doc_id,
+                     (sum(tf * floor(ln(cnt::DOUBLE + 1.0)
+                                     * 1000000000)::BIGINT)
+                        / sum(tf)
+                      - floor(ln(n_total + 1.0 * v_size)
+                              * 1000000000)::BIGINT)
+                       / 1000000000.0 AS logprob
+              FROM tf JOIN vocab USING (tok), tot
+              GROUP BY doc_id, n_total, v_size
+            ), d AS (
+              SELECT s.doc_id, documents.source, logprob,
+                     floor(logprob * 1000)::BIGINT AS q
+              FROM s JOIN documents USING (doc_id)
+            ), hist AS (
+              SELECT source, q, count(*) AS cnt FROM d GROUP BY 1, 2
+            ), buckets AS (
+              SELECT source, q,
+                     floor(3.0 * (sum(cnt) OVER (PARTITION BY source
+                                                 ORDER BY q DESC)
+                                  - cnt)
+                           / (sum(cnt) OVER (PARTITION BY source)))::INT
+                       AS bucket
+              FROM hist
+            )
+            SELECT d.doc_id, d.source, b.bucket,
+                   floor(d.logprob * 1000000)::BIGINT AS lp_scaled
+            FROM d JOIN buckets b USING (source, q)
         """,
         # band-blocked Hamming pairs + recursive-CTE connected
         # components over the SAME deterministic (id, phash) rows the

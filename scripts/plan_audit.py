@@ -179,7 +179,14 @@ def main():
     checks.append(("semantic dedup has zero Python evals",
                    n_python(plan) == 0, ""))
 
-    # 12. IVF probe is a partition-pruned scan: non-probed cell
+    # 12. quality buckets: pure JVM, map-side partial aggs feeding the
+    # histogram (the window sorts score-histogram rows, never docs)
+    plan = formatted(qs["q_quality_buckets"](spark, SF_DIR))
+    sections.append(("q_quality_buckets", plan))
+    checks.append(("quality buckets pure JVM with partial aggs",
+                   n_python(plan) == 0 and "partial" in plan.lower(), ""))
+
+    # 13. IVF probe is a partition-pruned scan: non-probed cell
     # directories never reach the file index
     import shutil
     import tempfile

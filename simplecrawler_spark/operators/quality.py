@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from simplecrawler_spark.functions.text import tokens_expr
 
-__all__ = ["unigram_logprob"]
+__all__ = ["unigram_logprob", "quality_buckets"]
 
 
 def unigram_logprob(docs: DataFrame, text_col: str = "text",
@@ -99,3 +99,56 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text",
         scored = scored.withColumn(
             "logprob", F.col("logprob") / F.lit(ln_scale))
     return scored
+
+
+def quality_buckets(docs: DataFrame, n_buckets: int = 3,
+                    group_col: str = "source", text_col: str = "text",
+                    id_col: str = "doc_id", alpha: float = 1.0,
+                    model_docs: DataFrame | None = None,
+                    ln_scale: int = 10 ** 9,
+                    quant: int = 1000) -> DataFrame:
+    """CCNet-style quality bucketing: per ``group_col`` (language /
+    source in CCNet), split documents into ``n_buckets`` equal-mass
+    bands of unigram-LM quality — bucket 0 = head (highest logprob /
+    lowest perplexity), n_buckets-1 = tail. Returns
+    (id_col, group_col, n_tokens, logprob, bucket).
+
+    Bucketing is SCORE-GRAIN, not row-grain: logprob is quantised to
+    1/``quant`` nats and every doc sharing a quantised score lands in
+    the same bucket (a boundary score's docs all take the earlier
+    band). That is deliberately NOT ntile():
+      * ntile is row-grain — it needs a total sort of every row within
+        each group, and group cardinality is tiny (languages/sources),
+        so at 10^10 docs each group's full sort funnels through few
+        tasks;
+      * here the window runs over the per-group HISTOGRAM of quantised
+        scores — bounded by score range × quant (thousands of rows per
+        group, independent of corpus size) — fed by a map-side-
+        combinable count agg, and assignment is a join back on
+        (group, q) that AQE broadcasts;
+      * row-grain tie-splitting across engines/runs would also be
+        nondeterministic; score-grain is exact and portable (the
+        q_quality_buckets oracle).
+
+    ``ln_scale`` stays armed by default: bucket boundaries compare
+    floats, so scores must be the deterministic long-arithmetic
+    composition (see unigram_logprob).
+    """
+    from pyspark.sql import Window
+
+    scored = unigram_logprob(docs, text_col, id_col, alpha,
+                             model_docs, ln_scale)
+    d = (scored.join(docs.select(id_col, group_col), id_col)
+         .select(id_col, group_col, "n_tokens", "logprob",
+                 F.floor(F.col("logprob") * F.lit(quant))
+                 .cast("long").alias("_q")))
+    hist = d.groupBy(group_col, "_q").agg(F.count("*").alias("_cnt"))
+    w_cum = Window.partitionBy(group_col).orderBy(F.desc("_q"))
+    w_all = Window.partitionBy(group_col)
+    buckets = hist.select(
+        group_col, "_q",
+        F.floor(F.lit(float(n_buckets))
+                * (F.sum("_cnt").over(w_cum) - F.col("_cnt"))
+                / F.sum("_cnt").over(w_all)).cast("int").alias("bucket"))
+    return (d.join(buckets, [group_col, "_q"])
+            .select(id_col, group_col, "n_tokens", "logprob", "bucket"))

@@ -570,3 +570,52 @@ def test_semantic_dedup_empty_input(spark):
     out = S.semantic_dedup(emb, n_cells=4, threshold=0.9)
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["vec_id", "cell"]
+
+
+# -- CCNet-style quality bucketing -------------------------------------------
+
+def test_quality_buckets_mass_rule(spark):
+    """Pins the documented score-grain rule: bucket =
+    floor(n_buckets * (mass at strictly better quantised scores) /
+    group total)."""
+    from simplecrawler_spark.operators.quality import quality_buckets
+    rows = [(i, "src", "the " * (12 - i) + " ".join(
+        f"w{i}x{j}" for j in range(i))) for i in range(1, 10)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, "
+                                       "text string")
+    got = quality_buckets(docs, n_buckets=3).collect()
+    assert len(got) == 9
+    qs = {r.doc_id: int(__import__("math").floor(r.logprob * 1000))
+          for r in got}
+    for r in got:
+        cum_before = sum(1 for v in qs.values() if v > qs[r.doc_id])
+        assert r.bucket == (3 * cum_before) // 9, r
+
+
+def test_quality_buckets_ties_share_bucket(spark):
+    """Docs with identical text share a quantised score and therefore
+    a bucket, even when that overflows an equal-mass third (the
+    deliberate divergence from row-grain ntile)."""
+    from simplecrawler_spark.operators.quality import quality_buckets
+    rows = ([(i, "s", "the cat sat on the mat") for i in range(6)]
+            + [(10 + i, "s", f"zq{i}a zq{i}b zq{i}c") for i in range(3)])
+    docs = spark.createDataFrame(rows, "doc_id long, source string, "
+                                       "text string")
+    got = {r.doc_id: r.bucket
+           for r in quality_buckets(docs, n_buckets=3).collect()}
+    assert all(got[i] == 0 for i in range(6))          # head, together
+    assert all(got[10 + i] == 2 for i in range(3))     # tail: floor(3*6/9)
+
+
+def test_quality_buckets_groups_independent(spark):
+    """Bucketing runs per group: a doc that would be tail globally is
+    head within a group of its own peers."""
+    from simplecrawler_spark.operators.quality import quality_buckets
+    rows = ([(i, "good", "the cat sat on the mat") for i in range(3)]
+            + [(10 + i, "bad", f"xx{i} yy{i} zz{i}") for i in range(3)])
+    docs = spark.createDataFrame(rows, "doc_id long, source string, "
+                                       "text string")
+    got = {r.doc_id: r.bucket
+           for r in quality_buckets(docs, n_buckets=3).collect()}
+    # every doc is tied within its own group → everyone is bucket 0
+    assert set(got.values()) == {0}
