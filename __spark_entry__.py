@@ -312,6 +312,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.floor(F.col("jaccard") * 1000000)
                         .cast("long").alias("jac_scaled"))
 
+    def q_substring_dedup(spark, sf):
+        """Exact-substring dedup, fixed-window relaxation of Lee et
+        al.'s suffix-array ExactSubstr (operators/dedup.py
+        substring_dedup): every 10-token span occurring more than once
+        corpus-wide is removed from all but its first occurrence. The
+        cleaned token stream is compared via md5."""
+        docs = _t(spark, sf, "documents")
+        out = D.substring_dedup(docs, window=10)
+        return out.select("doc_id", "n_tokens", "n_removed",
+                          F.md5("text_clean").alias("clean_md5"))
+
     def q_decontaminate(spark, sf):
         """Benchmark decontamination (operators/dedup.py
         decontaminate): docs with doc_id % 50 == 0 stand in as the
@@ -657,6 +668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lsh_pairs": q_lsh_pairs,
         "q_dedup_components": q_dedup_components,
         "q_ngram_jaccard": q_ngram_jaccard,
+        "q_substring_dedup": q_substring_dedup,
         "q_decontaminate": q_decontaminate,
         "q_simhash": q_simhash,
         "q_phash_neardup": q_phash_neardup,
@@ -922,6 +934,47 @@ def oracle_sql() -> dict[str, str]:
               ))::BIGINT AS jac_scaled
             FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
             WHERE a.doc_id % 10 = 0
+        """,
+        # windows grouped by their exact 10-token text (the Spark side
+        # groups by the portable 60-bit hash of the same string — the
+        # grouping is identical barring a ~2^-60 collision)
+        "q_substring_dedup": f"""
+            WITH t AS (
+              SELECT doc_id, {toks} AS toks FROM documents
+            ), e AS (
+              SELECT doc_id, unnest(range(1, len(toks) - 8)) AS p, toks
+              FROM t WHERE len(toks) >= 10
+            ), g AS (
+              SELECT doc_id, p,
+                     array_to_string(toks[p:p+9], ' ') AS gr
+              FROM e
+            ), k AS (
+              SELECT gr, min(struct_pack(d := doc_id, p := p)) AS win,
+                     count(*) AS c
+              FROM g GROUP BY gr
+            ), dups AS (
+              SELECT g.doc_id, g.p FROM g JOIN k USING (gr)
+              WHERE c > 1 AND NOT (g.doc_id = win.d AND g.p = win.p)
+            ), starts AS (
+              SELECT doc_id, list(p) AS ss FROM dups GROUP BY doc_id
+            ), clean AS (
+              SELECT t.doc_id, len(toks) AS n_tokens,
+                     list_transform(
+                       list_filter(range(1, len(toks) + 1),
+                         i -> ss IS NULL
+                              OR len(list_filter(ss,
+                                   s -> s <= i AND i < s + 10)) = 0),
+                       i -> toks[i]) AS kept
+              FROM t LEFT JOIN starts USING (doc_id)
+            )
+            SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+                   (n_tokens - len(kept))::BIGINT AS n_removed,
+                   -- array_to_string of an empty list is NULL in
+                   -- DuckDB; Spark's array_join gives '' (fully-
+                   -- removed docs, e.g. exact duplicates)
+                   md5(coalesce(array_to_string(kept, ' '), ''))
+                     AS clean_md5
+            FROM clean
         """,
         "q_decontaminate": f"""
             WITH t AS (

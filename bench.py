@@ -134,7 +134,8 @@ def pipeline_benches(spark, sf_dir: str) -> dict[str, float]:
              "q_lang_quality", "q_repetition", "q_cosine_topk", "q_ann_lsh",
              "q_robots_gate", "q_phash_neardup", "q_pack_shards",
              "q_mix_rebalance", "q_sessionize", "q_unigram_logprob",
-             "q_decontaminate", "q_semantic_dedup", "q_quality_buckets"]
+             "q_decontaminate", "q_semantic_dedup", "q_quality_buckets",
+             "q_substring_dedup"]
     qs = E.queries()
     for name in names:
         t0 = time.monotonic()

@@ -186,7 +186,15 @@ def main():
     checks.append(("quality buckets pure JVM with partial aggs",
                    n_python(plan) == 0 and "partial" in plan.lower(), ""))
 
-    # 13. IVF probe is a partition-pruned scan: non-probed cell
+    # 13. substring dedup: the corpus-wide groupBy shuffles 8-byte
+    # window keys, pure JVM, partial agg; no cartesian anywhere
+    plan = formatted(qs["q_substring_dedup"](spark, SF_DIR))
+    sections.append(("q_substring_dedup", plan))
+    checks.append(("substring dedup pure JVM, partial agg, no cartesian",
+                   n_python(plan) == 0 and "partial" in plan.lower()
+                   and n_ops(plan, "CartesianProduct") == 0, ""))
+
+    # 14. IVF probe is a partition-pruned scan: non-probed cell
     # directories never reach the file index
     import shutil
     import tempfile

@@ -305,6 +305,88 @@ def ngram_jaccard(pairs: DataFrame, docs: DataFrame,
         .otherwise(F.lit(0.0)).alias("jaccard"))
 
 
+def substring_dedup(docs: DataFrame, window: int = 50,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Exact-substring dedup at fixed token-window grain (the
+    distributed relaxation of Lee et al. 2022's suffix-array
+    ExactSubstr): every ``window``-token span that occurs more than
+    once in the corpus is removed from every occurrence EXCEPT the
+    globally first one (lowest (doc_id, position)).
+
+    Returns (id_col, n_tokens, n_removed, text_clean) where
+    text_clean is the surviving TOKEN stream re-joined with single
+    spaces — like the published method this operates on tokenised
+    text, so original whitespace/punctuation is not preserved. Docs
+    shorter than ``window`` tokens pass through with n_removed = 0.
+    A span duplicated with overlap masks the UNION of its window
+    positions (contiguous duplicated regions of length m >= window
+    are removed wholesale, m - window + 1 overlapping windows at a
+    time).
+
+    Scale shape:
+      * one (doc, pos, key) row per token position is the inherent
+        cost of substring-grain dedup; the key is a portable 60-bit
+        md5-derived hash of the window text, so the big groupBy
+        shuffles 8-byte keys, never 50-token strings. (A 2^-60 hash
+        collision merges two distinct windows — dedup errs a window
+        too aggressive, never corrupts: the winner occurrence always
+        survives.)
+      * only keys with count > 1 (rare) survive the aggregate; the
+        join back to occurrences carries just those, and only docs
+        with at least one masked window reach the rebuild join —
+        clean docs never shuffle their text.
+      * window-key construction is O(n·window) string assembly per
+        doc (array_join over a slice per position); a Karp-Rabin
+        rolling hash would make it O(n) but needs engine-matched
+        modular arithmetic — a documented native-engine optimisation
+        seam, not semantics.
+      * the rebuild is pure per-row HOFs (exists over the doc's own
+        masked-start list) — no Python, no extra shuffle.
+    """
+    toks = tokens_expr(F.col(text_col))
+    base = docs.select(F.col(id_col), toks.alias("_toks"))
+    win_keys = F.transform(
+        F.sequence(F.lit(1), F.size("_toks") - (window - 1)),
+        lambda p: F.struct(
+            p.alias("pos"),
+            hash_long60(
+                F.array_join(F.slice("_toks", p, window), " "),
+                salt="ss|").alias("key")))
+    occ = (base.where(F.size("_toks") >= window)
+           .select(id_col, F.explode(win_keys).alias("w"))
+           .select(id_col, F.col("w.pos").alias("pos"),
+                   F.col("w.key").alias("key")))
+    dup_keys = (occ.groupBy("key")
+                .agg(F.min(F.struct(F.col(id_col).alias("d"),
+                                    F.col("pos").alias("p"))).alias("win"),
+                     F.count("*").alias("c"))
+                .where(F.col("c") > 1)
+                .select("key", "win"))
+    starts = (occ.join(dup_keys, "key")
+              .where(~((F.col(id_col) == F.col("win.d"))
+                       & (F.col("pos") == F.col("win.p"))))
+              .groupBy(id_col)
+              .agg(F.collect_set("pos").alias("_ss")))
+    joined = base.join(starts, id_col, "left")
+    # sequence(1, 0) DESCENDS in Spark — zero-token docs need the guard
+    positions = F.when(
+        F.size("_toks") > 0,
+        F.sequence(F.lit(1), F.size("_toks"))
+    ).otherwise(F.array().cast("array<int>"))
+    kept = F.filter(
+        positions,
+        lambda i: F.col("_ss").isNull()
+        | ~F.exists("_ss", lambda s: (s <= i) & (i < s + window)))
+    return joined.select(
+        F.col(id_col),
+        F.size("_toks").cast("long").alias("n_tokens"),
+        (F.size("_toks") - F.size(kept)).cast("long").alias("n_removed"),
+        F.array_join(
+            F.transform(kept, lambda i: F.element_at("_toks", i)),
+            " ").alias("text_clean"))
+
+
 def decontaminate(docs: DataFrame, benchmark: DataFrame,
                   text_col: str = "text", id_col: str = "doc_id",
                   n: int = 13, min_hits: int = 1,

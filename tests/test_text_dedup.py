@@ -619,3 +619,57 @@ def test_quality_buckets_groups_independent(spark):
            for r in quality_buckets(docs, n_buckets=3).collect()}
     # every doc is tied within its own group → everyone is bucket 0
     assert set(got.values()) == {0}
+
+
+# -- exact-substring (fixed-window) dedup ------------------------------------
+
+def test_substring_dedup_keep_first(spark):
+    span = "a b c d e f g h i j k l"               # 12 tokens
+    docs = spark.createDataFrame([
+        (1, "x1 x2 " + span + " y1 y2"),
+        (2, "z1 " + span + " z2 z3 z4"),           # loses the whole span
+        (3, "totally different tokens here"),      # < window, untouched
+    ], "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           D.substring_dedup(docs, window=10).collect()}
+    assert got[1].n_removed == 0
+    assert got[1].text_clean == "x1 x2 " + span + " y1 y2"
+    # the 12-token duplicated region masks the UNION of its 3
+    # overlapping duplicate windows
+    assert got[2].n_removed == 12
+    assert got[2].text_clean == "z1 z2 z3 z4"
+    assert got[3].n_removed == 0
+    assert got[3].text_clean == "totally different tokens here"
+
+
+def test_substring_dedup_within_one_doc(spark):
+    span = " ".join(f"t{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, span + " mid1 mid2 " + span)],
+        "doc_id long, text string")
+    got = D.substring_dedup(docs, window=10).collect()[0]
+    # the second in-doc occurrence is removed, the first kept
+    assert got.n_removed == 10
+    assert got.text_clean == span + " mid1 mid2"
+
+
+def test_substring_dedup_edge_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "one two")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           D.substring_dedup(docs, window=10).collect()}
+    assert got[1].n_tokens == 0 and got[1].n_removed == 0
+    assert got[1].text_clean == ""
+    assert got[2].text_clean == ""
+    assert got[3].text_clean == "one two" and got[3].n_removed == 0
+
+
+def test_substring_dedup_exact_duplicate_doc_fully_removed(spark):
+    text = " ".join(f"w{i}" for i in range(15))
+    docs = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           D.substring_dedup(docs, window=10).collect()}
+    assert got[1].n_removed == 0
+    assert got[2].n_removed == 15 and got[2].text_clean == ""
