@@ -37,6 +37,7 @@ from simplecrawler_spark.functions.canonical import (
     canonicalize_df, filter_by, resolve, trim_query_fragment_expr,
 )
 from simplecrawler_spark.operators import dedup as D
+from simplecrawler_spark.operators import graph as G
 from simplecrawler_spark.operators import similarity as SIM
 from simplecrawler_spark.operators.parse import extract_hrefs
 from simplecrawler_spark.operators.politeness import schedule_budget
@@ -618,6 +619,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.floor(F.col("logprob") * 1000000).cast("long")
             .alias("lp_scaled"))
 
+    def q_pagerank(spark, sf):
+        """Integer-mass PageRank (operators/graph.py) over a
+        deterministic 40-vertex edge set derived from orders; 3
+        iterations, exact int64 masses — the oracle unrolls the same
+        integer arithmetic per iteration."""
+        orders = _t(spark, sf, "orders")
+        edges = orders.select(
+            (F.col("o_custkey") % 40).alias("src"),
+            (F.col("o_orderkey") % 40).alias("dst"),
+        ).where(F.col("src") != F.col("dst"))
+        return G.pagerank(edges, n_iter=3)
+
+    def q_redact_pii(spark, sf):
+        """PII scrub (functions/text.py redact_pii_exprs): the
+        synthetic docs carry no PII, so the query injects a
+        deterministic email + phone + IPv4 per doc (identically in
+        the oracle) and verifies counts plus the redacted text md5."""
+        docs = _t(spark, sf, "documents")
+        injected = F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-01"),
+            F.col("doc_id").cast("string"),
+            F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"))
+        e = X.redact_pii_exprs(injected)
+        return docs.select(
+            "doc_id", e["n_emails"].alias("n_emails"),
+            e["n_ipv4"].alias("n_ipv4"),
+            e["n_phones"].alias("n_phones"),
+            F.md5(e["text_redacted"]).alias("redacted_md5"))
+
     def q_quality_buckets(spark, sf):
         """CCNet-style head/middle/tail bucketing per source
         (operators/quality.py quality_buckets): score-grain terciles
@@ -691,6 +724,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_caption_gate": q_caption_gate,
         "q_image_dedup_cluster": q_image_dedup_cluster,
         "q_unigram_logprob": q_unigram_logprob,
+        "q_pagerank": q_pagerank,
+        "q_redact_pii": q_redact_pii,
         "q_quality_buckets": q_quality_buckets,
         "q_event_window_rollup": q_event_window_rollup,
         "q_sessionize": q_sessionize,
@@ -731,6 +766,36 @@ def _ann_lsh_oracle() -> str:
         FROM s WHERE sig IN ({", ".join(map(str, probe))})
         ORDER BY c DESC, vec_id LIMIT 10
     """
+
+
+def _pagerank_oracle(n_iter: int = 3, d_num: int = 85, d_den: int = 100,
+                     scale: int = 10 ** 15) -> str:
+    """DuckDB twin of q_pagerank: the same integer-mass iteration
+    unrolled into one CTE per step (recursive CTEs can't aggregate in
+    the recursive term). `//` is DuckDB integer division = Spark's
+    `div`; all masses stay int64, so the comparison is exact."""
+    base = f"(SELECT ({scale} * {d_den - d_num}) // ({d_den} * n) FROM nn)"
+    sql = f"""
+        WITH e AS (
+          SELECT DISTINCT o_custkey % 40 AS src, o_orderkey % 40 AS dst
+          FROM orders WHERE o_custkey % 40 <> o_orderkey % 40
+        ), verts AS (
+          SELECT src AS v FROM e UNION SELECT dst FROM e
+        ), nn AS (SELECT count(*) AS n FROM verts),
+        outdeg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+        r0 AS (SELECT v, (SELECT {scale} // n FROM nn) AS rank FROM verts)
+    """
+    for i in range(n_iter):
+        sql += f""", r{i + 1} AS (
+          SELECT verts.v,
+                 ({base} + coalesce(s.c, 0))::BIGINT AS rank
+          FROM verts LEFT JOIN (
+            SELECT dst AS v,
+                   sum(r.rank * {d_num} // ({d_den} * outdeg)) AS c
+            FROM r{i} r JOIN e ON r.v = e.src JOIN outdeg USING (src)
+            GROUP BY dst) s USING (v))
+        """
+    return sql + f"SELECT v, rank FROM r{n_iter}"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -787,6 +852,42 @@ def oracle_sql() -> dict[str, str]:
         ", 6)")
     vnorm = ("sqrt(list_aggregate(list_transform(embedding::DOUBLE[], "
              "x -> x * x), 'sum'))")
+
+    # q_redact_pii twin — assembled by concatenation, NOT an f-string:
+    # the regex quantifier braces must reach DuckDB verbatim. Same
+    # injected PII, same patterns (functions/text.py PII_*), same
+    # replacement order; DuckDB regexp_replace needs the explicit 'g'
+    # flag (Spark's is global by default).
+    pii_oracle = ("""
+        WITH inj AS (
+          SELECT doc_id,
+                 text || ' contact user' || doc_id::VARCHAR
+                      || '@example.com or +1-555-01' || doc_id::VARCHAR
+                      || ' from 10.0.' || (doc_id % 256)::VARCHAR
+                      || '.7' AS t
+          FROM documents
+        ), r1 AS (
+          SELECT doc_id, t,
+                 regexp_replace(t, '""" + X.PII_EMAIL + """',
+                                '<EMAIL>', 'g') AS t1
+          FROM inj
+        ), r2 AS (
+          SELECT doc_id, t, t1,
+                 regexp_replace(t1, '""" + X.PII_IPV4 + """',
+                                '<IP>', 'g') AS t2
+          FROM r1
+        )
+        SELECT doc_id,
+               len(regexp_extract_all(t, '""" + X.PII_EMAIL + """'))::BIGINT
+                 AS n_emails,
+               len(regexp_extract_all(t1, '""" + X.PII_IPV4 + """'))::BIGINT
+                 AS n_ipv4,
+               len(regexp_extract_all(t2, '""" + X.PII_PHONE + """'))::BIGINT
+                 AS n_phones,
+               md5(regexp_replace(t2, '""" + X.PII_PHONE + """',
+                                  '<PHONE>', 'g')) AS redacted_md5
+        FROM r2
+    """)
 
     return {
         "q_canonicalize": f"""
@@ -1402,6 +1503,8 @@ def oracle_sql() -> dict[str, str]:
             FROM tf JOIN vocab USING (tok), tot
             GROUP BY doc_id, n_total, v_size
         """,
+        "q_pagerank": _pagerank_oracle(),
+        "q_redact_pii": pii_oracle,
         # same LM CTEs as q_unigram_logprob, then: exact double score →
         # quantise (floor ×1000) → per-source histogram → descending
         # cumulative mass → tercile band per quantised score

@@ -82,8 +82,14 @@ def crawl_bench(spark, n_pages: int, n_hosts: int = 64):
     # measured work is dominated by big data-parallel rounds rather
     # than tiny warm-up rounds of fixed driver-side scheduling
     # overhead (measured ~8s/round regardless of round size).
+    # SPARK_GRAFT_SEEDS overrides the 1% default: at the north rule's
+    # 10^10-URL regime every round is enormous, so a steadier-state
+    # variant (e.g. 5% seeds → big rounds dominate from round 1) is
+    # the more faithful scaling workload; the default stays 1% for
+    # comparability with earlier rounds' records.
     from pyspark.sql import functions as F
-    n_seeds = max(1, n_pages // 100)
+    n_seeds = int(os.environ.get("SPARK_GRAFT_SEEDS",
+                                 max(1, n_pages // 100)))
     seeds = [r.url for r in
              graph.select("url").orderBy("url").limit(n_seeds).collect()]
 
@@ -135,7 +141,7 @@ def pipeline_benches(spark, sf_dir: str) -> dict[str, float]:
              "q_robots_gate", "q_phash_neardup", "q_pack_shards",
              "q_mix_rebalance", "q_sessionize", "q_unigram_logprob",
              "q_decontaminate", "q_semantic_dedup", "q_quality_buckets",
-             "q_substring_dedup"]
+             "q_substring_dedup", "q_redact_pii", "q_pagerank"]
     qs = E.queries()
     for name in names:
         t0 = time.monotonic()
@@ -365,6 +371,35 @@ def cpu_capacity_probe(workers: int) -> float:
     return round(statistics.median(vals), 3)
 
 
+# streaming sum over a 256 MiB array, far out of cache: each worker
+# moves ~3 GB through the memory controller, so co-tenant BANDWIDTH
+# pressure shows here even when the cache-resident CPU probe reads
+# healthy (observed 2026-08-19: 4/8-core Spark legs at ~2/3 the
+# per-core throughput of 1/2-core legs while cpu probes were flat —
+# the crawl is allocation/shuffle-heavy and bandwidth-bound long
+# before it is ALU-bound).
+_BW_SNIPPET = (
+    "import time,numpy as np;a=np.zeros(32_000_000)\n"
+    "s=a.sum()  # warm: page faults\n"
+    "t=time.perf_counter()\n"
+    "for _ in range(12): s+=a.sum()\n"
+    "print(time.perf_counter()-t)")
+
+
+def mem_bandwidth_probe(workers: int) -> float:
+    """Per-worker median seconds for the streaming-sum kernel with
+    `workers` concurrent processes — the bandwidth companion to
+    cpu_capacity_probe (same bracketing discipline)."""
+    import statistics
+    import subprocess
+
+    procs = [subprocess.Popen([sys.executable, "-c", _BW_SNIPPET],
+                              stdout=subprocess.PIPE, text=True)
+             for _ in range(workers)]
+    vals = [float(p.communicate()[0].strip()) for p in procs]
+    return round(statistics.median(vals), 3)
+
+
 def run_scaling():
     """BASELINE.md protocol: identical job at N vs 4N cores.
 
@@ -399,20 +434,24 @@ def run_scaling():
             # vice versa) — bracketing each leg bounds the window the
             # instrument can miss to the leg itself
             probe = cpu_capacity_probe(int(cpus))
+            bw = mem_bandwidth_probe(int(cpus))
             env = dict(os.environ, SPARK_GRAFT_CPUS=cpus,
                        SPARK_GRAFT_PAGES=n_pages)
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--crawl-only"],
                 env=env, capture_output=True, text=True, check=True)
             probe_post = cpu_capacity_probe(int(cpus))
+            bw_post = mem_bandwidth_probe(int(cpus))
             line = [l for l in out.stdout.splitlines()
                     if l.startswith("{")][-1]
             rec = json.loads(line)
             rec["probe_sec"] = probe
             rec["probe_post_sec"] = probe_post
+            rec["bw_probe_sec"] = bw
+            rec["bw_probe_post_sec"] = bw_post
             trials[cpus].append(rec)
             print(f"trial {t + 1} local[{cpus}]: probe={probe}/"
-                  f"{probe_post} {line}", flush=True)
+                  f"{probe_post} bw={bw}/{bw_post} {line}", flush=True)
 
     med = {c: statistics.median(r["urls_per_sec"] for r in trials[c])
            for c in (lo, hi)}
@@ -465,10 +504,13 @@ def run_scaling():
         runs = ", ".join(str(r["urls_per_sec"]) for r in trials[c])
         probes = ", ".join(f"{r['probe_sec']}/{r['probe_post_sec']}"
                            for r in trials[c])
+        bws = ", ".join(
+            f"{r.get('bw_probe_sec', '-')}/{r.get('bw_probe_post_sec', '-')}"
+            for r in trials[c])
         d = trials[c][0]
         return (f"| local[{c}] ({label}) | {d['done']} | {d['seen']} "
                 f"| {runs} | **{med[c]}** | {round(med[c] / int(c), 1)} "
-                f"| {probes} |\n")
+                f"| {probes} | {bws} |\n")
 
     body = (
         "# Scaling protocol run (N vs 4N cores — BASELINE.md)\n\n"
@@ -480,8 +522,9 @@ def run_scaling():
         f"{n_trials} alternating trials per leg, per-leg median "
         "(this box shows ±10% run-to-run variance — every trial shown)\n\n"
         "| config | pages done | urls deduped | urls/sec per trial | "
-        "median urls/sec | urls/sec per core | capacity probe s/worker |\n"
-        "|---|---|---|---|---|---|---|\n"
+        "median urls/sec | urls/sec per core | cpu probe s/worker | "
+        "bandwidth probe s/worker |\n"
+        "|---|---|---|---|---|---|---|---|\n"
         + leg_row(lo, "N") + leg_row(hi, "4N") +
         f"\nper-trial efficiency (4N/N per back-to-back pair ÷ 4): "
         f"{', '.join(f'{e:.3f}' for e in per_trial_eff)}\n\n"

@@ -194,7 +194,15 @@ def main():
                    n_python(plan) == 0 and "partial" in plan.lower()
                    and n_ops(plan, "CartesianProduct") == 0, ""))
 
-    # 14. IVF probe is a partition-pruned scan: non-probed cell
+    # 14. PII redaction: a single narrow projection — no exchange, no
+    # Python; counts + redaction are one pass of JVM regexp machinery
+    plan = formatted(qs["q_redact_pii"](spark, SF_DIR))
+    sections.append(("q_redact_pii", plan))
+    checks.append(("redact_pii no Exchange and no Python",
+                   n_ops(plan, "Exchange") == 0 and n_python(plan) == 0,
+                   f"exchanges={n_ops(plan, 'Exchange')}"))
+
+    # 15. IVF probe is a partition-pruned scan: non-probed cell
     # directories never reach the file index
     import shutil
     import tempfile

@@ -206,3 +206,45 @@ def split_assign_expr(key: Column, fractions: dict[str, float],
     for bound, name in reversed(conds):
         expr = F.when(bucket < bound, F.lit(name)).otherwise(expr)
     return expr
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (pre-training scrub: emails / phone numbers / IPv4)
+# ---------------------------------------------------------------------------
+
+# Patterns chosen to mean the same thing in Java regex (Spark) and
+# RE2 (DuckDB): no backrefs, no lookaround, explicit classes only.
+# The oracle twin uses these exact strings (q_redact_pii).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+?\d{1,3}[- ]\d{3}[- ]\d{3,4}(?:[- ]\d{1,4})?\b"
+
+
+def redact_pii_exprs(text: Column) -> dict[str, Column]:
+    """PII scrub as pure per-row expressions — counts plus the
+    redacted text. Order matters and is fixed: emails first (their
+    local parts can contain digits a phone pattern would chew on),
+    then IPv4 (dotted quads would otherwise half-match the phone
+    rule), then phones. Replacement tokens contain no digits or '@',
+    so later passes never re-match earlier redactions.
+
+    Counts are taken on the ORIGINAL text for emails, then on each
+    intermediate for ip/phone — i.e. they count what the redactor
+    actually replaced, so `n_*` sums to the number of <TOKEN>s
+    inserted. Everything is JVM regexp machinery (codegen); the
+    pipeline-stage wrapper is one call:
+    docs.withColumns(redact_pii_exprs(F.col("text"))).
+
+    Returns {"n_emails", "n_ipv4", "n_phones", "text_redacted"}.
+    """
+    after_email = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
+    after_ip = F.regexp_replace(after_email, PII_IPV4, "<IP>")
+    after_phone = F.regexp_replace(after_ip, PII_PHONE, "<PHONE>")
+    return {
+        "n_emails": F.regexp_count(text, F.lit(PII_EMAIL)).cast("long"),
+        "n_ipv4": F.regexp_count(after_email,
+                                 F.lit(PII_IPV4)).cast("long"),
+        "n_phones": F.regexp_count(after_ip,
+                                   F.lit(PII_PHONE)).cast("long"),
+        "text_redacted": after_phone,
+    }

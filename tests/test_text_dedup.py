@@ -673,3 +673,37 @@ def test_substring_dedup_exact_duplicate_doc_fully_removed(spark):
            D.substring_dedup(docs, window=10).collect()}
     assert got[1].n_removed == 0
     assert got[2].n_removed == 15 and got[2].text_clean == ""
+
+
+# -- PII redaction ------------------------------------------------------------
+
+def test_redact_pii_planted(spark):
+    docs = spark.createDataFrame([
+        (1, "mail me at jo.doe+x@sub.example.org thanks"),
+        (2, "server at 192.168.001.42 responded"),
+        (3, "call +44-208-7946-0958 or 1-555-0100 now"),
+        (4, "no pii here at all"),
+        (5, "two mails: a@b.io and c.d@e-f.co end"),
+    ], "doc_id long, text string")
+    out = docs.withColumns(X.redact_pii_exprs(F.col("text")))
+    got = {r.doc_id: r for r in out.collect()}
+    assert (got[1].n_emails, got[1].n_ipv4, got[1].n_phones) == (1, 0, 0)
+    assert "<EMAIL>" in got[1].text_redacted
+    assert "jo.doe" not in got[1].text_redacted
+    assert (got[2].n_emails, got[2].n_ipv4) == (0, 1)
+    assert "<IP>" in got[2].text_redacted
+    assert got[3].n_phones == 2
+    assert got[3].text_redacted == "call <PHONE> or <PHONE> now"
+    assert got[4].text_redacted == "no pii here at all"
+    assert got[5].n_emails == 2
+
+
+def test_redact_pii_order_no_remmatch(spark):
+    """An IPv4 must not be half-eaten by the phone rule, and inserted
+    tokens must never re-match a later pass."""
+    docs = spark.createDataFrame(
+        [(1, "ip 10.0.0.7 and mail x9@y.net and tel 1-555-0100")],
+        "doc_id long, text string")
+    r = docs.withColumns(X.redact_pii_exprs(F.col("text"))).collect()[0]
+    assert (r.n_emails, r.n_ipv4, r.n_phones) == (1, 1, 1)
+    assert r.text_redacted == "ip <IP> and mail <EMAIL> and tel <PHONE>"
