@@ -637,11 +637,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         deterministic email + phone + IPv4 per doc (identically in
         the oracle) and verifies counts plus the redacted text md5."""
         docs = _t(spark, sf, "documents")
+        # fixed-width phone tail (ADVICE r3): the last group is always
+        # 2 digits, so '+1-555-01xx' matches PII_PHONE's \d{3,4}\b for
+        # EVERY doc_id — each row exercises the phone redaction path
         injected = F.concat(
             F.col("text"),
             F.lit(" contact user"), F.col("doc_id").cast("string"),
             F.lit("@example.com or +1-555-01"),
-            F.col("doc_id").cast("string"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
             F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"),
             F.lit(".7"))
         e = X.redact_pii_exprs(injected)
@@ -862,7 +865,8 @@ def oracle_sql() -> dict[str, str]:
         WITH inj AS (
           SELECT doc_id,
                  text || ' contact user' || doc_id::VARCHAR
-                      || '@example.com or +1-555-01' || doc_id::VARCHAR
+                      || '@example.com or +1-555-01'
+                      || lpad((doc_id % 100)::VARCHAR, 2, '0')
                       || ' from 10.0.' || (doc_id % 256)::VARCHAR
                       || '.7' AS t
           FROM documents
@@ -1327,17 +1331,27 @@ def oracle_sql() -> dict[str, str]:
               FROM d
             ), asg AS (
               SELECT vec_id, cell FROM a WHERE rn = 1
-            ), e2 AS (
+            ), en AS (
               SELECT asg.vec_id, asg.cell, e.v,
                      sqrt(list_aggregate(list_transform(e.v, x -> x * x),
                        'sum')) AS nm
               FROM asg JOIN e ON e.vec_id = asg.vec_id
+            ), e2 AS (
+              -- SAME float shape as the Spark side (ADVICE r3):
+              -- unit-normalise each vector once (zero-norm -> zero
+              -- vector), compare on the dot of units — a cosine near
+              -- the threshold decides identically on both engines
+              SELECT vec_id, cell,
+                     CASE WHEN nm > 0 THEN list_transform(v, x -> x / nm)
+                          ELSE list_transform(v, x -> x * 0.0)
+                     END AS vn
+              FROM en
             ), dropped AS (
               SELECT DISTINCT y.vec_id
               FROM e2 x JOIN e2 y
                 ON x.cell = y.cell AND y.vec_id > x.vec_id
-              WHERE list_aggregate(list_transform(range(1, len(x.v) + 1),
-                      i -> x.v[i] * y.v[i]), 'sum') / (x.nm * y.nm) >= 0.4
+              WHERE list_aggregate(list_transform(range(1, len(x.vn) + 1),
+                      i -> x.vn[i] * y.vn[i]), 'sum') >= 0.4
             )
             SELECT vec_id, cell FROM asg
             WHERE vec_id NOT IN (SELECT vec_id FROM dropped)

@@ -46,8 +46,11 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 
     qs, oracles = E.queries(), E.oracle_sql()
+    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
     results = {}
     for name in sorted(qs):
+        if only is not None and name not in only:
+            continue
         t0 = time.monotonic()
         try:
             sdf = qs[name](spark, SF_DIR)

@@ -76,6 +76,15 @@ class CrawlConfig:
     # threshold below
     bloom_membership: str = "auto"
     bloom_sidecar_min_bytes: int = 256 << 20
+    # robots state bounds (operators/robots.py RobotsState): the driver
+    # caches rule TEXT only while total authorities ≤ robots_closure_max
+    # (the can_fetch closure path), and the literal crawl-delay map only
+    # while delay-carrying authorities ≤ robots_delay_map_max; past
+    # either limit the cache is dropped permanently and evaluation moves
+    # to relational joins against the persisted robots table. Lower
+    # these to force the join paths (tests do).
+    robots_closure_max: int = 10_000
+    robots_delay_map_max: int = 10_000
     # fetch
     follow_redirects: bool = True
     max_redirect_hops: int = 10

@@ -56,12 +56,11 @@ from simplecrawler_spark.operators.parse import (
 )
 from simplecrawler_spark.operators.partitioning import repartition_salted
 from simplecrawler_spark.operators.politeness import (
-    DELAY_MAP_MAX_AUTHORITIES, UNLIMITED_BUDGET, apply_global_budget,
+    UNLIMITED_BUDGET, apply_global_budget,
     schedule_budget, schedule_budget_join,
 )
 from simplecrawler_spark.operators.robots import (
-    CLOSURE_MAX_AUTHORITIES, can_fetch_filter, can_fetch_join,
-    crawl_delay_map, fetch_robots_for,
+    RobotsState, can_fetch_filter, can_fetch_join, fetch_robots_table,
 )
 from simplecrawler_spark.operators.seen import (
     BloomSeen, anti_join_seen, host_bucket_expr,
@@ -69,8 +68,6 @@ from simplecrawler_spark.operators.seen import (
 from simplecrawler_spark.plans import schemas
 from simplecrawler_spark.plans.tables import SnapshotStore
 from simplecrawler_spark.sources.fetch import mime_ok_expr, status_class_expr
-
-import pandas as pd
 
 
 _LOG_EVENT_ORDER = {"ROBOTS_BLOCKED": 0, "CRAWLING": 1, "VISITED": 2,
@@ -142,8 +139,14 @@ class FrontierCrawler:
         })
         self.bloom: BloomSeen | None = None
         self._bloom_path = os.path.join(self.root, "sidecar", "bloom.npz")
-        self._robots: pd.DataFrame | None = None
-        self._delays: dict[str, float] = {}
+        # S4 robots state — bounded driver-side view of the persisted
+        # robots TABLE (the single source of truth): counters + an
+        # authority bloom + caches dropped past the closure/delay
+        # limits. The driver never holds every authority's rule text
+        # (round-3 verdict item 1).
+        self._rstate = RobotsState(
+            closure_max=self.cfg.robots_closure_max,
+            delay_max=self.cfg.robots_delay_map_max)
         # R5 done-skip state. The ONLY urls that can be both done and
         # re-enter the frontier are seeds (a seed is never added to
         # seen — crawler.py:198-199, SURVEY.md §2.6.1 — so a page
@@ -185,38 +188,41 @@ class FrontierCrawler:
         fetches robots unconditionally, once per crawl
         (crawler.py:201-203); multi-authority crawls extend that to
         once per authority. Pending authorities are tracked
-        driver-side, so this never scans the frontier."""
-        if self._robots is None:
-            self._robots = pd.DataFrame(
-                columns=["authority", "robots_txt", "crawl_delay"])
-        missing = {a: s for a, s in self._auth_pending.items()
-                   if a not in set(self._robots["authority"])}
-        self._auth_pending = {}
+        driver-side (bounded per round), membership against the
+        already-fetched set is the RobotsState protocol (exact cache →
+        bloom split + confirm anti-join against the table), and the
+        fetched text + its crawl-delay parse stay executor-side: the
+        rows append STRAIGHT to the robots table; the driver folds in
+        only bounded counters/caches (round-3 verdict item 1)."""
+        pending, self._auth_pending = self._auth_pending, {}
+        if not pending:
+            return
+        missing = self._rstate.split_missing(pending,
+                                             self.store.read("robots"))
         if not missing:
             return
-        new_rows = fetch_robots_for(self.spark, missing, self.fetcher,
-                                    self.cfg)
-        if not new_rows.empty:
-            self._robots = (new_rows if self._robots.empty else
-                            pd.concat([self._robots, new_rows],
-                                      ignore_index=True))
-            self._delays = crawl_delay_map(self._robots)
-            # persist the new rules: resume() re-reads them instead of
-            # re-fetching (robots state is no longer memory-only), and
-            # at authority scale this table IS the can_fetch_join side
-            self.store.append("robots", self.spark.createDataFrame(
-                [(r.authority, r.robots_txt,
-                  None if pd.isna(r.crawl_delay) else float(r.crawl_delay))
-                 for r in new_rows.itertuples(index=False)],
-                schemas.ROBOTS))
+        rows_df = fetch_robots_table(self.spark, missing, self.fetcher,
+                                     self.cfg)
+        path = self.store.append("robots", rows_df)
+        n_rows = sum(
+            f["rows"] for f in self.store._pending["robots"][-1]["lineage"])
+        # fold counters/bounded caches from the WRITTEN parquet — the
+        # fetch never re-runs, and past the closure limit rule text
+        # never crosses back to the driver
+        self._rstate.register_fetched(self.spark.read.parquet(path),
+                                      missing, n_rows)
+        self._rstate.maybe_grow(self.store.read("robots"))
+        self._rstate.save(self.store.sidecar("robots_state"))
 
     def _register_authorities(self, pairs: dict[str, str]) -> None:
-        """Queue authorities not yet in the robots table for the next
-        round's robots fetch."""
-        known = (set(self._robots["authority"])
-                 if self._robots is not None else set())
+        """Queue authorities not PROVEN fetched for the next round's
+        robots discovery. Proven-known (cache hit) rows drop here for
+        free; past the cache every candidate stays pending and
+        _ensure_robots's bloom-split + confirm anti-join supplies the
+        exact membership — pending is bounded by one round's distinct
+        discoveries either way."""
         for auth, scheme in pairs.items():
-            if auth and auth not in known:
+            if auth and not self._rstate.known_exact(auth):
                 self._auth_pending.setdefault(auth, scheme or "http")
 
     def _note_new_authorities(self, new: DataFrame) -> None:
@@ -335,12 +341,16 @@ class FrontierCrawler:
         # driver-side pandas copy.
         self._ensure_robots()
         _mark("robots_fetch")
-        if (self._robots is not None
-                and len(self._robots) > CLOSURE_MAX_AUTHORITIES):
+        if not cfg.obey_robots or not self._rstate.any_rules:
+            # no non-empty rules anywhere → RobotFileParser allows all
+            # (crawler.py:191-192 error→empty parity): skip the gate
+            allowed = eligible
+        elif self._rstate.use_join_gate:
             allowed = can_fetch_join(eligible, self.store.read("robots"),
                                      cfg)
         else:
-            allowed = can_fetch_filter(eligible, self._robots, cfg)
+            allowed = can_fetch_filter(eligible,
+                                       self._rstate.robots_frame(), cfg)
 
         # S5 transcript rows (crawl_log only — one extra anti-join for
         # the robots-blocked complement, zero cost when off)
@@ -358,17 +368,19 @@ class FrontierCrawler:
         # frontier), so caching them is pure overhead — persist only
         # when a second consumer exists (budgeted window recomputation
         # or the crawl_log CRAWLING selector).
-        # Past DELAY_MAP_MAX_AUTHORITIES delay-carrying authorities the
-        # literal map stops scaling — derive the budget from a join
-        # against the persisted robots table instead (same switch shape
-        # as the robots closure→join gate above).
-        if len(self._delays) > DELAY_MAP_MAX_AUTHORITIES:
+        # Past cfg.robots_delay_map_max delay-carrying authorities the
+        # literal map stops scaling — the RobotsState drops the dict
+        # permanently and the budget derives from a join against the
+        # persisted robots table (same counter-keyed switch shape as
+        # the robots closure→join gate above).
+        if self._rstate.any_delays and self._rstate.use_delay_join:
             scheduled, deferred = schedule_budget_join(
                 allowed, self.store.read("robots"), cfg)
         else:
-            scheduled, deferred = schedule_budget(allowed, self._delays, cfg)
+            scheduled, deferred = schedule_budget(
+                allowed, self._rstate.delays or {}, cfg)
         scheduled, deferred = apply_global_budget(scheduled, deferred, cfg)
-        budgeted = bool(self._delays) or (
+        budgeted = self._rstate.any_delays or (
             cfg.max_per_host_per_round < UNLIMITED_BUDGET) or (
             cfg.max_urls_per_round < UNLIMITED_BUDGET)
         cache_sched = budgeted or cfg.crawl_log
@@ -864,17 +876,14 @@ class FrontierCrawler:
             if self.bloom is not None:
                 self.bloom.add_df(new)
                 self._sync_bloom_membership()
-            for row in (new.select(
-                            "authority",
-                            F.split("url_norm", "://").getItem(0)
-                            .alias("scheme"))
-                        .where(F.col("authority") != "")
-                        .distinct().collect()):
-                known = (set(self._robots["authority"])
-                         if self._robots is not None else set())
-                if row.authority not in known:
-                    self._auth_pending.setdefault(row.authority,
-                                                  row.scheme or "http")
+            self._register_authorities({
+                row.authority: row.scheme or "http"
+                for row in (new.select(
+                                "authority",
+                                F.split("url_norm", "://").getItem(0)
+                                .alias("scheme"))
+                            .where(F.col("authority") != "")
+                            .distinct().collect())})
             pend = self.store._pending.get("frontier", [])
             n_new = (sum(f["rows"] for f in pend[-1]["lineage"])
                      if pend else 0)
@@ -936,15 +945,18 @@ class FrontierCrawler:
                     .join(F.broadcast(sdf), "url_norm", "left_semi")
                     .select("url_norm").distinct().collect())
             self._done_seeds = {row.url_norm for row in done}
-        # reload persisted robots rules (fetched rows are appended to
-        # the robots table as discovered) — a resume re-reads, never
-        # re-fetches; then re-note the resume frontier's authorities so
-        # any NOT yet fetched get picked up by _ensure_robots
-        rob = self.store.read("robots").toPandas()
-        if not rob.empty:
-            self._robots = rob.drop_duplicates("authority",
-                                               ignore_index=True)
-            self._delays = crawl_delay_map(self._robots)
+        # rebuild the BOUNDED robots view from the persisted table —
+        # one aggregate for the counters, caches only within their
+        # limits, authority bloom from the sidecar (else a distributed
+        # rebuild); a resume re-reads, never re-fetches, and never
+        # materialises the full text column driver-side. Then re-note
+        # the resume frontier's authorities so any NOT yet fetched get
+        # picked up by _ensure_robots.
+        self._rstate = RobotsState.from_table(
+            self.store.read("robots"),
+            sidecar=self.store.sidecar("robots_state"),
+            closure_max=cfg.robots_closure_max,
+            delay_max=cfg.robots_delay_map_max)
         resume_frontier = (self.store.read("frontier",
                                            partition=f"r{last + 1}")
                            .where(F.col("round") == last + 1))

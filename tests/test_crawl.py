@@ -138,8 +138,8 @@ def test_robots_disallow_and_delay(spark, tmp_path):
     assert BASE + "/world" not in urls
     assert BASE + "/" in urls
     assert BASE + "/mime/text/css" in urls
-    # delay recorded for the politeness budget
-    assert crawler._delays.get("fixture:9999") == 1.0
+    # delay recorded for the politeness budget (bounded literal cache)
+    assert crawler._rstate.delays.get("fixture:9999") == 1.0
 
 
 def test_robots_blocks_everything_for_other_agent(spark, tmp_path):
@@ -185,21 +185,23 @@ def test_can_fetch_join_equals_closure_path(spark):
     assert 0 < len(via_join) < 600  # both gates actually filtered
 
 
-def test_crawl_robots_join_path_same_visited_set(spark, tmp_path,
-                                                 monkeypatch):
+def test_crawl_robots_join_path_same_visited_set(spark, tmp_path):
     """Force the authority-scale branch (rules evaluated via
-    can_fetch_join against the persisted robots table) — the visited
-    set must equal the closure-path crawl."""
-    import simplecrawler_spark.plans.crawl as crawl_mod
-
+    can_fetch_join against the persisted robots table, text cache
+    dropped) — the visited set must equal the closure-path crawl, and
+    the driver must never hold a rule-text cache."""
     rows = crawler_server_rows(BASE, robots_txt=ROBOTS_FIXTURE_TXT)
     cfg = CrawlConfig(user_agent="Tester", round_seconds=10.0)
     want = crawl(spark, tmp_path / "closure", rows, BASE, cfg).result_urls()
 
-    monkeypatch.setattr(crawl_mod, "CLOSURE_MAX_AUTHORITIES", 0)
-    got = crawl(spark, tmp_path / "join", rows, BASE, cfg).result_urls()
+    cfg_join = CrawlConfig(user_agent="Tester", round_seconds=10.0,
+                           robots_closure_max=0)
+    crawler = crawl(spark, tmp_path / "join", rows, BASE, cfg_join)
+    got = crawler.result_urls()
     assert got == want
     assert BASE + "/hello" not in got
+    assert crawler._rstate.text_cache is None   # cache really dropped
+    assert crawler._rstate.use_join_gate
 
 
 def test_resume_reuses_persisted_robots(spark, tmp_path):
@@ -226,7 +228,7 @@ def test_resume_reuses_persisted_robots(spark, tmp_path):
     assert fetch_log == []  # rules came from the store, not the network
     urls = resumed.result_urls()
     assert BASE + "/hello" not in urls          # still enforced
-    assert resumed._delays.get("fixture:9999") == 1.0
+    assert resumed._rstate.delays.get("fixture:9999") == 1.0
 
 
 def test_disobey_robots(spark, tmp_path):
@@ -292,19 +294,19 @@ def test_politeness_join_equals_literal_path(spark):
     assert d_join.count() > 0  # the budget actually deferred rows
 
 
-def test_crawl_politeness_join_path_same_visited_set(spark, tmp_path,
-                                                     monkeypatch):
+def test_crawl_politeness_join_path_same_visited_set(spark, tmp_path):
     """Force the authority-scale politeness branch (budget from a join
-    against the persisted robots table) — visited set AND per-round
-    scheduling must equal the literal-map crawl."""
-    import simplecrawler_spark.plans.crawl as crawl_mod
-
+    against the persisted robots table, literal delay map dropped) —
+    visited set AND per-round scheduling must equal the literal-map
+    crawl."""
     rows = crawler_server_rows(BASE, robots_txt=ROBOTS_FIXTURE_TXT)
     cfg = CrawlConfig(user_agent="Tester", round_seconds=10.0)
     want = crawl(spark, tmp_path / "literal", rows, BASE, cfg)
 
-    monkeypatch.setattr(crawl_mod, "DELAY_MAP_MAX_AUTHORITIES", 0)
-    got = crawl(spark, tmp_path / "join", rows, BASE, cfg)
+    cfg_join = CrawlConfig(user_agent="Tester", round_seconds=10.0,
+                           robots_delay_map_max=0)
+    got = crawl(spark, tmp_path / "join", rows, BASE, cfg_join)
+    assert got._rstate.delays is None and got._rstate.use_delay_join
 
     def per_round(c):
         return sorted((r.round, r.url_norm)
