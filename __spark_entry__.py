@@ -487,6 +487,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (SIM.ivf_assign(emb, cents)
                 .groupBy("cell").agg(F.count("*").alias("n")))
 
+    def q_ann_ivf_batch(spark, sf):
+        """Batched IVF ANN (operators/similarity.py ann_ivf_topk_join,
+        round-3 verdict item 5): top-5 neighbours for EACH of the 5
+        lowest-id corpus rows used as a query TABLE, probing 2 of 8
+        cells — per-query ranks on the rounded cosine with vec_id
+        tie-break. The oracle replays assignment, per-query probe-cell
+        selection, the cell-blocked join and the window rank in SQL."""
+        emb = _t(spark, sf, "embeddings")
+        queries = (emb.orderBy("vec_id").limit(5)
+                   .select(F.col("vec_id").alias("query_id"), "embedding"))
+        out = SIM.ann_ivf_topk_join(emb, queries, k=5, n_cells=8,
+                                    nprobe=2)
+        return out.select(
+            "query_id", "vec_id", F.col("rank").cast("long").alias("rank"),
+            F.floor(F.col("cosine") * 100000).cast("long")
+            .alias("cos_scaled"))
+
     def q_semantic_dedup(spark, sf):
         """SemDeDup-style semantic dedup (operators/similarity.py
         semantic_dedup): IVF-cell blocking + pairwise keep-lowest-id
@@ -720,6 +737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_lsh": q_ann_lsh,
         "q_cosine_pairs": q_cosine_pairs,
         "q_ivf_assign": q_ivf_assign,
+        "q_ann_ivf_batch": q_ann_ivf_batch,
         "q_semantic_dedup": q_semantic_dedup,
         "q_robots_gate": q_robots_gate,
         "q_image_features": q_image_features,
@@ -1312,6 +1330,63 @@ def oracle_sql() -> dict[str, str]:
               FROM d
             )
             SELECT cell, count(*) AS n FROM a WHERE rn = 1 GROUP BY cell
+        """,
+        "q_ann_ivf_batch": """
+            WITH c AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                     embedding::DOUBLE[] AS cv
+              FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+            ), e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), d AS (
+              SELECT e.vec_id, c.cell,
+                     list_aggregate(list_transform(range(1, len(v) + 1),
+                       i -> (v[i] - cv[i]) * (v[i] - cv[i])), 'sum') AS dist
+              FROM e CROSS JOIN c
+            ), asg AS (
+              SELECT vec_id, cell FROM (
+                SELECT vec_id, cell, row_number() OVER (PARTITION BY
+                         vec_id ORDER BY dist, cell) AS rn
+                FROM d) WHERE rn = 1
+            ), q AS (
+              SELECT vec_id AS query_id, v AS qv FROM e
+              WHERE vec_id IN (SELECT vec_id FROM embeddings
+                               ORDER BY vec_id LIMIT 5)
+            ), qd AS (
+              SELECT q.query_id, q.qv, c.cell,
+                     list_aggregate(list_transform(range(1, len(qv) + 1),
+                       i -> (qv[i] - cv[i]) * (qv[i] - cv[i])), 'sum')
+                       AS dist
+              FROM q CROSS JOIN c
+            ), probes AS (
+              SELECT query_id, qv, cell FROM (
+                SELECT query_id, qv, cell, row_number() OVER (PARTITION BY
+                         query_id ORDER BY dist, cell) AS rn
+                FROM qd) WHERE rn <= 2
+            ), cand AS (
+              SELECT p.query_id, e.vec_id,
+                     list_aggregate(list_transform(range(1, len(e.v) + 1),
+                       i -> e.v[i] * p.qv[i]), 'sum') AS dt,
+                     sqrt(list_aggregate(list_transform(e.v, x -> x * x),
+                       'sum')) AS nme,
+                     sqrt(list_aggregate(list_transform(p.qv, x -> x * x),
+                       'sum')) AS nmq
+              FROM probes p
+              JOIN asg a ON a.cell = p.cell
+              JOIN e ON e.vec_id = a.vec_id
+            ), ranked AS (
+              SELECT query_id, vec_id, cosine,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, vec_id) AS rank
+              FROM (SELECT query_id, vec_id,
+                           round(CASE WHEN nme * nmq > 0
+                                      THEN dt / (nme * nmq)
+                                      ELSE 0.0 END, 6) AS cosine
+                    FROM cand)
+            )
+            SELECT query_id, vec_id, rank::BIGINT AS rank,
+                   floor(cosine * 100000)::BIGINT AS cos_scaled
+            FROM ranked WHERE rank <= 5
         """,
         "q_semantic_dedup": """
             WITH c AS (

@@ -147,12 +147,31 @@ def pipeline_benches(spark, sf_dir: str) -> dict[str, float]:
         t0 = time.monotonic()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.monotonic() - t0, 3)
+    timings["substring_rolling"] = substring_rolling_bench(spark, sf_dir)
     timings["image_validate"] = image_bench(spark)
     timings["image_neardup"] = image_neardup_bench(spark)
     timings["image_cluster"] = image_cluster_bench(spark)
     timings.update(expiry_bench(spark))
     timings["lsh_pairs_capped"] = lsh_capped_bench(spark)
     return timings
+
+
+def substring_rolling_bench(spark, sf_dir: str) -> float:
+    """The O(n) Karp–Rabin key path for substring dedup, same params
+    as q_substring_dedup (window=10, md5 of the cleaned stream) so the
+    two timings isolate the key-construction cost — the md5 path is
+    O(n·window) string assembly, this is a vectorised linear scan."""
+    from pyspark.sql import functions as F
+
+    from simplecrawler_spark.operators import dedup as D
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    t0 = time.monotonic()
+    (D.substring_dedup(docs, window=10, key_fn="rolling")
+     .select("doc_id", "n_tokens", "n_removed",
+             F.md5("text_clean").alias("clean_md5"))
+     .write.format("noop").mode("overwrite").save())
+    return round(time.monotonic() - t0, 3)
 
 
 def image_bench(spark, n_images: int = 4096) -> float:

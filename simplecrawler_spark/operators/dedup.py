@@ -20,6 +20,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -305,9 +307,82 @@ def ngram_jaccard(pairs: DataFrame, docs: DataFrame,
         .otherwise(F.lit(0.0)).alias("jaccard"))
 
 
+def _substring_occ_rolling(base: DataFrame, window: int,
+                           id_col: str) -> DataFrame:
+    """Karp–Rabin window keys in O(n) per doc (round-3 verdict item 3;
+    the md5 path is O(n·window) string assembly per doc).
+
+    One narrow mapInPandas over (id, tokens): per doc, tokens hash once
+    (pandas siphash — vectorised, process-deterministic), then two
+    independent 31-bit modular rolling polynomials combine into one
+    62-bit key per window position. All arithmetic is vectorised
+    numpy on uint64 (products < 2^62 never overflow); only
+    (id, pos, key) 8-byte rows leave the stage — window TEXT never
+    leaves the doc's row, exactly like the md5 path. This is the
+    sanctioned Python escape: a linear scan with carried state is not
+    expressible as JVM array HOFs without O(n²) array copies, and at
+    100 TB the O(n) vs O(n·window) key-assembly difference dominates
+    the operator. Key VALUES differ from the md5 path; dedup RESULTS
+    are identical (pinned by test_substring_rolling_equals_md5) —
+    collision odds ~2^-62 per pair, and a collision only merges two
+    windows (dedup errs aggressive, never corrupts)."""
+    m1, m2 = 2147483647, 2147483629          # two 31-bit primes
+    b1, b2 = 1000003, 1000033
+    b1i, b2i = pow(b1, m1 - 2, m1), pow(b2, m2 - 2, m2)
+    w = window
+    id_type = base.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, pos int, key long"
+
+    def gen(batches):
+        # growable modular power tables, shared across the partition
+        tabs = {"f1": [1], "i1": [1], "f2": [1], "i2": [1]}
+        bases = {"f1": (b1, m1), "i1": (b1i, m1),
+                 "f2": (b2, m2), "i2": (b2i, m2)}
+
+        def powers(name: str, upto: int) -> np.ndarray:
+            t, (bb, mm) = tabs[name], bases[name]
+            while len(t) < upto:
+                t.append(t[-1] * bb % mm)
+            return np.asarray(t[:upto], dtype=np.uint64)
+
+        for pdf in batches:
+            ids, poss, keys = [], [], []
+            for rid, toks in zip(pdf[id_col], pdf["_toks"]):
+                n = len(toks)
+                if n < w:
+                    continue
+                th = pd.util.hash_array(np.asarray(toks, dtype=object))
+                m = n - w + 1
+
+                def roll(t_mod, mm, pf, pi):
+                    # W_p = Σ_{i=p..p+w-1} t_i·B⁻ⁱ, H_p = W_p·B^{p+w-1}
+                    # == Σ t_{p+j}·B^{w-1-j}: the textbook prefix-sum
+                    # rolling hash. a < 2^31 so the cumsum stays exact
+                    # in uint64 for any real document length.
+                    a = (t_mod * pi) % mm
+                    s = np.concatenate((np.zeros(1, np.uint64),
+                                        np.cumsum(a)))
+                    return ((s[w:] - s[:-w]) % mm) * pf[w - 1:] % mm
+
+                h1 = roll(th % m1, m1, powers("f1", n), powers("i1", n))
+                h2 = roll(th % m2, m2, powers("f2", n), powers("i2", n))
+                ids.extend([rid] * m)
+                poss.append(np.arange(1, m + 1, dtype=np.int32))
+                keys.append((h1.astype(np.int64) << 31)
+                            | h2.astype(np.int64))
+            if ids:
+                yield pd.DataFrame({
+                    id_col: ids,
+                    "pos": np.concatenate(poss),
+                    "key": np.concatenate(keys)})
+
+    return base.select(id_col, "_toks").mapInPandas(gen, out_schema)
+
+
 def substring_dedup(docs: DataFrame, window: int = 50,
                     text_col: str = "text",
-                    id_col: str = "doc_id") -> DataFrame:
+                    id_col: str = "doc_id",
+                    key_fn: str = "md5") -> DataFrame:
     """Exact-substring dedup at fixed token-window grain (the
     distributed relaxation of Lee et al. 2022's suffix-array
     ExactSubstr): every ``window``-token span that occurs more than
@@ -336,27 +411,35 @@ def substring_dedup(docs: DataFrame, window: int = 50,
         join back to occurrences carries just those, and only docs
         with at least one masked window reach the rebuild join —
         clean docs never shuffle their text.
-      * window-key construction is O(n·window) string assembly per
-        doc (array_join over a slice per position); a Karp-Rabin
-        rolling hash would make it O(n) but needs engine-matched
-        modular arithmetic — a documented native-engine optimisation
-        seam, not semantics.
+      * window-key construction: ``key_fn="md5"`` (default, the
+        DuckDB-twinned oracle path) is O(n·window) string assembly per
+        doc (array_join over a slice per position), pure JVM;
+        ``key_fn="rolling"`` is the O(n)-per-doc Karp–Rabin path
+        (_substring_occ_rolling: vectorised numpy double rolling
+        polynomial, 62-bit keys) — the 100 TB default, pinned
+        result-identical to md5 by test_substring_rolling_equals_md5.
       * the rebuild is pure per-row HOFs (exists over the doc's own
-        masked-start list) — no Python, no extra shuffle.
+        masked-start list) — no extra shuffle.
     """
+    if key_fn not in ("md5", "rolling"):
+        raise ValueError(f"key_fn must be 'md5' or 'rolling', got {key_fn!r}")
     toks = tokens_expr(F.col(text_col))
     base = docs.select(F.col(id_col), toks.alias("_toks"))
-    win_keys = F.transform(
-        F.sequence(F.lit(1), F.size("_toks") - (window - 1)),
-        lambda p: F.struct(
-            p.alias("pos"),
-            hash_long60(
-                F.array_join(F.slice("_toks", p, window), " "),
-                salt="ss|").alias("key")))
-    occ = (base.where(F.size("_toks") >= window)
-           .select(id_col, F.explode(win_keys).alias("w"))
-           .select(id_col, F.col("w.pos").alias("pos"),
-                   F.col("w.key").alias("key")))
+    long_enough = base.where(F.size("_toks") >= window)
+    if key_fn == "rolling":
+        occ = _substring_occ_rolling(long_enough, window, id_col)
+    else:
+        win_keys = F.transform(
+            F.sequence(F.lit(1), F.size("_toks") - (window - 1)),
+            lambda p: F.struct(
+                p.alias("pos"),
+                hash_long60(
+                    F.array_join(F.slice("_toks", p, window), " "),
+                    salt="ss|").alias("key")))
+        occ = (long_enough
+               .select(id_col, F.explode(win_keys).alias("w"))
+               .select(id_col, F.col("w.pos").alias("pos"),
+                       F.col("w.key").alias("key")))
     dup_keys = (occ.groupBy("key")
                 .agg(F.min(F.struct(F.col(id_col).alias("d"),
                                     F.col("pos").alias("p"))).alias("win"),
@@ -390,7 +473,8 @@ def substring_dedup(docs: DataFrame, window: int = 50,
 def decontaminate(docs: DataFrame, benchmark: DataFrame,
                   text_col: str = "text", id_col: str = "doc_id",
                   n: int = 13, min_hits: int = 1,
-                  bench_text_col: str | None = None) -> DataFrame:
+                  bench_text_col: str | None = None,
+                  broadcast_bench: bool = True) -> DataFrame:
     """Benchmark decontamination: flag training documents that share
     any token n-gram with a held-out evaluation/benchmark corpus (the
     published GPT-3/PaLM-style 13-gram rule; ``n`` is the knob).
@@ -403,10 +487,17 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
     Scale shape (100 TB training corpus vs MB-scale benchmarks):
       * the benchmark side collapses to DISTINCT n-grams first — eval
         sets are tiny next to the corpus, so that side is explicitly
-        broadcast and the training-side explode NEVER shuffles: each
-        exploded gram probes the broadcast hash table inside the same
-        whole-stage-codegen stage that produced it, and non-hits (the
-        overwhelming majority) die immediately;
+        broadcast BY DEFAULT and the training-side explode NEVER
+        shuffles: each exploded gram probes the broadcast hash table
+        inside the same whole-stage-codegen stage that produced it,
+        and non-hits (the overwhelming majority) die immediately.
+        SIZE CONTRACT: the distinct benchmark gram set must fit the
+        broadcast limit (spark.sql.autoBroadcastJoinThreshold-scale —
+        MBs, the normal case for eval suites). For an oversized
+        benchmark (or a huge n × eval-corpus product) pass
+        ``broadcast_bench=False``: the join becomes a plain shuffled
+        hash join on gram (AQE still broadcasts if it turns out small)
+        instead of overrunning driver/executor memory;
       * only hit rows — rare by construction — reach the per-doc
         countDistinct shuffle;
       * grams join as exact strings, not 64-bit hashes: the broadcast
@@ -425,7 +516,9 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
     doc_grams = docs.select(
         F.col(id_col),
         F.explode(shingles_expr(F.col(text_col), n)).alias("gram"))
-    hits = (doc_grams.join(F.broadcast(bench_grams), "gram")
+    if broadcast_bench:
+        bench_grams = F.broadcast(bench_grams)
+    hits = (doc_grams.join(bench_grams, "gram")
             .groupBy(id_col)
             .agg(F.countDistinct("gram").alias("n_hits")))
     return (docs.select(id_col)

@@ -178,6 +178,56 @@ def test_embedding_near_dup_empty_input(spark):
     assert df.columns == ["id_a", "id_b", "cosine"]
 
 
+def test_ann_ivf_topk_join_exhaustive_matches_per_query(embeddings):
+    """Batched ANN (round-3 verdict item 5): with nprobe == n_cells the
+    join path is exhaustive, so every query row must reproduce the
+    single-vector cosine_topk ranking exactly."""
+    qrows = embeddings.orderBy("vec_id").limit(3).collect()
+    queries = embeddings.sparkSession.createDataFrame(
+        [(r.vec_id, r.embedding) for r in qrows],
+        "query_id long, embedding array<float>")
+    out = SIM.ann_ivf_topk_join(embeddings, queries, k=5,
+                                n_cells=8, nprobe=8)
+    assert out.columns == ["query_id", "vec_id", "cosine", "rank"]
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.vec_id))
+    for qr in qrows:
+        brute = [r.vec_id for r in SIM.cosine_topk(
+            embeddings, list(qr.embedding), k=5).collect()]
+        assert [v for _, v in sorted(got[qr.vec_id])] == brute
+
+
+def test_ann_ivf_topk_join_blocked_recall(embeddings):
+    """nprobe < n_cells: per-query results stay a subset of the cell
+    universe with rank 1..k contiguous, and the query's own vector
+    (cosine 1.0 in its home cell) is always recalled at rank 1."""
+    qrows = embeddings.orderBy("vec_id").limit(5).collect()
+    queries = embeddings.sparkSession.createDataFrame(
+        [(r.vec_id, r.embedding) for r in qrows],
+        "query_id long, embedding array<float>")
+    out = SIM.ann_ivf_topk_join(embeddings, queries, k=3,
+                                n_cells=8, nprobe=2).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {r.vec_id for r in qrows}
+    for qid, rows in by_q.items():
+        ranks = sorted(r.rank for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+        top = min(rows, key=lambda r: r.rank)
+        assert top.vec_id == qid and top.cosine == 1.0
+
+
+def test_ann_ivf_topk_join_empty_corpus(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    queries = spark.createDataFrame(
+        [(1, [1.0] * 16)], "query_id long, embedding array<float>")
+    out = SIM.ann_ivf_topk_join(empty, queries, k=3)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "vec_id", "cosine", "rank"]
+
+
 def test_ann_ivf_prunes_cells(embeddings):
     cents = SIM.ivf_centroids(embeddings, n_cells=8)
     assigned = SIM.ivf_assign(embeddings, cents)

@@ -675,6 +675,35 @@ def test_substring_dedup_exact_duplicate_doc_fully_removed(spark):
     assert got[2].n_removed == 15 and got[2].text_clean == ""
 
 
+def test_substring_rolling_equals_md5(spark):
+    """The O(n) Karp–Rabin key path (round-3 verdict item 3) must
+    produce EXACTLY the md5 path's dedup output — key values differ,
+    decisions don't — across cross-doc, in-doc-overlap, short-doc and
+    exact-duplicate shapes at once."""
+    span = " ".join(f"s{i}" for i in range(14))
+    other = " ".join(f"o{i}" for i in range(12))
+    rows = [
+        (1, "p1 p2 " + span + " q1 q2"),
+        (2, "r1 " + span + " r2 r3"),            # cross-doc dup
+        (3, span + " gap1 gap2 " + span),        # in-doc overlap
+        (4, other), (5, other),                  # exact duplicate doc
+        (6, "tiny doc"),                         # < window
+        (7, ""),                                 # empty
+    ] + [(100 + i, f"unique{i} " + " ".join(f"u{i}_{j}" for j in range(20)))
+         for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    md5 = sorted(map(tuple, D.substring_dedup(
+        docs, window=10, key_fn="md5").collect()))
+    rolling = sorted(map(tuple, D.substring_dedup(
+        docs, window=10, key_fn="rolling").collect()))
+    assert rolling == md5
+    # and the dedup actually bit (not a vacuous equality)
+    removed = {r[0]: r[2] for r in rolling}
+    # doc 1 holds the globally-first span occurrence, so BOTH of doc
+    # 3's occurrences (28 tokens) are masked
+    assert removed[2] == 14 and removed[5] == 12 and removed[3] == 28
+
+
 # -- PII redaction ------------------------------------------------------------
 
 def test_redact_pii_planted(spark):
