@@ -51,10 +51,19 @@ class CrawlConfig:
     #     orders deferred-shallow ahead of newly-found-deep);
     #   "fifo" — the reference's arrival order (priority 0.0; the
     #     window degenerates to the url_hash tie-break).
+    #   "pagerank" — -(offline integer-mass PageRank score,
+    #     operators/graph.py) read from the parquet table at
+    #     `pagerank_path` (columns v, rank — e.g. a previous crawl's
+    #     link_edges() fed through pagerank()): authoritative pages
+    #     first. One left join of the round's new frontier onto the
+    #     rank table; never-ranked urls get 0. AQE broadcasts the rank
+    #     side while it is small; at 10^10 URLs write the rank table
+    #     bucketed by its key and the join co-locates instead.
     # Every deferred row is eventually scheduled, so the visited SET
     # never changes with the source. Deferred rows keep the priority
     # computed at discovery time.
     priority_source: str = "indegree"
+    pagerank_path: str | None = None
     # global per-round fetch cap (resource-bounded rounds): after the
     # per-host window, at most this many urls are scheduled per round
     # (cheapest priority first, distributed TakeOrdered); the rest are

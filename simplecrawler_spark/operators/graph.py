@@ -22,11 +22,25 @@ Semantics (documented, pinned by tests):
   * per iteration, v's new rank =
         scale·(d_den−d_num) // (d_den·N)                (base mass)
       + Σ_{u→v} rank(u)·d_num // (d_den·outdeg(u))      (link mass)
-  * dangling vertices (no out-edges) leak their mass — the standard
+  * dangling vertices (no out-edges): ``dangling="leak"`` (default,
+    the q_pagerank oracle twin) lets their mass decay — the standard
     simple variant; floor divisions leak O(1) units per edge. Total
     mass therefore decays slightly; RANKING is what the priority
-    consumer uses.
+    consumer uses. ``dangling="redistribute"`` adds the classic
+    correction: each iteration sums the dangling vertices' mass D
+    (one 1-row aggregate crossJoined back — never a driver collect)
+    and every vertex receives D·d_num // (d_den·N) extra, so total
+    mass stays ≈ scale (up to floor residue). Headroom still holds:
+    link mass + dangling share ≤ rank totals ≤ scale, so products
+    stay < 10^15·85 < 2^63.
   * parallel edges count once (edges are distinct-ed).
+  * ``tol`` (int mass units, optional) stops early once
+    max_v |rank_t(v) − rank_{t−1}(v)| ≤ tol — the fixpoint test is
+    one map-side-combinable max aggregate per iteration (a scalar to
+    the driver; PageRank iterations are global barriers anyway).
+    Integer masses make the fixpoint exact and engine-portable where
+    a float L1 test would not be. ``stats`` (caller-supplied dict)
+    receives {"iters", "max_delta"} for observability.
 
 Scale shape: each iteration is exactly one join of the rank table to
 the edge table on src (both re-shuffle on the same key every round —
@@ -52,10 +66,17 @@ __all__ = ["pagerank"]
 def pagerank(edges: DataFrame, n_iter: int = 10,
              d_num: int = 85, d_den: int = 100,
              src: str = "src", dst: str = "dst",
-             scale: int = 10 ** 15) -> DataFrame:
+             scale: int = 10 ** 15,
+             dangling: str = "leak",
+             tol: int | None = None,
+             stats: dict | None = None) -> DataFrame:
     """Integer-mass PageRank over ``edges``; returns
     (v, rank) with rank an int64 share of ``scale``. See module
-    docstring for the exact arithmetic."""
+    docstring for the exact arithmetic, the ``dangling`` variants and
+    the ``tol`` fixpoint stop."""
+    if dangling not in ("leak", "redistribute"):
+        raise ValueError(
+            f"dangling must be 'leak' or 'redistribute', got {dangling!r}")
     e = edges.select(F.col(src).alias("src"),
                      F.col(dst).alias("dst")).distinct()
     verts = (e.select(F.col("src").alias("v"))
@@ -65,11 +86,14 @@ def pagerank(edges: DataFrame, n_iter: int = 10,
     # literals (never a per-vertex driver collect)
     n = verts.count()
     if n == 0:
+        if stats is not None:
+            stats.update(iters=0, max_delta=0)
         return verts.withColumn("rank", F.lit(0).cast("long"))
     init = scale // n
     base = (scale * (d_den - d_num)) // (d_den * n)
     outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
     ranks = verts.withColumn("rank", F.lit(init).cast("long"))
+    iters_run, max_delta = 0, None
     for _ in range(n_iter):
         contrib = (
             ranks.join(e, ranks["v"] == e["src"])
@@ -79,10 +103,40 @@ def pagerank(edges: DataFrame, n_iter: int = 10,
                 F.expr(f"rank * {d_num} div ({d_den} * outdeg)")
                 .alias("c"))
             .groupBy("v").agg(F.sum("c").alias("c")))
-        ranks = (verts.join(contrib, "v", "left")
-                 .select("v",
-                         (F.lit(base)
-                          + F.coalesce(F.col("c"), F.lit(0)))
-                         .cast("long").alias("rank"))
-                 .localCheckpoint(eager=False))
+        extra = F.lit(0)
+        if dangling == "redistribute":
+            # D = Σ rank over vertices with no out-edge; a 1-row
+            # aggregate crossJoined back in (broadcast-trivial), so the
+            # correction never round-trips the driver
+            d_mass = (ranks.join(
+                outdeg.select(F.col("src").alias("v")), "v", "left_anti")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0))
+                     .cast("long").alias("_dm")))
+            extra = F.expr(f"_dm * {d_num} div ({d_den} * {n})")
+        new_ranks = verts.join(contrib, "v", "left")
+        if dangling == "redistribute":
+            new_ranks = new_ranks.crossJoin(F.broadcast(d_mass))
+        new_ranks = (new_ranks
+                     .select("v",
+                             (F.lit(base)
+                              + F.coalesce(F.col("c"), F.lit(0))
+                              + extra)
+                             .cast("long").alias("rank"))
+                     .localCheckpoint(eager=tol is not None))
+        iters_run += 1
+        if tol is not None:
+            max_delta = (
+                new_ranks.alias("a")
+                .join(ranks.alias("b"), "v")
+                .agg(F.coalesce(
+                    F.max(F.abs(F.col("a.rank") - F.col("b.rank"))),
+                    F.lit(0)).alias("d"))
+                .first()["d"])
+            ranks = new_ranks
+            if max_delta <= tol:
+                break
+        else:
+            ranks = new_ranks
+    if stats is not None:
+        stats.update(iters=iters_run, max_delta=max_delta)
     return ranks

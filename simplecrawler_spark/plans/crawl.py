@@ -166,6 +166,24 @@ class FrontierCrawler:
         # already-small) `new` DF each round — and only when the
         # same-authority filter is off (otherwise none can appear).
         self._auth_pending: dict[str, str] = {}
+        # G6 "pagerank" priority: the rank table handle, read once
+        if self.cfg.priority_source == "pagerank" \
+                and not self.cfg.pagerank_path:
+            raise ValueError(
+                "priority_source='pagerank' needs cfg.pagerank_path "
+                "(a parquet of (v, rank) — see operators/graph.py)")
+        self._pr_df = None
+        # concurrent streaming ingest (round-3 verdict item 4): while a
+        # crawl executes, ingest_stream micro-batches stage here as
+        # standalone parquet dirs — never through store._pending (the
+        # round's commit iterates it) — and the next round BOUNDARY
+        # sweeps them into that round's own pending appends. Consumed
+        # dirs are deleted only after the round's snapshot commits; a
+        # crash in between re-sweeps them, where the seen anti-join
+        # drops every already-committed url (idempotent, never lossy).
+        self._stream_pending_dir = os.path.join(self.root, "stream_pending")
+        self._stream_consumed: list[str] = []
+        self._crawl_active = False
 
     # ------------------------------------------------------------------ #
 
@@ -260,24 +278,107 @@ class FrontierCrawler:
     def _run_rounds(self, start_round: int) -> DataFrame:
         cfg = self.cfg
         r = start_round
-        first = True
         row_count = None  # frontier row count, known from the prior round
-        while r < cfg.max_rounds:
-            # partition-pruned scan: only round r's data dirs are read
-            # (the .where is a pushed-down guard for untagged dirs)
-            frontier_r = (self.store.read("frontier", partition=f"r{r}")
-                          .where(F.col("round") == r))
-            if first and frontier_r.isEmpty():
-                # only the entry round needs an emptiness probe — every
-                # later round's count comes back from _round() itself
-                break
-            first = False
-            next_count = self._round(frontier_r, r, row_count)
-            if next_count == 0:  # R7/R8 fixpoint
-                break
-            row_count = next_count
-            r += 1
+        self._crawl_active = True
+        try:
+            while r < cfg.max_rounds:
+                # round-boundary pickup of concurrently-streamed seeds
+                # (ingest_stream): staged batches join round r's
+                # frontier partition as ordinary pending appends, so
+                # the round's OWN snapshot commits them (a driver
+                # listdir when nothing is staged — free)
+                swept = self._sweep_stream_pending(r)
+                if row_count == 0 and swept == 0:
+                    break  # R7/R8 fixpoint: nothing new, nothing streamed
+                # partition-pruned scan: only round r's data dirs are
+                # read (the .where is a pushed-down guard for untagged
+                # dirs)
+                frontier_r = (self.store.read("frontier",
+                                              partition=f"r{r}")
+                              .where(F.col("round") == r))
+                if row_count is None and swept == 0 \
+                        and frontier_r.isEmpty():
+                    # only the entry round needs an emptiness probe —
+                    # every later round's count comes back from
+                    # _round() itself (+ the sweep's exact footer count)
+                    break
+                hint = (None if row_count is None
+                        else row_count + swept)
+                next_count = self._round(frontier_r, r, hint)
+                # commit_snapshot(r) has run — the swept batches are
+                # durable in the manifest; drop their staged files
+                self._drop_consumed_stream_dirs()
+                row_count = next_count
+                r += 1
+        finally:
+            self._crawl_active = False
         return self.results()
+
+    def _sweep_stream_pending(self, r: int) -> int:
+        """Ingest every COMPLETE staged stream batch (dir with a
+        _SUCCESS marker — Spark writes it last, so a batch the sink is
+        writing right now is skipped and picked up next round) into
+        round ``r``'s frontier partition, exactly like the between-
+        crawls direct path: cross-batch dedupe, seen anti-join, seen +
+        bloom insertion, authority registration. Returns the exact
+        post-anti-join row count (parquet footers — no count() job).
+        Appends land in store._pending from THIS (the loop) thread
+        only; the streaming thread never touches the store mid-crawl."""
+        if not os.path.isdir(self._stream_pending_dir):
+            return 0
+        dirs = sorted(
+            d for d in (os.path.join(self._stream_pending_dir, n)
+                        for n in os.listdir(self._stream_pending_dir))
+            if os.path.exists(os.path.join(d, "_SUCCESS")))
+        if not dirs:
+            return 0
+        batch = self.spark.read.parquet(*dirs)
+        # cross-batch dedupe: the direct path gets this from per-batch
+        # seen insertion; swept batches land together, so dedupe here
+        # (deterministic min-struct pick, same discipline as R1)
+        batch = (batch.groupBy("url_norm")
+                 .agg(F.min(F.struct("url_raw", "authority", "host"))
+                      .alias("s"))
+                 .select("url_norm", "s.url_raw", "s.authority",
+                         "s.host"))
+        rows = batch.select(
+            "url_norm", "url_raw",
+            url_hash(F.col("url_norm")).alias("url_hash"),
+            "authority", "host",
+            F.lit(0).alias("depth"), F.lit(0.0).alias("priority"),
+            F.lit(None).cast("string").alias("discovered_from"),
+            F.lit(r).alias("round"),
+        )
+        new = anti_join_seen(rows, self.store.read("seen"),
+                             self.bloom).persist()
+        self.store.append("frontier", new, partition=f"r{r}")
+        self.store.append("seen", new.select(
+            "url_hash", "url_norm",
+            host_bucket_expr(F.col("host")).alias("host_bucket"),
+            F.lit(r).alias("round_added")), partition=f"r{r}")
+        if self.bloom is not None:
+            self.bloom.add_df(new)
+            self._sync_bloom_membership()
+        self._register_authorities({
+            row.authority: row.scheme or "http"
+            for row in (new.select(
+                            "authority",
+                            F.split("url_norm", "://").getItem(0)
+                            .alias("scheme"))
+                        .where(F.col("authority") != "")
+                        .distinct().collect())})
+        new.unpersist()
+        self._stream_consumed.extend(dirs)
+        pend = self.store._pending.get("frontier", [])
+        return sum(f["rows"] for f in pend[-1]["lineage"])
+
+    def _drop_consumed_stream_dirs(self) -> None:
+        """Delete staged stream batches the just-committed round
+        ingested. Only called after commit_snapshot succeeds; dirs
+        surviving a crash are re-swept harmlessly (see __init__)."""
+        dirs, self._stream_consumed = self._stream_consumed, []
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)
 
     def _round(self, frontier_r: DataFrame, r: int,
                row_count: int | None = None) -> int:
@@ -550,6 +651,17 @@ class FrontierCrawler:
                 Window.partitionBy("host"))).cast("double")
         elif cfg.priority_source == "depth":
             priority = F.col("depth").cast("double")
+        elif cfg.priority_source == "pagerank":
+            # offline PageRank (operators/graph.py) joined on at
+            # discovery time: one left join per round of the (small,
+            # already-anti-joined) new frontier onto the precomputed
+            # rank table. Unranked urls — pages no prior crawl saw —
+            # score 0, i.e. schedule after every ranked page.
+            ranks = self._pagerank_ranks()
+            new = new.join(ranks, new["url_norm"] == ranks["_pr_v"],
+                           "left").drop("_pr_v")
+            priority = (-F.coalesce(F.col("_pr_rank"), F.lit(0))
+                        ).cast("double")
         else:  # "fifo"
             priority = F.lit(0.0)
 
@@ -711,6 +823,36 @@ class FrontierCrawler:
     def results(self) -> DataFrame:
         return self.store.read("results")
 
+    def _pagerank_ranks(self) -> DataFrame:
+        """The precomputed (v, rank) table for priority_source=
+        "pagerank", read once per crawler and column-renamed so the
+        per-round left join never collides with frontier columns."""
+        if self._pr_df is None:
+            self._pr_df = (
+                self.spark.read.parquet(self.cfg.pagerank_path)
+                .select(F.col("v").cast("string").alias("_pr_v"),
+                        F.col("rank").cast("long").alias("_pr_rank")))
+        return self._pr_df
+
+    def link_edges(self) -> DataFrame:
+        """The crawl's hyperlink edge set (src, dst) for offline
+        PageRank (operators/graph.py pagerank; feed its output back
+        via cfg.pagerank_path on the next crawl). With the crawl_log
+        sink on, every FOUND event contributes — the full discovery
+        multigraph (pagerank distinct-s parallel edges). Without it,
+        the frontier's first-discovery edges: a spanning subgraph of
+        the link graph — a weaker but well-defined rank signal, and
+        the only edge set a log-less 10^10-URL crawl retains."""
+        if self.cfg.crawl_log:
+            log = self.store.read("crawl_log")
+            return (log.where(F.col("event") == "FOUND")
+                    .select(F.col("detail").alias("src"),
+                            F.col("url").alias("dst")))
+        fr = self.store.read("frontier")
+        return (fr.where(F.col("discovered_from").isNotNull())
+                .select(F.col("discovered_from").alias("src"),
+                        F.col("url_norm").alias("dst")))
+
     def validated_results(self, corpus: DataFrame,
                           psnr_gate_db: float = 40.0) -> DataFrame:
         """Results joined to the image+caption corpus with per-row
@@ -840,23 +982,35 @@ class FrontierCrawler:
         streaming checkpoint advances can no longer lose appends the
         checkpoint will never replay, and a long-lived stream keeps
         landing seeds in the round the next crawl actually reads.
-        The per-batch commit flushes ALL pending appends, so running
-        this concurrently with an executing crawl round would commit
-        that round's partial state mid-flight — the sink therefore
-        refuses to run while a round is executing; drain seeds between
-        crawls (availableNow) and then continue_crawl()."""
+        Concurrent ingest (round-3 verdict item 4): the per-batch
+        commit flushes ALL pending appends, so committing from the
+        streaming thread while a crawl executes would flush (or race
+        and silently drop — commit_snapshot's read-then-clear of
+        _pending is not atomic against a concurrent append) the
+        round's partial state. While a crawl is active the sink
+        therefore STAGES the batch as a standalone parquet dir under
+        <root>/stream_pending instead, and the crawl loop sweeps
+        staged batches into the next round boundary's own pending
+        appends (_sweep_stream_pending) — committed by that round's
+        snapshot, never by this thread. Durability holds in every
+        crash window: staged-but-unswept dirs survive on disk and are
+        swept on resume; swept-but-uncommitted appends are manifest
+        orphans whose staged dirs are only deleted AFTER the commit,
+        so the re-sweep's seen anti-join replays them exactly."""
+        import uuid as _uuid
+
         from simplecrawler_spark.streaming.ingest import (
             canonical_seed_stream,
         )
 
         def sink(batch_df: DataFrame, batch_id: int) -> None:
-            if getattr(self, "_in_round", False):
-                raise RuntimeError(
-                    "ingest_stream micro-batch landed while a crawl "
-                    "round is executing — the per-batch snapshot commit "
-                    "would flush the round's partial appends. Drain "
-                    "seeds between crawls (availableNow=True), then "
-                    "continue_crawl().")
+            if self._crawl_active or getattr(self, "_in_round", False):
+                dest = os.path.join(self._stream_pending_dir,
+                                    f"batch-{_uuid.uuid4().hex[:12]}")
+                (batch_df.select("url_norm", "url_raw", "authority",
+                                 "host")
+                 .write.mode("errorifexists").parquet(dest))
+                return
             rnd = (self.store.latest_round() or 0) + 1
             rows = batch_df.select(
                 "url_norm", "url_raw",

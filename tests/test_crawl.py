@@ -475,6 +475,85 @@ def test_indegree_priority_schedules_hot_pages_first(spark, tmp_path):
     assert set(fifo) == set(got)  # same visited set either way
 
 
+def test_pagerank_priority_schedules_ranked_pages_first(spark, tmp_path):
+    """G6 (round-3 verdict item 6): the full offline loop — crawl with
+    the log sink on, pagerank(link_edges()) to a parquet table, then a
+    budget-constrained recrawl with priority_source='pagerank' fetches
+    the high-rank page in an earlier round than the unranked-or-low
+    one. Visited set identical to fifo."""
+    from pyspark.sql import functions as F
+    from simplecrawler_spark.operators.graph import pagerank
+    from simplecrawler_spark.sources.fixtures import (
+        _row, make_html_from_links,
+    )
+
+    seed = "http://h0.test/"
+    hubs = [f"http://h{i}.test/hub" for i in (1, 2, 3)]
+    tgt = "http://tgt.test"
+    rows = [_row(seed, body=make_html_from_links(hubs))]
+    rows.append(_row(hubs[0],
+                     body=make_html_from_links([tgt + "/hot",
+                                                tgt + "/cold"])))
+    for h in hubs[1:]:
+        rows.append(_row(h, body=make_html_from_links([tgt + "/hot"])))
+    rows.append(_row(tgt + "/hot", body=""))
+    rows.append(_row(tgt + "/cold", body=""))
+
+    # pass 1: unconstrained discovery crawl, full FOUND edge multigraph
+    cfg1 = CrawlConfig(same_authority_only=False, crawl_log=True)
+    c1 = FrontierCrawler(spark, TableFetcher(site_graph_df(spark, rows),
+                                             cfg1), cfg1,
+                         root=str(tmp_path / "pass1"))
+    c1.crawl(seed)
+    edges = c1.link_edges()
+    # /hot carries 3 in-edges, /cold 1 — pagerank must reflect that
+    rank_path = str(tmp_path / "ranks.parquet")
+    ranks = pagerank(edges, n_iter=5)
+    ranks.write.parquet(rank_path)
+    got_rank = {r.v: r.rank for r in ranks.collect()}
+    assert got_rank[tgt + "/hot"] > got_rank[tgt + "/cold"]
+
+    # pass 2: budget 1/host, rank-driven ordering
+    def rounds_by_url(priority_source):
+        cfg = CrawlConfig(max_per_host_per_round=1, max_rounds=30,
+                          same_authority_only=False,
+                          priority_source=priority_source,
+                          pagerank_path=(rank_path if priority_source
+                                         == "pagerank" else None))
+        crawler = FrontierCrawler(
+            spark, TableFetcher(site_graph_df(spark, rows), cfg), cfg,
+            root=str(tmp_path / f"p2-{priority_source}"))
+        crawler.crawl(seed)
+        return {r.url_norm: r.round
+                for r in crawler.results().select("url_norm", "round")
+                .collect()}
+
+    got = rounds_by_url("pagerank")
+    assert got[tgt + "/hot"] < got[tgt + "/cold"]
+    fifo = rounds_by_url("fifo")
+    assert set(fifo) == set(got)
+
+    # misconfiguration is loud, not silently-fifo
+    import pytest
+    with pytest.raises(ValueError, match="pagerank_path"):
+        FrontierCrawler(
+            spark, None, CrawlConfig(priority_source="pagerank"),
+            root=str(tmp_path / "bad"))
+
+    # log-less crawls still expose a well-defined edge set (frontier
+    # first-discovery spanning subgraph, seeds excluded)
+    cfg3 = CrawlConfig(same_authority_only=False)
+    c3 = FrontierCrawler(spark, TableFetcher(site_graph_df(spark, rows),
+                                             cfg3), cfg3,
+                         root=str(tmp_path / "pass3"))
+    c3.crawl(seed)
+    fr_edges = c3.link_edges()
+    assert fr_edges.columns == ["src", "dst"]
+    n_results = c3.results().count()
+    assert fr_edges.count() == n_results - 1  # every page but the seed
+    assert fr_edges.where(F.col("src").isNull()).count() == 0
+
+
 def test_hostrank_priority_under_global_budget(spark, tmp_path):
     """G6 (round-2 verdict item 8): priority_source='hostrank' ranks
     by the host's aggregate in-degree — constant within a host, so it

@@ -248,3 +248,119 @@ def test_stream_sessionize_withholds_open_sessions(spark, tmp_path):
     assert set(got).issubset(set(batch))
     assert all(batch[k] == v for k, v in got.items())
     assert len(got) < len(batch)
+
+
+def test_ingest_stream_concurrent_with_executing_round(spark, tmp_path):
+    """Round-3 verdict item 4: a micro-batch landing WHILE a round
+    executes stages to <root>/stream_pending (never touching the
+    store's pending appends), the next round boundary sweeps it in,
+    and the streamed url is crawled exactly once — no refusal, no
+    lost urls, staged dirs deleted once their round commits."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from simplecrawler_spark.config import CrawlConfig
+    from simplecrawler_spark.plans.crawl import FrontierCrawler
+    from simplecrawler_spark.sources.fetch import TableFetcher
+    from simplecrawler_spark.sources.fixtures import (
+        _row, make_html_from_links, site_graph_df,
+    )
+
+    a, b = "http://a.test", "http://b.test"
+    rows = [
+        _row(a + "/", body=make_html_from_links(["/p1"])),
+        _row(a + "/p1", body=make_html_from_links(["/p2"])),
+        _row(a + "/p2", body=""),
+        _row(b + "/streamed", body=""),
+    ]
+    cfg = CrawlConfig(same_authority_only=False, max_rounds=20)
+    crawler = FrontierCrawler(
+        spark, TableFetcher(site_graph_df(spark, rows), cfg), cfg,
+        root=str(tmp_path / "c"))
+
+    src = tmp_path / "drop"
+    src.mkdir()
+    fired = []
+    orig = crawler._round_body
+
+    def wrapped(frontier_r, r, row_count, pool, futures):
+        if r == 1 and not fired:
+            fired.append(r)
+            (src / "seeds.txt").write_text(f"{b}/streamed\n")
+            q = crawler.ingest_stream(str(src), str(tmp_path / "ckpt"))
+            q.awaitTermination(120)
+            # mid-round: batch STAGED, store pending untouched by the
+            # streaming thread (no frontier append beyond the round's
+            # own), no snapshot committed by the sink
+            assert os.listdir(crawler._stream_pending_dir)
+            assert all("stream_batch" not in s["metrics"]
+                       for s in crawler.store.snapshots())
+        return orig(frontier_r, r, row_count, pool, futures)
+
+    crawler._round_body = wrapped
+    crawler.crawl(a)
+    assert fired == [1]
+
+    final = crawler.result_urls()
+    assert f"{b}/streamed" in final            # swept + crawled
+    assert (crawler.results()
+            .where(F.col("url_norm") == f"{b}/streamed").count()) == 1
+    # the streamed url entered seen through the sweep
+    seen = {r_.url_norm for r_ in crawler.store.read("seen")
+            .select("url_norm").collect()}
+    assert f"{b}/streamed" in seen
+    # staged dirs were deleted after their round's commit
+    assert (not os.path.isdir(crawler._stream_pending_dir)
+            or os.listdir(crawler._stream_pending_dir) == [])
+
+
+def test_ingest_stream_staged_dirs_resweep_idempotent(spark, tmp_path):
+    """The crash windows: a staged dir that survives (crash after
+    commit, before delete — its urls already in seen) replays to zero
+    rows; a genuinely-new staged dir left by a crashed stream is swept
+    on resume and crawled exactly once."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from simplecrawler_spark.config import CrawlConfig
+    from simplecrawler_spark.plans.crawl import FrontierCrawler
+    from simplecrawler_spark.sources.fetch import TableFetcher
+    from simplecrawler_spark.sources.fixtures import (
+        _row, make_html_from_links, site_graph_df,
+    )
+
+    a, b = "http://a.test", "http://b.test"
+    rows = [
+        _row(a + "/", body=make_html_from_links(["/p1"])),
+        _row(a + "/p1", body=""),
+        _row(b + "/late", body=""),
+    ]
+    cfg = CrawlConfig(same_authority_only=False, max_rounds=20)
+    root = str(tmp_path / "c")
+    crawler = FrontierCrawler(
+        spark, TableFetcher(site_graph_df(spark, rows), cfg), cfg,
+        root=root)
+    crawler.crawl(a)
+    n_p1 = crawler.results().where(
+        F.col("url_norm") == a + "/p1").count()
+    assert n_p1 == 1
+
+    # simulate the two crash leftovers: one dir whose url is already
+    # crawled/seen, one with a brand-new url
+    staged = os.path.join(root, "stream_pending")
+    spark.createDataFrame(
+        [(a + "/p1", a + "/p1", "a.test", "a.test"),
+         (b + "/late", b + "/late", "b.test", "b.test")],
+        "url_norm string, url_raw string, authority string, host string"
+    ).write.parquet(os.path.join(staged, "batch-leftover"))
+
+    resumed = FrontierCrawler.resume(
+        spark, TableFetcher(site_graph_df(spark, rows), cfg), root, cfg)
+    resumed.continue_crawl()
+    res = resumed.results()
+    # already-seen url NOT refetched; new url crawled exactly once
+    assert res.where(F.col("url_norm") == a + "/p1").count() == 1
+    assert res.where(F.col("url_norm") == b + "/late").count() == 1
+    assert os.listdir(staged) == []
