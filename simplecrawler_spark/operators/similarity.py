@@ -442,7 +442,8 @@ def ann_ivf_topk_join(embeddings: DataFrame, queries: DataFrame,
                       q_vec_col: str | None = None,
                       q_id_col: str = "query_id",
                       centroids: list[list[float]] | None = None,
-                      assigned: DataFrame | None = None) -> DataFrame:
+                      assigned: DataFrame | None = None,
+                      prune: str = "static") -> DataFrame:
     """Batched ANN: top-k neighbours for EVERY row of a query TABLE
     (round-3 verdict item 5 — the single-literal-vector surface doesn't
     serve retrieval/curation pipelines that score millions of queries).
@@ -455,9 +456,19 @@ def ann_ivf_topk_join(embeddings: DataFrame, queries: DataFrame,
       * the (query, cell) probe rows join the cell-assigned corpus on
         `cell` — the IVF blocking: a query scores only nprobe/n_cells
         of the corpus. The probe side is broadcast (queries × nprobe
-        rows ≪ corpus); over a cell-PARTITIONED ivf_build table the
-        broadcast on the partition column arms dynamic partition
-        pruning, so unprobed cells' files are never read;
+        rows ≪ corpus);
+      * partition pruning over a cell-PARTITIONED ivf_build table,
+        ``prune=``: "static" (default) runs ONE map-side-combinable
+        distinct over the probes' cell column — at most n_cells values
+        to the driver, regardless of query count — and plants them as
+        a literal IN PartitionFilter: pruning is guaranteed at plan
+        time (plan-audited). "dynamic" skips that pass and relies on
+        Spark's dynamic partition pruning, which only arms when the
+        query side carries a selective predicate (Catalyst's
+        likely-selective heuristic — a bare table or LIMIT does not
+        qualify); right when the query table is huge, filtered, and
+        its probed-cell union would be all cells anyway. "none" scans
+        every cell;
       * scoring is the JVM cosine (same zip_with/aggregate shape as
         cosine_topk, rounded to 6 BEFORE ranking so ordering is
         engine-stable), and only (query_id, vec_id, cosine) rows reach
@@ -479,10 +490,17 @@ def ann_ivf_topk_join(embeddings: DataFrame, queries: DataFrame,
     if assigned is None:
         assigned = ivf_assign(embeddings.select(id_col, vec_col),
                               centroids, vec_col)
+    if prune not in ("static", "dynamic", "none"):
+        raise ValueError(
+            f"prune must be 'static', 'dynamic' or 'none', got {prune!r}")
     probes = queries.select(
         F.col(q_id_col), F.col(q_vec).alias("_qv"),
         F.explode(probe_cells_expr(F.col(q_vec), centroids, nprobe))
         .alias("cell"))
+    if prune == "static":
+        cells = [r.cell
+                 for r in probes.select("cell").distinct().collect()]
+        assigned = assigned.where(F.col("cell").isin(cells))
     num = _dot(F.col(vec_col), F.col("_qv"))
     den = _norm(F.col(vec_col)) * _norm(F.col("_qv"))
     scored = (assigned.join(F.broadcast(probes), "cell")
