@@ -14,6 +14,10 @@ BENCH/SCALING.md + BENCH/BASELINE.md.
 
 --crawl-only: internal mode used by --scaling (crawl job only, one
 JSON line).
+
+--imagescale: payload-scale image bench — ≥1M images (~20 GB of
+pixel binary) through image_features + pHash near-dup clustering,
+with per-stage task-count evidence (BENCH/IMAGESCALE.md).
 """
 
 from __future__ import annotations
@@ -363,6 +367,190 @@ def run_crawl_only():
     spark.stop()
 
 
+def _stage_task_counts(event_dir: str) -> list[dict]:
+    """Parse a Spark event log dir into [{stage, name, tasks, ms}]
+    rows — the 'no single-task stage' evidence for the payload-scale
+    image bench (round-3 verdict item 7). Reuses the reader shape of
+    scripts/stage_times.py (rolling-v2 dirs, zstd)."""
+    import io
+
+    names = []
+    for root_, _dirs, files in os.walk(event_dir):
+        # non-rolling logs are named local-<ts>[.inprogress][.zstd];
+        # rolling-v2 dirs hold events_* parts — take every file
+        names += [os.path.join(root_, f) for f in files
+                  if not f.startswith("appstatus")]
+    rows = []
+    for path in sorted(names):
+        if path.endswith(".zstd"):
+            import pyarrow as pa
+            fh = io.TextIOWrapper(
+                pa.input_stream(path, compression="zstd"),
+                encoding="utf-8")
+        else:
+            fh = open(path)
+        with fh:
+            for line in fh:
+                try:
+                    ev = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if ev.get("Event") != "SparkListenerStageCompleted":
+                    continue
+                si = ev["Stage Info"]
+                sub = si.get("Submission Time")
+                comp = si.get("Completion Time")
+                rows.append({
+                    "stage": si["Stage ID"],
+                    "name": si["Stage Name"].split("\n")[0][:60],
+                    "tasks": si["Number of Tasks"],
+                    "ms": (comp - sub) if sub and comp else None,
+                })
+    return sorted(rows, key=lambda r: r["stage"])
+
+
+def run_imagescale():
+    """Payload-scale image bench (opt-in: bench.py --imagescale).
+
+    The per-round image benches run at 4k images; this mode drives the
+    SAME operators at ≥1M images (SPARK_GRAFT_IMAGES, default 1M base
+    + 1 planted perturbed near-dup per 3 base = 4/3M rows, ~20 GB of
+    pixel payload) to demonstrate the two scale claims the small runs
+    cannot: (a) capped Arrow batches keep the decode stage's memory
+    flat at payload scale, and (b) the banded-Hamming near-dup +
+    clustering tail reads ONLY (image_id, phash) — column pruning
+    skips the pixel bytes entirely, so the dedup pass over a 20 GB
+    corpus scans ~10 MB.
+
+    Phases (each timed separately, one JSON line at the end):
+      gen        synthesise + stage the corpus to parquet ON DISK
+                 (not tmpfs — the payload should exercise a real scan)
+      features   full pixel decode: image_features() -> noop sink
+      neardup    fingerprint_near_dup + connected_components over the
+                 phash column -> cluster/survivor counts
+    Per-stage task counts from the event log are appended to
+    BENCH/IMAGESCALE.md — the gate is that no data-bearing stage
+    collapses to a single task."""
+    import shutil
+
+    n_images = int(os.environ.get("SPARK_GRAFT_IMAGES", "1000000"))
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    max_hamming = int(os.environ.get("SPARK_GRAFT_IMG_HAMMING", "4"))
+    corpus_dir = os.environ.get("SPARK_GRAFT_IMG_DIR",
+                                "/tmp/imagescale-corpus")
+    evdir = tempfile.mkdtemp(prefix="imagescale-ev-")
+    os.environ["SPARK_GRAFT_EVENTLOG"] = evdir
+    probe_pre = cpu_capacity_probe(8)
+    spark = build_spark(cpus)
+    # binary rows are ~19 KB each; 1024 rows/batch ≈ 20 MB Arrow
+    # batches through mapInPandas regardless of corpus size — the cap
+    # under test
+    arrow_batch = os.environ.get("SPARK_GRAFT_ARROW_BATCH", "1024")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                   arrow_batch)
+
+    from pyspark.sql import functions as F
+
+    from simplecrawler_spark.operators.dedup import (
+        connected_components, fingerprint_near_dup,
+    )
+    from simplecrawler_spark.functions.multimodal import image_features
+    from simplecrawler_spark.sources.fixtures import near_dup_corpus
+
+    phases: dict[str, float] = {}
+
+    # -- gen: corpus to parquet on disk ---------------------------------
+    shutil.rmtree(corpus_dir, ignore_errors=True)
+    t0 = time.monotonic()
+    near_dup_corpus(spark, n_images=n_images).write.parquet(corpus_dir)
+    phases["gen"] = round(time.monotonic() - t0, 3)
+    bytes_on_disk = sum(
+        os.path.getsize(os.path.join(corpus_dir, f))
+        for f in os.listdir(corpus_dir) if f.endswith(".parquet"))
+
+    corpus = spark.read.parquet(corpus_dir)
+    n_rows = corpus.count()
+
+    # -- features: full pixel decode ------------------------------------
+    t0 = time.monotonic()
+    image_features(corpus).write.format("noop").mode("overwrite").save()
+    phases["features"] = round(time.monotonic() - t0, 3)
+
+    # -- neardup: banded Hamming pairs + CC over phash only --------------
+    t0 = time.monotonic()
+    fp = corpus.select(
+        F.regexp_extract("image_id", r"img_0*(\d+)", 1)
+        .cast("long").alias("doc_id"), "phash")
+    pairs = fingerprint_near_dup(fp, fp_col="phash",
+                                 max_hamming=max_hamming, n_bits=64)
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    stats = comp.agg(
+        F.count("*").alias("n_in_clusters"),
+        F.countDistinct("component").alias("n_clusters")).first()
+    phases["neardup_cluster"] = round(time.monotonic() - t0, 3)
+    probe_post = cpu_capacity_probe(8)
+    spark.stop()
+
+    stages = _stage_task_counts(evdir)
+    single = [s for s in stages
+              if s["tasks"] == 1 and (s["ms"] or 0) > 2000]
+    out = {
+        "mode": "imagescale",
+        "n_images_base": n_images,
+        "n_rows": n_rows,
+        "corpus_gb": round(bytes_on_disk / 1e9, 2),
+        "phases": phases,
+        "features_imgs_per_sec": round(n_rows / phases["features"], 1),
+        "arrow_max_records_per_batch": int(arrow_batch),
+        "max_hamming": max_hamming,
+        "n_in_clusters": stats["n_in_clusters"],
+        "n_clusters": stats["n_clusters"],
+        "n_stages": len(stages),
+        "slow_single_task_stages": [s["name"] for s in single],
+        "host_probe_pre_sec": probe_pre,
+        "host_probe_post_sec": probe_post,
+    }
+
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/IMAGESCALE.md", "w") as fh:
+        fh.write(
+            "# Payload-scale image bench (bench.py --imagescale)\n\n"
+            f"{n_images:,} base images + 1 perturbed near-dup per 3 "
+            f"base = {n_rows:,} rows, {out['corpus_gb']} GB parquet on "
+            "disk (pixels as binary, input_hint schema). local"
+            f"[{cpus}], Arrow batches capped at {arrow_batch} rows "
+            "(~20 MB of binary per batch, flat in corpus size).\n\n"
+            "| phase | wall s | notes |\n|---|---|---|\n"
+            f"| gen | {phases['gen']} | synthesise + stage to parquet "
+            "(untimed in headline benches; on-disk so later phases "
+            "pay a real scan) |\n"
+            f"| features | {phases['features']} | full decode of every "
+            f"pixel ({out['features_imgs_per_sec']:,} imgs/sec) — "
+            "mapInPandas, poison-pill tolerant |\n"
+            f"| neardup_cluster | {phases['neardup_cluster']} | banded "
+            f"Hamming (≤{max_hamming} bits) pairs + connected "
+            f"components: {stats['n_clusters']:,} clusters / "
+            f"{stats['n_in_clusters']:,} clustered ids; scan reads "
+            "ONLY (image_id, phash) — column pruning skips the pixel "
+            "bytes |\n\n"
+            f"host capacity probes (8w, s/worker): {probe_pre} pre / "
+            f"{probe_post} post\n\n"
+            "## Per-stage task counts (event-log digest)\n\n"
+            "Gate: no data-bearing stage runs as a single task "
+            "(result-collect stages of driver-side aggs excepted; "
+            "'slow single-task stages' below lists any 1-task stage "
+            ">2 s).\n\n"
+            f"slow single-task stages: {single or 'none'}\n\n"
+            "| stage | tasks | wall ms | name |\n|---|---|---|---|\n"
+            + "".join(
+                f"| {s['stage']} | {s['tasks']} | {s['ms']} "
+                f"| {s['name']} |\n" for s in stages))
+    shutil.rmtree(evdir, ignore_errors=True)
+    if os.environ.get("SPARK_GRAFT_IMG_KEEP") != "1":
+        shutil.rmtree(corpus_dir, ignore_errors=True)
+    print(json.dumps(out))
+
+
 _PROBE_SNIPPET = (
     "import time,numpy as np;a=np.random.default_rng(1).random(2_000_000)\n"
     "for _ in range(20): a=np.sqrt(a*a+1e-9)  # warm: freq ramp, faults\n"
@@ -536,7 +724,9 @@ def run_scaling():
         f"machine: {specs}; spark confs: AQE on, arrow on, "
         "shuffle.partitions = max(cores, 8), driver 16g\n\n"
         f"synthetic frontier: {n_pages} pages, out-degree 8, 64 hosts "
-        f"(power-law-skewed), {max(1, int(n_pages) // 100)} seeds, "
+        f"(power-law-skewed), "
+        f"{int(os.environ.get('SPARK_GRAFT_SEEDS', max(1, int(n_pages) // 100)))}"
+        " seeds, "
         "identical input + job at both parallelism levels; "
         f"{n_trials} alternating trials per leg, per-leg median "
         "(this box shows ±10% run-to-run variance — every trial shown)\n\n"
@@ -590,5 +780,7 @@ if __name__ == "__main__":
         run_scaling()
     elif "--crawl-only" in sys.argv:
         run_crawl_only()
+    elif "--imagescale" in sys.argv:
+        run_imagescale()
     else:
         run_default()
