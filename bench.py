@@ -110,12 +110,18 @@ def crawl_bench(spark, n_pages: int, n_hosts: int = 64):
     # warm-up: one tiny crawl outside the timed window compiles the
     # whole-stage-codegen paths and spins up the Python workers — pure
     # serial JVM warm-up (~5-10s) that would otherwise contaminate the
-    # steady-state measurement of BOTH scaling legs
+    # steady-state measurement of BOTH scaling legs.
+    # broadcast_max_rows=0 forces the warm-up fetcher onto the SAME
+    # partitioned sort-merge join path the big graph takes (a 2k-row
+    # graph would otherwise warm the broadcast plan shape and leave the
+    # timed round 0 paying the sort-merge codegen compile — measured
+    # ~3-4s on the round-0 robots fetch, the first query of that shape)
     warm_graph = synthetic_graph(spark, n_pages=2000, n_hosts=4,
                                  out_degree=6)
     warm_root = tempfile.mkdtemp(prefix="bench-warm-", dir=root_base)
     warm_seed = warm_graph.agg(F.min("url")).first()[0]
-    FrontierCrawler(spark, TableFetcher(warm_graph, cfg), cfg,
+    FrontierCrawler(spark, TableFetcher(warm_graph, cfg,
+                                        broadcast_max_rows=0), cfg,
                     root=warm_root).crawl(warm_seed)
     import shutil
     shutil.rmtree(warm_root, ignore_errors=True)

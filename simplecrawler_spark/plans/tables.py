@@ -193,19 +193,27 @@ class SnapshotStore:
 
     def read(self, table: str, partition: str | None = None) -> DataFrame:
         paths = self._paths(table, partition)
+        schema = self.schemas.get(table)
         if not paths:
-            schema = self.schemas.get(table)
             if schema is None:
                 raise KeyError(f"empty table {table!r} with no schema registered")
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(*paths)
+        # registered schema → skip driver-side footer inference (one
+        # listing + footer read per read() call otherwise — measured
+        # ~0.1-0.3s each, a per-round serial cost the scaling gate pays)
+        reader = (self.spark.read.schema(schema) if schema is not None
+                  else self.spark.read)
+        return reader.parquet(*paths)
 
     def read_at(self, table: str, snapshot_id: int) -> DataFrame:
         snap = self._load_snapshot(snapshot_id)
         paths = snap["tables"].get(table, [])
         if not paths:
             return self.spark.createDataFrame([], self.schemas[table])
-        return self.spark.read.parquet(*paths)
+        schema = self.schemas.get(table)
+        reader = (self.spark.read.schema(schema) if schema is not None
+                  else self.spark.read)
+        return reader.parquet(*paths)
 
     def is_empty(self, table: str) -> bool:
         return not self._paths(table) or self.read(table).isEmpty()
