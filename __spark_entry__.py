@@ -685,6 +685,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.floor(F.col("logprob") * 1000000).cast("long")
             .alias("lp_scaled"))
 
+    def q_ngram_topk(spark, sf):
+        """Corpus vocabulary builder (operators/retrieval.py
+        ngram_topk): top-50 bigrams by count, deterministic tie-break
+        (count DESC, gram ASC). One combinable count agg + TakeOrdered
+        — no global sort shuffle."""
+        from simplecrawler_spark.operators.retrieval import ngram_topk
+
+        return ngram_topk(_t(spark, sf, "documents"), n=2, k=50)
+
+    def q_bm25(spark, sf):
+        """Okapi BM25 retrieval scoring (operators/retrieval.py
+        bm25_score) against a fixed probe query; per-(doc,term) score
+        floor-scaled to int64 before the sum (order-independent long
+        arithmetic — the quality.unigram_logprob discipline). 'quantum'
+        never occurs, exercising the df=0 no-contribution path."""
+        from simplecrawler_spark.operators.retrieval import bm25_score
+
+        docs = _t(spark, sf, "documents")
+        s = bm25_score(docs, ["spark", "join", "window", "quantum"],
+                       ln_scale=10**9)
+        return s.select(
+            "doc_id", "n_tokens",
+            F.floor(F.col("bm25") * 1000000).cast("long")
+            .alias("bm25_scaled"))
+
+    def q_stratified_sample(spark, sf):
+        """Deterministic per-source sample (operators/retrieval.py
+        stratified_sample): the 20 smallest-md5(doc_id) rows per
+        source — uniform in expectation, exactly reproducible, stable
+        under corpus growth (a doc's rank key never changes)."""
+        from simplecrawler_spark.operators.retrieval import (
+            stratified_sample,
+        )
+
+        docs = _t(spark, sf, "documents")
+        return (stratified_sample(docs, n_per_group=20)
+                .select("doc_id", "source", "sample_rank"))
+
+    def q_caption_dups(spark, sf):
+        """LAION-style caption-collision clustering on the image
+        corpus (functions/multimodal.py caption_dup_clusters):
+        captions are re-synthesised from a 40-value base pool (~6-7
+        images per base) with the per-image '#<k>' tag kept, so the
+        operator's normalisation (lowercase, strip tag, collapse
+        whitespace) is what actually produces the collisions."""
+        from simplecrawler_spark.functions import images as I
+        from simplecrawler_spark.functions.multimodal import (
+            caption_dup_clusters,
+        )
+        from simplecrawler_spark.sources.fixtures import synthetic_corpus
+
+        corpus = synthetic_corpus(spark, n_images=256)
+        k = (F.regexp_extract("image_id", r"img_0*(\d+)", 1)
+             .cast("long"))
+        k2 = k % 40
+        adj = F.array(*[F.lit(a) for a in I._ADJ])
+        noun = F.array(*[F.lit(a) for a in I._NOUN])
+        verb = F.array(*[F.lit(a) for a in I._VERB])
+        cap = F.concat(
+            F.lit("a "),
+            F.element_at(adj, (k2 % 8 + 1).cast("int")), F.lit(" "),
+            F.element_at(noun, (F.floor(k2 / 8).cast("long") % 8 + 1)
+                         .cast("int")), F.lit(" "),
+            F.element_at(verb, (F.floor(k2 / 64).cast("long") % 8 + 1)
+                         .cast("int")),
+            F.lit(" #"), F.lpad(k.cast("string"), 8, "0"))
+        return caption_dup_clusters(corpus.withColumn("caption", cap))
+
     def q_image_dedup_cluster(spark, sf):
         """pHash near-dup CLUSTERING end-to-end on images: planted
         perturbed copies (fixtures.near_dup_corpus) → banded Hamming
@@ -750,6 +818,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_buckets": q_quality_buckets,
         "q_event_window_rollup": q_event_window_rollup,
         "q_sessionize": q_sessionize,
+        "q_ngram_topk": q_ngram_topk,
+        "q_bm25": q_bm25,
+        "q_stratified_sample": q_stratified_sample,
+        "q_caption_dups": q_caption_dups,
     }
 
 
@@ -1665,5 +1737,94 @@ def oracle_sql() -> dict[str, str]:
             SELECT id::BIGINT AS doc_id, min(comp)::BIGINT AS component,
                    (id = min(comp)) AS is_survivor
             FROM reach GROUP BY id
+        """,
+        # corpus-wide bigram vocabulary: count agg + deterministic
+        # top-k (count DESC, gram ASC — Spark runs it as TakeOrdered)
+        "q_ngram_topk": f"""
+            WITH t AS (SELECT {toks} AS toks FROM documents),
+            g AS (
+              SELECT unnest(list_transform(
+                       range(1, greatest(len(toks) - 1, 0) + 1),
+                       i -> toks[i] || ' ' || toks[i + 1])) AS gram
+              FROM t
+            )
+            SELECT gram, count(*) AS n_occurrences
+            FROM g GROUP BY 1
+            ORDER BY n_occurrences DESC, gram ASC LIMIT 50
+        """,
+        # Okapi BM25 vs the fixed probe query; per-(doc,term) score
+        # floor-scaled to int64 BEFORE the document sum (long
+        # arithmetic — order-independent), constants inlined as exact
+        # Python-double reprs so both engines see identical literals
+        "q_bm25": f"""
+            WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+            tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+            dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+            tot AS (SELECT count(*) AS n_docs,
+                           sum(dl) AS total_tokens FROM dl),
+            qtf AS (
+              SELECT doc_id, tok, count(*) AS tf FROM tok
+              WHERE tok IN ('join', 'quantum', 'spark', 'window')
+              GROUP BY 1, 2
+            ),
+            dft AS (SELECT tok, count(*) AS df FROM qtf GROUP BY 1),
+            sc AS (
+              SELECT q.doc_id,
+                     floor((ln((tot.n_docs - dft.df + 0.5)
+                               / (dft.df + 0.5) + 1.0)
+                            * ((q.tf * {1.2 + 1.0!r})
+                               / (q.tf + {1.2!r}
+                                  * ({1.0 - 0.75!r}
+                                     + ({0.75!r} * dl.dl)
+                                       / (tot.total_tokens::DOUBLE
+                                          / tot.n_docs)))))
+                           * 1000000000)::BIGINT AS ts
+              FROM qtf q JOIN dft USING (tok) JOIN dl USING (doc_id)
+              CROSS JOIN tot
+            ),
+            s AS (SELECT doc_id, sum(ts)::BIGINT AS s FROM sc GROUP BY 1)
+            SELECT dl.doc_id, dl.dl AS n_tokens,
+                   floor(coalesce(s.s::DOUBLE / 1000000000, 0.0)
+                         * 1000000)::BIGINT AS bm25_scaled
+            FROM dl LEFT JOIN s USING (doc_id)
+        """,
+        # deterministic per-source sample: 20 smallest md5(doc_id)
+        # per source, doc_id tiebreak — reproducible, growth-stable
+        "q_stratified_sample": """
+            WITH r AS (
+              SELECT doc_id, source,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(doc_id::VARCHAR) ASC, doc_id ASC)
+                       AS sample_rank
+              FROM documents
+            )
+            SELECT doc_id, source, sample_rank
+            FROM r WHERE sample_rank <= 20
+        """,
+        # caption-collision clusters over the re-synthesised 40-base
+        # caption pool (the ' #<k>' tag the operator strips is what
+        # makes raw captions unique — collisions exist only after
+        # normalisation, so the oracle groups on the tagless base)
+        "q_caption_dups": f"""
+            WITH v AS (
+              SELECT {_SQL_ADJ} AS adj, {_SQL_NOUN} AS noun,
+                     {_SQL_VERB} AS verb
+            ),
+            t AS (SELECT range AS k FROM range(256)),
+            c AS (
+              SELECT k, 'a ' || adj[((k % 40) % 8) + 1] || ' '
+                          || noun[(((k % 40) // 8) % 8) + 1] || ' '
+                          || verb[(((k % 40) // 64) % 8) + 1] AS base
+              FROM t, v
+            ),
+            cl AS (
+              SELECT base, min(printf('img_%08d', k)) AS cluster_id,
+                     count(*) AS cluster_size
+              FROM c GROUP BY 1 HAVING count(*) >= 2
+            )
+            SELECT printf('img_%08d', c.k) AS image_id,
+                   cl.cluster_id, cl.cluster_size
+            FROM c JOIN cl USING (base)
         """,
     }

@@ -314,3 +314,41 @@ def caption_image_gate(corpus: DataFrame, min_tokens: int = 7,
         fmt_ok.alias("fmt_ok"),
         (caption_ok & dims_ok & aspect_ok & fmt_ok).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# caption-level exact dedup — the text-side twin of pHash near-dup
+# ---------------------------------------------------------------------------
+
+def caption_dup_clusters(corpus: DataFrame, min_cluster: int = 2,
+                         strip_tag: bool = True) -> DataFrame:
+    """Cluster images whose captions collide after normalisation —
+    LAION-style caption dedup (identical alt-text across many images is
+    the dominant exact-dup mode in web image+caption corpora; pixel
+    near-dup catches the rest, dedup.fingerprint_near_dup).
+
+    Normalisation: lowercase, trailing ``#<digits>`` tag stripped
+    (``strip_tag``), whitespace collapsed, ends trimmed. Emits one row
+    per image in a cluster of ≥ ``min_cluster`` members:
+    (image_id, cluster_id, cluster_size) where cluster_id is the
+    lexicographically-smallest member — deterministic, engine-portable.
+
+    Scale shape: ONE combinable groupBy on a short string key (min +
+    count partial-aggregate map-side), then a broadcast-friendly join
+    back to the image rows — the image payload columns never shuffle;
+    only (image_id, caption-key) rows do.
+    """
+    from pyspark.sql import functions as F
+
+    key = F.lower(F.col("caption"))
+    if strip_tag:
+        key = F.regexp_replace(key, r" #\d+$", "")
+    key = F.trim(F.regexp_replace(key, r"\s+", " "))
+
+    keyed = corpus.select("image_id", key.alias("caption_key"))
+    clusters = (keyed.groupBy("caption_key")
+                .agg(F.min("image_id").alias("cluster_id"),
+                     F.count("*").alias("cluster_size"))
+                .where(F.col("cluster_size") >= min_cluster))
+    return (keyed.join(clusters, "caption_key")
+            .select("image_id", "cluster_id", "cluster_size"))
