@@ -364,3 +364,72 @@ def test_ingest_stream_staged_dirs_resweep_idempotent(spark, tmp_path):
     assert res.where(F.col("url_norm") == a + "/p1").count() == 1
     assert res.where(F.col("url_norm") == b + "/late").count() == 1
     assert os.listdir(staged) == []
+
+
+# ---------------------------------------------------------------------------
+# streaming exact dedup (streaming/dedup_stream.py)
+# ---------------------------------------------------------------------------
+
+def _docs_with_dups(spark, n=400, n_distinct=120):
+    """doc k carries text t(k % n_distinct) — heavy planned dup load,
+    min-id survivor is doc k < n_distinct."""
+    return spark.createDataFrame(
+        [(k, f"document body number {k % n_distinct} with words",
+          "en", f"s{k % 3}", 40) for k in range(n)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+
+
+def test_stream_dedup_matches_batch_twin(spark, tmp_path):
+    """Micro-batched first-occurrence dedup == the one-batch twin when
+    files arrive in id order (maxFilesPerTrigger=1 over id-ordered
+    files) — exactly one survivor per fingerprint, ever."""
+    from simplecrawler_spark.streaming.dedup_stream import (
+        dedup_survivors, stream_exact_dedup,
+    )
+
+    docs = _docs_with_dups(spark)
+    d = str(tmp_path / "docs")
+    # three id-ordered files → three micro-batches
+    for lo, hi in ((0, 150), (150, 300), (300, 400)):
+        (docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+         .coalesce(1).write.mode("append").parquet(d))
+        time.sleep(1.1)  # distinct mtimes → deterministic file order
+
+    sd, writer = stream_exact_dedup(
+        spark, d, str(tmp_path / "store"), str(tmp_path / "ck"))
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination(180)
+
+    got = {(r.doc_id, r.fingerprint) for r in sd.survivors().collect()}
+    want = {(r.doc_id, r.fingerprint)
+            for r in dedup_survivors(docs).collect()}
+    assert got == want
+    assert len(got) == 120
+    assert sd._batches >= 3
+
+
+def test_stream_dedup_state_survives_restart(spark, tmp_path):
+    """Dedup state lives in the SnapshotStore, not the streaming state
+    store: a NEW query over a NEW checkpoint still refuses previously
+    seen fingerprints (the bloom rebuilds from the seen table)."""
+    from simplecrawler_spark.streaming.dedup_stream import (
+        stream_exact_dedup,
+    )
+
+    docs = _docs_with_dups(spark, n=200, n_distinct=80)
+    root = str(tmp_path / "store")
+    d1 = str(tmp_path / "in1")
+    docs.where(F.col("doc_id") < 100).coalesce(1).write.parquet(d1)
+    sd1, w1 = stream_exact_dedup(spark, d1, root, str(tmp_path / "ck1"))
+    w1.trigger(availableNow=True).start().awaitTermination(120)
+    n1 = sd1.survivors().count()
+    assert n1 == 80  # docs 0..99 cover all 80 fingerprints
+
+    # second query: fresh checkpoint, same store — all dups, 0 new
+    d2 = str(tmp_path / "in2")
+    docs.where(F.col("doc_id") >= 100).coalesce(1).write.parquet(d2)
+    sd2, w2 = stream_exact_dedup(spark, d2, root, str(tmp_path / "ck2"))
+    w2.trigger(availableNow=True).start().awaitTermination(120)
+    surv = sd2.survivors()
+    assert surv.count() == 80
+    assert surv.where(F.col("doc_id") >= 100).count() == 0
