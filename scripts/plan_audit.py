@@ -202,6 +202,29 @@ def main():
                    n_ops(plan, "Exchange") == 0 and n_python(plan) == 0,
                    f"exchanges={n_ops(plan, 'Exchange')}"))
 
+    # 14b. retrieval family: ngram_topk's top-k is a TakeOrdered —
+    # never a global Sort; bm25 keeps every join side broadcast and
+    # stays pure JVM; the per-source sample window carries no Python
+    plan = formatted(qs["q_ngram_topk"](spark, SF_DIR))
+    sections.append(("q_ngram_topk", plan))
+    checks.append(("ngram_topk top-k is TakeOrdered, no global Sort",
+                   n_ops(plan, "TakeOrderedAndProject") >= 1
+                   and n_python(plan) == 0
+                   and "partial" in plan.lower(), ""))
+    plan = formatted(qs["q_bm25"](spark, SF_DIR))
+    sections.append(("q_bm25", plan))
+    checks.append(("bm25 broadcasts df/totals, zero Python evals",
+                   n_ops(plan, "BroadcastExchange") >= 2
+                   and n_python(plan) == 0, ""))
+    plan = formatted(qs["q_stratified_sample"](spark, SF_DIR))
+    sections.append(("q_stratified_sample", plan))
+    checks.append(("stratified sample: one Window + map-side "
+                   "WindowGroupLimit, no Python",
+                   n_ops(plan, "Window$") == 1
+                   and n_ops(plan, "WindowGroupLimit") >= 1
+                   and n_python(plan) == 0,
+                   f"group_limits={n_ops(plan, 'WindowGroupLimit')}"))
+
     # 15. IVF probe is a partition-pruned scan: non-probed cell
     # directories never reach the file index
     import shutil
