@@ -753,6 +753,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit(" #"), F.lpad(k.cast("string"), 8, "0"))
         return caption_dup_clusters(corpus.withColumn("caption", cap))
 
+    def q_sq8_topk(spark, sf):
+        """Scalar-quantised (SQ8) approximate cosine top-k
+        (operators/similarity.py sq8_cosine_topk): per-dimension
+        min/max bounds → int8 codes → bin-centre reconstruction →
+        cosine vs the unit-basis query. The 4x-smaller code column is
+        what scans at 10^10-vector scale; the oracle recomputes
+        bounds, codes and the reconstruction in SQL with list-ordered
+        sums (DuckDB list_aggregate matches Spark's left fold)."""
+        emb = _t(spark, sf, "embeddings")
+        query = [1.0] + [0.0] * (_EMB_DIM - 1)
+        return SIM.sq8_cosine_topk(emb, query, k=10)
+
     def q_image_dedup_cluster(spark, sf):
         """pHash near-dup CLUSTERING end-to-end on images: planted
         perturbed copies (fixtures.near_dup_corpus) → banded Hamming
@@ -822,6 +834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bm25": q_bm25,
         "q_stratified_sample": q_stratified_sample,
         "q_caption_dups": q_caption_dups,
+        "q_sq8_topk": q_sq8_topk,
     }
 
 
@@ -1826,5 +1839,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT printf('img_%08d', c.k) AS image_id,
                    cl.cluster_id, cl.cluster_size
             FROM c JOIN cl USING (base)
+        """,
+        # SQ8 quantised cosine: per-dim min/max bounds → clamped int8
+        # codes → bin-centre reconstruction; list-ordered sums so the
+        # norm fold matches Spark; num = dq[1] exactly (unit-basis
+        # query — adding 0.0 terms never changes a double)
+        "q_sq8_topk": """
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), d AS (
+              SELECT vec_id, unnest(v) AS x,
+                     generate_subscripts(v, 1) AS pos
+              FROM e
+            ), bnd AS (
+              SELECT pos, min(x) AS lo, max(x) AS hi FROM d GROUP BY pos
+            ), bl AS (
+              SELECT list(lo ORDER BY pos) AS lo,
+                     list(hi ORDER BY pos) AS hi
+              FROM bnd
+            ), dq AS (
+              SELECT vec_id,
+                     list_transform(range(1, len(v) + 1), i ->
+                       bl.lo[i]
+                       + ((CASE WHEN bl.hi[i] > bl.lo[i]
+                           THEN least(255, greatest(0,
+                             floor((v[i] - bl.lo[i])
+                                   / (bl.hi[i] - bl.lo[i])
+                                   * 256.0)::INT))
+                           ELSE 0 END)::DOUBLE + 0.5)
+                         * (bl.hi[i] - bl.lo[i]) / 256.0) AS dqv
+              FROM e, bl
+            ), s AS (
+              SELECT vec_id, dqv[1] AS num,
+                     sqrt(list_aggregate(
+                       list_transform(dqv, x -> x * x), 'sum')) AS nrm
+              FROM dq
+            )
+            SELECT vec_id,
+                   round(CASE WHEN nrm > 0 THEN num / nrm
+                              ELSE 0.0 END, 6) AS cosine_q6
+            FROM s
+            ORDER BY cosine_q6 DESC, vec_id ASC LIMIT 10
         """,
     }

@@ -225,6 +225,14 @@ def main():
                    and n_python(plan) == 0,
                    f"group_limits={n_ops(plan, 'WindowGroupLimit')}"))
 
+    # 14c. SQ8 quantised top-k: pure JVM HOFs end to end (quantise,
+    # reconstruct, score) and a TakeOrdered top-k
+    plan = formatted(qs["q_sq8_topk"](spark, SF_DIR))
+    sections.append(("q_sq8_topk", plan))
+    checks.append(("sq8 top-k pure JVM, TakeOrdered",
+                   n_python(plan) == 0
+                   and n_ops(plan, "TakeOrderedAndProject") >= 1, ""))
+
     # 15. IVF probe is a partition-pruned scan: non-probed cell
     # directories never reach the file index
     import shutil

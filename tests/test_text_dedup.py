@@ -736,3 +736,61 @@ def test_redact_pii_order_no_remmatch(spark):
     r = docs.withColumns(X.redact_pii_exprs(F.col("text"))).collect()[0]
     assert (r.n_emails, r.n_ipv4, r.n_phones) == (1, 1, 1)
     assert r.text_redacted == "ip <IP> and mail <EMAIL> and tel <PHONE>"
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization (operators/similarity.py sq8_*)
+# ---------------------------------------------------------------------------
+
+def test_sq8_codes_in_range_and_reconstruction_bounded(embeddings):
+    lo, hi = S.sq8_bounds(embeddings)
+    assert len(lo) == len(hi) == 64
+    assert all(l <= h for l, h in zip(lo, hi))
+    rows = embeddings.select(
+        S.sq8_quantize_expr(F.col("embedding"), lo, hi).alias("codes")
+    ).collect()
+    step = [(h - l) / 256.0 for l, h in zip(lo, hi)]
+    for r in rows[:50]:
+        assert all(0 <= c <= 255 for c in r.codes)
+    # reconstruction error per dim is at most half a bin
+    deq = embeddings.select(
+        "embedding",
+        S.sq8_dequantize_expr(
+            S.sq8_quantize_expr(F.col("embedding"), lo, hi), lo, hi)
+        .alias("dq")).collect()
+    for r in deq[:50]:
+        for j, (x, d) in enumerate(zip(r.embedding, r.dq)):
+            assert abs(float(x) - d) <= step[j] / 2 + 1e-9
+
+
+def test_sq8_degenerate_dimension_no_nan(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 5.0]), (1, [1.0, -5.0]), (2, [1.0, 0.0])],
+        "vec_id long, embedding array<float>")
+    out = S.sq8_cosine_topk(df, [1.0, 0.0], k=3).collect()
+    # dim 0 is constant (hi == lo) → codes to 0, reconstructs to lo;
+    # no NaN, full ranking still returned
+    assert len(out) == 3
+    assert all(r.cosine_q6 == r.cosine_q6 for r in out)  # not NaN
+
+
+def test_sq8_topk_recall_vs_exact(embeddings):
+    query = [1.0] + [0.0] * 63
+    exact = [r.vec_id for r in
+             S.cosine_topk(embeddings, query, 10).collect()]
+    approx = [r.vec_id for r in
+              S.sq8_cosine_topk(embeddings, query, k=10).collect()]
+    assert len(set(exact) & set(approx)) >= 7  # ≥0.7 recall@10
+
+
+def test_sq8_rescore_recovers_exact_topk(embeddings):
+    """Two-stage contract: quantised scan → full-precision re-rank of
+    a candidate pool. With a pool a few times k, the result equals the
+    exact top-k (rounded scores)."""
+    query = [1.0] + [0.0] * 63
+    exact = [(r.vec_id, round(r.cosine, 6)) for r in
+             S.cosine_topk(embeddings, query, 10).collect()]
+    two_stage = [(r.vec_id, r.cosine_q6) for r in
+                 S.sq8_cosine_topk(embeddings, query, k=10,
+                                   rescore=50).collect()]
+    assert two_stage == exact
