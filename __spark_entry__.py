@@ -648,6 +648,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).where(F.col("src") != F.col("dst"))
         return G.pagerank(edges, n_iter=3)
 
+    def q_hits(spark, sf):
+        """Integer-mass HITS (operators/graph.py hits) over the same
+        deterministic 40-vertex edge set as q_pagerank; 3 iterations,
+        exact int64 hub/authority shares — the oracle unrolls the
+        identical normalised-by-floored-quotient arithmetic."""
+        orders = _t(spark, sf, "orders")
+        edges = orders.select(
+            (F.col("o_custkey") % 40).alias("src"),
+            (F.col("o_orderkey") % 40).alias("dst"),
+        ).where(F.col("src") != F.col("dst"))
+        return G.hits(edges, n_iter=3)
+
+    def q_url_traps(spark, sf):
+        """Crawl-trap flags (operators/traps.py url_trap_flags): the
+        query synthesises one URL per order spanning all six trap
+        classes plus clean rows (identically in the oracle) and
+        verifies every flag column exactly."""
+        from simplecrawler_spark.operators.traps import url_trap_flags
+
+        orders = _t(spark, sf, "orders")
+        k = F.col("o_orderkey") % 7
+        url = F.concat(
+            F.lit("http://h"), (F.col("o_custkey") % 20).cast("string"),
+            F.lit(".test"),
+            F.when(k == 0, F.concat(
+                F.lit("/p/"), (F.col("o_orderkey") % 100).cast("string")))
+            .when(k == 1, F.lit("/a/b/c/d/e/f/g/h/i/j/k/l/m"))
+            .when(k == 2, F.lit("/x/y/x/y/x"))
+            .when(k == 3, F.lit("/p?p1=1&p2=2&p3=3&p4=4&p5=5&p6=6"
+                                "&p7=7&p8=8&p9=9&p10=10&p11=11"))
+            .when(k == 4, F.concat(F.lit("/p?phpsessid=s"),
+                                   F.col("o_orderkey").cast("string")))
+            .when(k == 5, F.lit("/2024/05/2023/06"))
+            .otherwise(F.concat(F.lit("/"), F.repeat(F.lit("x"), 2100))))
+        df = orders.select("o_orderkey", url.alias("url"))
+        return df.withColumns(url_trap_flags(F.col("url"))).select(
+            "o_orderkey", "depth", "n_params", "trap_deep",
+            "trap_repeat", "trap_params", "trap_session",
+            "trap_calendar", "trap_long", "is_trap")
+
     def q_redact_pii(spark, sf):
         """PII scrub (functions/text.py redact_pii_exprs): the
         synthetic docs carry no PII, so the query injects a
@@ -826,6 +866,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_image_dedup_cluster": q_image_dedup_cluster,
         "q_unigram_logprob": q_unigram_logprob,
         "q_pagerank": q_pagerank,
+        "q_hits": q_hits,
+        "q_url_traps": q_url_traps,
         "q_redact_pii": q_redact_pii,
         "q_quality_buckets": q_quality_buckets,
         "q_event_window_rollup": q_event_window_rollup,
@@ -902,6 +944,44 @@ def _pagerank_oracle(n_iter: int = 3, d_num: int = 85, d_den: int = 100,
             GROUP BY dst) s USING (v))
         """
     return sql + f"SELECT v, rank FROM r{n_iter}"
+
+
+def _hits_oracle(n_iter: int = 3, scale: int = 10 ** 12) -> str:
+    """DuckDB twin of q_hits: the integer HITS iteration (auth from
+    hubs, L1-normalise by the floored quotient, hubs from NEW auths,
+    normalise again) unrolled one CTE pair per step. `//` is DuckDB
+    integer division = Spark's `div`; everything stays int64."""
+    sql = f"""
+        WITH e AS (
+          SELECT DISTINCT o_custkey % 40 AS src, o_orderkey % 40 AS dst
+          FROM orders WHERE o_custkey % 40 <> o_orderkey % 40
+        ), verts AS (
+          SELECT src AS v FROM e UNION SELECT dst FROM e
+        ), nn AS (SELECT count(*) AS n FROM verts),
+        h0 AS (SELECT v, (SELECT {scale} // n FROM nn) AS hub FROM verts)
+    """
+    for i in range(1, n_iter + 1):
+        sql += f""", ar{i} AS (
+          SELECT e.dst AS v, sum(h.hub) AS raw
+          FROM h{i - 1} h JOIN e ON h.v = e.src GROUP BY e.dst
+        ), a{i} AS (
+          SELECT verts.v,
+                 coalesce(ar{i}.raw, 0)
+                   // greatest((SELECT sum(raw) FROM ar{i}) // {scale}, 1)
+                   AS auth
+          FROM verts LEFT JOIN ar{i} USING (v)
+        ), hr{i} AS (
+          SELECT e.src AS v, sum(a.auth) AS raw
+          FROM a{i} a JOIN e ON a.v = e.dst GROUP BY e.src
+        ), h{i} AS (
+          SELECT verts.v,
+                 coalesce(hr{i}.raw, 0)
+                   // greatest((SELECT sum(raw) FROM hr{i}) // {scale}, 1)
+                   AS hub
+          FROM verts LEFT JOIN hr{i} USING (v)
+        )"""
+    return sql + (f" SELECT h{n_iter}.v, h{n_iter}.hub, a{n_iter}.auth"
+                  f" FROM h{n_iter} JOIN a{n_iter} USING (v)")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1678,6 +1758,70 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id, n_total, v_size
         """,
         "q_pagerank": _pagerank_oracle(),
+        "q_hits": _hits_oracle(),
+        # q_url_traps twin: identical URL synthesis (CASE over
+        # o_orderkey % 7), then every trap rule re-expressed in DuckDB
+        # list/regexp machinery (operators/traps.py documents each)
+        "q_url_traps": r"""
+            WITH u AS (
+              SELECT o_orderkey,
+                     'http://h' || (o_custkey % 20)::VARCHAR || '.test'
+                     || CASE o_orderkey % 7
+                        WHEN 0 THEN '/p/' || (o_orderkey % 100)::VARCHAR
+                        WHEN 1 THEN '/a/b/c/d/e/f/g/h/i/j/k/l/m'
+                        WHEN 2 THEN '/x/y/x/y/x'
+                        WHEN 3 THEN '/p?p1=1&p2=2&p3=3&p4=4&p5=5&p6=6'
+                                    || '&p7=7&p8=8&p9=9&p10=10&p11=11'
+                        WHEN 4 THEN '/p?phpsessid=s'
+                                    || o_orderkey::VARCHAR
+                        WHEN 5 THEN '/2024/05/2023/06'
+                        ELSE '/' || repeat('x', 2100) END AS url
+              FROM orders
+            ), b AS (
+              SELECT o_orderkey,
+                regexp_extract(url,
+                  '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+                  AS path,
+                regexp_extract(url, '\?([^#]*)', 1) AS query,
+                length(url) AS ulen
+              FROM u
+            ), s AS (
+              SELECT o_orderkey, query, ulen,
+                list_filter(string_split(path, '/'), x -> x <> '')
+                  AS segs,
+                (CASE WHEN query = '' THEN 0
+                      ELSE len(string_split(query, '&')) END)::BIGINT
+                  AS n_params
+              FROM b
+            )
+            SELECT o_orderkey,
+              len(segs)::BIGINT AS depth,
+              n_params,
+              len(segs) > 12 AS trap_deep,
+              len(list_filter(segs,
+                  s -> len(list_filter(segs, x -> x = s)) >= 3)) > 0
+                AS trap_repeat,
+              n_params > 10 AS trap_params,
+              regexp_matches(lower(query),
+                '(^|&)(phpsessid|jsessionid|sessionid|session_id|sess'
+                || '|sid|cfid|cftoken|zenid|aspsessionid[a-z]*)=')
+                AS trap_session,
+              len(list_filter(segs, s -> regexp_matches(s,
+                  '^(19|20)[0-9]{2}(-[0-9]{2}(-[0-9]{2})?)?$'))) >= 2
+                AS trap_calendar,
+              ulen > 2048 AS trap_long,
+              (len(segs) > 12
+               OR len(list_filter(segs,
+                    s -> len(list_filter(segs, x -> x = s)) >= 3)) > 0
+               OR n_params > 10
+               OR regexp_matches(lower(query),
+                  '(^|&)(phpsessid|jsessionid|sessionid|session_id'
+                  || '|sess|sid|cfid|cftoken|zenid|aspsessionid[a-z]*)=')
+               OR len(list_filter(segs, s -> regexp_matches(s,
+                    '^(19|20)[0-9]{2}(-[0-9]{2}(-[0-9]{2})?)?$'))) >= 2
+               OR ulen > 2048) AS is_trap
+            FROM s
+        """,
         "q_redact_pii": pii_oracle,
         # same LM CTEs as q_unigram_logprob, then: exact double score →
         # quantise (floor ×1000) → per-source histogram → descending

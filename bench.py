@@ -153,7 +153,7 @@ def pipeline_benches(spark, sf_dir: str) -> dict[str, float]:
              "q_decontaminate", "q_semantic_dedup", "q_quality_buckets",
              "q_substring_dedup", "q_redact_pii", "q_pagerank",
              "q_ngram_topk", "q_bm25", "q_stratified_sample",
-             "q_sq8_topk"]
+             "q_sq8_topk", "q_hits", "q_url_traps"]
     qs = E.queries()
     for name in names:
         t0 = time.monotonic()

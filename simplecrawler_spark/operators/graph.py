@@ -1,4 +1,4 @@
-"""Link-graph analytics: PageRank over the crawl's hyperlink edges.
+"""Link-graph analytics: PageRank + HITS over the crawl's hyperlinks.
 
 The reference schedules FIFO (crawler.py:81 `queue.Queue`); the
 engine's G6 priority sources (in-degree / host-rank / depth,
@@ -60,7 +60,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "hits"]
 
 
 def pagerank(edges: DataFrame, n_iter: int = 10,
@@ -140,3 +140,85 @@ def pagerank(edges: DataFrame, n_iter: int = 10,
     if stats is not None:
         stats.update(iters=iters_run, max_delta=max_delta)
     return ranks
+
+
+def hits(edges: DataFrame, n_iter: int = 5,
+         src: str = "src", dst: str = "dst",
+         scale: int = 10 ** 12) -> DataFrame:
+    """Integer-mass HITS (Kleinberg hubs & authorities) over
+    ``edges``; returns (v, hub, auth) with both scores int64 shares
+    of roughly ``scale``.
+
+    Crawl role: authorities rank pages worth RE-fetching/keeping
+    (content hubs link to them); hubs rank pages worth re-PARSING
+    (their link lists discover the most authorities). Either column
+    feeds CrawlConfig.priority_source exactly like pagerank's rank.
+    Reference analogue: none — the reference schedules FIFO
+    (crawler.py:81); this is the offline refinement, same as
+    ``pagerank`` above.
+
+    Engine-portable integer arithmetic (the q_hits oracle unrolls the
+    identical steps in DuckDB):
+
+      * vertices = distinct(src) ∪ distinct(dst); parallel edges
+        count once; initial hub = ``scale // N`` per vertex.
+      * per iteration:
+          auth_raw(v) = Σ_{u→v} hub(u)
+          auth(v)     = auth_raw(v) // max(Σ auth_raw // scale, 1)
+          hub_raw(u)  = Σ_{u→v} auth(v)        (the NEW auth)
+          hub(u)      = hub_raw(u) // max(Σ hub_raw // scale, 1)
+        — L1 normalisation by a floored integer quotient instead of
+        float division, so every value stays int64 and the
+        cross-engine comparison is exact (float HITS cannot be
+        hash-gated: see the pagerank module docstring).
+      * vertices with no in-edges hold auth=0; no out-edges → hub=0.
+
+    Overflow headroom: after each normalisation Σ score ≲ scale, so
+    raw sums are ≤ scale·max_degree; scale 10^12 is safe for degrees
+    < 9·10^6 (document/raise scale down for denser graphs).
+
+    Scale shape: each iteration is two shuffles — join scores to
+    edges on one key + a map-side-combinable sum on the other — and
+    two 1-row aggregates that ride back in as broadcast crossJoins
+    (never a per-vertex driver collect). Scores localCheckpoint per
+    iteration, keeping lineage flat (same discipline as pagerank /
+    connected_components). Pre-bucket ``edges`` by src for co-located
+    iterations at cluster scale.
+    """
+    e = edges.select(F.col(src).alias("src"),
+                     F.col(dst).alias("dst")).distinct()
+    verts = (e.select(F.col("src").alias("v"))
+             .unionByName(e.select(F.col("dst").alias("v")))
+             .distinct())
+    n = verts.count()
+    if n == 0:
+        return (verts.withColumn("hub", F.lit(0).cast("long"))
+                .withColumn("auth", F.lit(0).cast("long")))
+    hub = verts.withColumn("hub", F.lit(scale // n).cast("long"))
+    auth = None
+    for _ in range(n_iter):
+        auth_raw = (hub.join(e, hub["v"] == e["src"])
+                    .groupBy(F.col("dst").alias("av"))
+                    .agg(F.sum("hub").alias("raw")))
+        auth = (verts.join(auth_raw, verts["v"] == F.col("av"), "left")
+                .crossJoin(F.broadcast(
+                    auth_raw.agg(F.coalesce(F.sum("raw"), F.lit(0))
+                                 .cast("long").alias("_sa"))))
+                .select("v",
+                        F.expr(f"coalesce(raw, 0) div "
+                               f"greatest(_sa div {scale}, 1)")
+                        .cast("long").alias("auth"))
+                .localCheckpoint(eager=False))
+        hub_raw = (auth.join(e, auth["v"] == e["dst"])
+                   .groupBy(F.col("src").alias("hv"))
+                   .agg(F.sum("auth").alias("raw")))
+        hub = (verts.join(hub_raw, verts["v"] == F.col("hv"), "left")
+               .crossJoin(F.broadcast(
+                   hub_raw.agg(F.coalesce(F.sum("raw"), F.lit(0))
+                               .cast("long").alias("_sh"))))
+               .select("v",
+                       F.expr(f"coalesce(raw, 0) div "
+                              f"greatest(_sh div {scale}, 1)")
+                       .cast("long").alias("hub"))
+               .localCheckpoint(eager=False))
+    return hub.join(auth, "v")

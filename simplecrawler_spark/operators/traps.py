@@ -1,0 +1,96 @@
+"""Crawl-trap detection: flag URLs a frontier should not burn fetch
+budget on.
+
+The reference crawls fixture-sized sites and needs no trap defence
+(crawler.py drains a finite queue); an open-web frontier meets
+infinite URL spaces — calendar pagers, session-id echoes, symlink
+loops (/a/b/a/b/...), parameter exploders — that no politeness or
+seen-filter stops, because every URL is NEW. Trap heuristics are the
+standard third leg (alongside robots + dedup) of frontier hygiene.
+
+Everything here is pure per-row JVM expression machinery (regexp +
+array HOFs — codegen, no Python, no shuffle): the flags bolt onto the
+discovery stage of the crawl round at zero extra passes, and the
+q_url_traps oracle twins every rule in DuckDB SQL exactly.
+
+Rules (each its own flag; ``is_trap`` is their OR):
+
+  * ``trap_deep``      — more than ``max_depth`` path segments.
+  * ``trap_repeat``    — some path segment occurs ≥ ``repeat_k``
+    times (the /a/b/a/b/a symlink-loop signature). Exact max
+    multiplicity via a nested-lambda count — O(n²) over the ≤~50
+    segments of one URL, constant work per row.
+  * ``trap_params``    — more than ``max_params`` query parameters.
+  * ``trap_session``   — a session/state token parameter name
+    (phpsessid, jsessionid, sid, ...): every visitor mints a fresh
+    URL, so the seen-filter never converges.
+  * ``trap_calendar``  — ≥2 date-shaped path segments (YYYY or
+    YYYY-MM or YYYY-MM-DD): the infinite-calendar pager signature.
+  * ``trap_long``      — URL longer than ``max_len`` chars.
+
+Scale shape: narrow projections of one string column; Catalyst keeps
+them in WholeStageCodegen beside the canonicaliser's other gates.
+Flags are cheap enough to compute at discovery grain (every extracted
+href) BEFORE the dedupe shuffle, so trapped URLs never enter the
+frontier at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = ["url_trap_flags", "SESSION_PARAM_RE", "DATE_SEG_RE"]
+
+# parameter NAMES that mint per-visitor URL spaces. Anchored at a
+# param boundary; matched against the lowercased query string.
+SESSION_PARAM_RE = (r"(^|&)(phpsessid|jsessionid|sessionid|session_id"
+                    r"|sess|sid|cfid|cftoken|zenid|aspsessionid[a-z]*)=")
+
+# date-shaped path segment: YYYY / YYYY-MM / YYYY-MM-DD
+DATE_SEG_RE = r"^(19|20)[0-9]{2}(-[0-9]{2}(-[0-9]{2})?)?$"
+
+# scheme://authority then capture the path (stops at ? or #)
+_PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
+_QUERY_RE = r"\?([^#]*)"
+
+
+def url_trap_flags(url: Column, *, max_depth: int = 12,
+                   max_params: int = 10, max_len: int = 2048,
+                   repeat_k: int = 3) -> dict[str, Column]:
+    """Trap flags for one URL string column, as named pure-JVM
+    expressions (attach with ``df.withColumns(url_trap_flags(col))``).
+
+    Returns {"depth", "n_params", "trap_deep", "trap_repeat",
+    "trap_params", "trap_session", "trap_calendar", "trap_long",
+    "is_trap"} — see the module docstring for each rule.
+    """
+    path = F.regexp_extract(url, _PATH_RE, 1)
+    query = F.regexp_extract(url, _QUERY_RE, 1)
+    segs = F.filter(F.split(path, "/"), lambda x: x != F.lit(""))
+    depth = F.size(segs).cast("long")
+    n_params = (F.when(query == "", F.lit(0))
+                .otherwise(F.size(F.split(query, "&")))).cast("long")
+    trap_deep = depth > max_depth
+    # exact max segment multiplicity: does ANY segment recur >= k?
+    trap_repeat = F.exists(
+        segs, lambda s: F.size(F.filter(segs, lambda x: x == s))
+        >= F.lit(repeat_k))
+    trap_params = n_params > max_params
+    trap_session = F.lower(query).rlike(SESSION_PARAM_RE)
+    trap_calendar = (
+        F.size(F.filter(segs, lambda s: s.rlike(DATE_SEG_RE))) >= 2)
+    trap_long = F.length(url) > max_len
+    is_trap = (trap_deep | trap_repeat | trap_params | trap_session
+               | trap_calendar | trap_long)
+    return {
+        "depth": depth,
+        "n_params": n_params,
+        "trap_deep": trap_deep,
+        "trap_repeat": trap_repeat,
+        "trap_params": trap_params,
+        "trap_session": trap_session,
+        "trap_calendar": trap_calendar,
+        "trap_long": trap_long,
+        "is_trap": is_trap,
+    }

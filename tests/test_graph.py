@@ -139,3 +139,69 @@ def test_pagerank_bad_dangling_raises(spark):
     df = spark.createDataFrame([(0, 1)], "src long, dst long")
     with pytest.raises(ValueError, match="dangling"):
         pagerank(df, dangling="nope")
+
+# ---------------------------------------------------------------------------
+# HITS (hubs & authorities)
+# ---------------------------------------------------------------------------
+
+HSCALE = 10 ** 12
+
+
+def _py_hits(edges, n_iter, scale=HSCALE):
+    """Reference recompute of the documented integer HITS arithmetic."""
+    edges = sorted(set(edges))
+    verts = sorted({u for u, _ in edges} | {v for _, v in edges})
+    n = len(verts)
+    hub = {v: scale // n for v in verts}
+    auth = {v: 0 for v in verts}
+    for _ in range(n_iter):
+        raw = {v: 0 for v in verts}
+        for u, v in edges:
+            raw[v] += hub[u]
+        q = max(sum(raw.values()) // scale, 1)
+        auth = {v: raw[v] // q for v in verts}
+        raw = {v: 0 for v in verts}
+        for u, v in edges:
+            raw[u] += auth[v]
+        q = max(sum(raw.values()) // scale, 1)
+        hub = {v: raw[v] // q for v in verts}
+    return {v: (hub[v], auth[v]) for v in verts}
+
+
+def _run_hits(spark, edges, n_iter=3):
+    from simplecrawler_spark.operators.graph import hits
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {r.v: (r.hub, r.auth) for r in hits(df, n_iter=n_iter).collect()}
+
+
+def test_hits_matches_python_recompute(spark):
+    edges = [(i, (i * 7 + 3) % 11) for i in range(11)] + \
+            [(i, (i * 5 + 1) % 11) for i in range(11)] + [(3, 4), (4, 3)]
+    edges = [(u, v) for u, v in edges if u != v]
+    assert _run_hits(spark, edges, n_iter=4) == _py_hits(edges, n_iter=4)
+
+
+def test_hits_star_roles(spark):
+    """Star: leaves all point at 0 → 0 is THE authority (hub 0 — no
+    useful out-links beyond its one back-edge), leaves are the hubs."""
+    edges = [(i, 0) for i in range(1, 6)]
+    got = _run_hits(spark, edges, n_iter=3)
+    assert got[0][1] == max(a for _, a in got.values())   # top authority
+    assert got[0][0] == 0                                 # no out-edges
+    hubs = {got[i][0] for i in range(1, 6)}
+    assert len(hubs) == 1 and hubs.pop() > 0              # symmetric hubs
+    assert all(got[i][1] == 0 for i in range(1, 6))       # no in-edges
+
+
+def test_hits_parallel_edges_count_once(spark):
+    a = _run_hits(spark, [(0, 1), (0, 2), (1, 2)], n_iter=3)
+    b = _run_hits(spark, [(0, 1), (0, 1), (0, 2), (1, 2)], n_iter=3)
+    assert a == b
+
+
+def test_hits_empty(spark):
+    from simplecrawler_spark.operators.graph import hits
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert hits(empty, n_iter=2).count() == 0

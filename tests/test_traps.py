@@ -1,0 +1,80 @@
+"""Crawl-trap detection (operators/traps.py url_trap_flags): one test
+per rule at its boundary, plus clean-URL and composite checks."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from simplecrawler_spark.operators.traps import url_trap_flags
+
+
+def _flags(spark, url, **kw):
+    df = spark.createDataFrame([(url,)], "url string")
+    return df.withColumns(url_trap_flags(F.col("url"), **kw)).first()
+
+
+def test_clean_url_no_flags(spark):
+    r = _flags(spark, "http://example.com/a/b?x=1&y=2")
+    assert not r.is_trap
+    assert r.depth == 2 and r.n_params == 2
+    assert not any([r.trap_deep, r.trap_repeat, r.trap_params,
+                    r.trap_session, r.trap_calendar, r.trap_long])
+
+
+def test_deep_boundary(spark):
+    base = "http://h.test/" + "/".join(f"s{i}" for i in range(12))
+    assert not _flags(spark, base).trap_deep            # == max_depth
+    deeper = base + "/s12"
+    assert _flags(spark, deeper).trap_deep              # max_depth + 1
+    assert not _flags(spark, deeper, max_depth=13).trap_deep
+
+
+def test_repeat_boundary(spark):
+    assert not _flags(spark, "http://h.test/x/y/x").trap_repeat  # 2x
+    r = _flags(spark, "http://h.test/x/y/x/y/x")                 # 3x
+    assert r.trap_repeat and r.is_trap
+    assert _flags(spark, "http://h.test/x/y/x",
+                  repeat_k=2).trap_repeat
+
+
+def test_params_boundary(spark):
+    q10 = "&".join(f"p{i}={i}" for i in range(10))
+    assert not _flags(spark, f"http://h.test/p?{q10}").trap_params
+    q11 = q10 + "&p10b=1"
+    assert _flags(spark, f"http://h.test/p?{q11}").trap_params
+    # empty query is zero params, not one
+    assert _flags(spark, "http://h.test/p").n_params == 0
+
+
+def test_session_param_names(spark):
+    for name in ("phpsessid", "jsessionid", "sid", "sessionid"):
+        assert _flags(spark,
+                      f"http://h.test/p?{name}=x").trap_session, name
+    # must match the NAME at a param boundary, not a value/substring
+    assert not _flags(spark, "http://h.test/p?classid=9").trap_session
+    assert not _flags(spark, "http://h.test/p?a=sid").trap_session
+    # second position (after &) matches too
+    assert _flags(spark, "http://h.test/p?a=1&sid=2").trap_session
+
+
+def test_calendar_needs_two_date_segments(spark):
+    assert not _flags(spark, "http://h.test/2024/news").trap_calendar
+    assert _flags(spark, "http://h.test/2024/05/2023").trap_calendar
+    assert _flags(spark,
+                  "http://h.test/2024-05-01/2024-05-02").trap_calendar
+    # 3-digit or 5-digit segments are not dates
+    assert not _flags(spark, "http://h.test/204/20245").trap_calendar
+
+
+def test_long_url(spark):
+    assert _flags(spark, "http://h.test/" + "x" * 2100).trap_long
+    assert not _flags(spark, "http://h.test/" + "x" * 100).trap_long
+    assert _flags(spark, "http://h.test/" + "x" * 100,
+                  max_len=50).trap_long
+
+
+def test_fragment_and_query_excluded_from_path(spark):
+    # path extraction must stop at ? and #: the repeated 'x' in the
+    # query/fragment must not count as path segments
+    r = _flags(spark, "http://h.test/a/b?x=x/x/x#x/x/x")
+    assert r.depth == 2 and not r.trap_repeat
