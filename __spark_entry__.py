@@ -688,6 +688,174 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "trap_repeat", "trap_params", "trap_session",
             "trap_calendar", "trap_long", "is_trap")
 
+    def q_recrawl(spark, sf):
+        """Freshness scheduling (operators/freshness.py
+        recrawl_priority): events replay as a fetch log (user_id =
+        url, event_type = content fingerprint), change-rate × age
+        priority in exact int64 — the oracle twins the lag window,
+        the rational λ and the staleness product."""
+        from simplecrawler_spark.operators.freshness import (
+            recrawl_priority,
+        )
+
+        log = _t(spark, sf, "events").select(
+            F.col("user_id").alias("url_id"),
+            F.expr("unix_micros(cast(ts as timestamp)) div 1000000")
+            .cast("long").alias("ts_s"),
+            F.col("event_type").alias("fingerprint"),
+            "event_id")
+        return recrawl_priority(log, url_col="url_id", ts_col="ts_s",
+                                order_cols=("event_id",))
+
+    def q_chunk_docs(spark, sf):
+        """Sliding-window training chunks (functions/text.py
+        chunk_docs): 16-token windows, stride 12, chunk text hashed —
+        the oracle twins the split/range/slice arithmetic."""
+        docs = _t(spark, sf, "documents")
+        c = X.chunk_docs(docs, chunk_tokens=16, stride=12)
+        return c.select("doc_id", "chunk_id", "start_tok",
+                        "n_chunk_tokens",
+                        F.md5("chunk_text").alias("chunk_md5"))
+
+    def q_sitemap(spark, sf):
+        """Sitemap seed discovery (operators/parse.py
+        extract_sitemap_entries): each order synthesises one urlset
+        body — two entries, one optional lastmod, padded whitespace —
+        identically in the oracle; extraction must match exactly."""
+        from simplecrawler_spark.operators.parse import (
+            extract_sitemap_entries,
+        )
+
+        orders = _t(spark, sf, "orders")
+        host = (F.col("o_custkey") % 20).cast("string")
+        body = F.concat(
+            F.lit('<?xml version="1.0"?><urlset><url><loc> http://s'),
+            host, F.lit(".test/p"),
+            (F.col("o_orderkey") % 100).cast("string"),
+            F.lit(" </loc>"),
+            F.when(F.col("o_orderkey") % 3 == 0,
+                   F.concat(F.lit("<lastmod>2024-0"),
+                            ((F.col("o_orderkey") % 9) + 1)
+                            .cast("string"),
+                            F.lit("-01</lastmod>")))
+            .otherwise(F.lit("")),
+            F.lit("</url><url><loc>http://s"), host, F.lit(".test/q"),
+            (F.col("o_orderkey") % 7).cast("string"),
+            F.lit("</loc></url></urlset>"))
+        df = orders.select("o_orderkey", body.alias("body"))
+        e = extract_sitemap_entries(df, id_cols=("o_orderkey",))
+        # the operator's NULL lastmod is the right API; the gate's
+        # value-sort can't order None against str, so export ''
+        return e.select("o_orderkey", "loc",
+                        F.coalesce("lastmod", F.lit(""))
+                        .alias("lastmod"))
+
+    def q_robots_sitemaps(spark, sf):
+        """Sitemap discovery from robots rule text (operators/
+        robots.py sitemap_urls_expr): synthesised robots.txt bodies —
+        one, two (mixed-case directives), or zero Sitemap lines per
+        row — identical in the oracle; explode to (key, sitemap_url)
+        rows."""
+        from simplecrawler_spark.operators.robots import (
+            sitemap_urls_expr,
+        )
+
+        orders = _t(spark, sf, "orders")
+        host = F.concat(F.lit("http://s"),
+                        (F.col("o_custkey") % 20).cast("string"),
+                        F.lit(".test/"))
+        k = F.col("o_orderkey") % 3
+        txt = (F.when(k == 0, F.concat(
+                   F.lit("User-agent: *\nDisallow: /private\n"
+                         "Sitemap: "), host, F.lit("sm"),
+                   (F.col("o_orderkey") % 50).cast("string"),
+                   F.lit(".xml\n")))
+               .when(k == 1, F.concat(
+                   F.lit("sitemap: "), host, F.lit("a.xml\nSITEMAP:\t"),
+                   host, F.lit("b"),
+                   (F.col("o_orderkey") % 9).cast("string"),
+                   F.lit(".xml")))
+               .otherwise(F.lit("User-agent: *\nDisallow:")))
+        df = orders.select(
+            "o_orderkey", sitemap_urls_expr(txt).alias("_sms"))
+        return df.select(
+            "o_orderkey",
+            F.explode("_sms").alias("sitemap_url"))
+
+    def q_anchor_text(spark, sf):
+        """Anchor-text aggregation (operators/parse.py
+        anchor_text_agg): synthesised (href, text) pairs — hot targets
+        collect several competing strings — aggregated to the modal
+        anchor per target with exact (count DESC, text ASC)
+        tie-breaks; the oracle twins the two-level agg + window.
+        (The HTML→pairs extraction itself is the Arrow-batch stdlib
+        parser, pinned by tests/test_parse.py::test_anchor_*.)"""
+        from simplecrawler_spark.operators.parse import anchor_text_agg
+
+        li = _t(spark, sf, "lineitem")
+        pairs = li.select(
+            F.concat(F.lit("/t"),
+                     (F.col("l_orderkey") % 30).cast("string"))
+            .alias("href"),
+            F.element_at(
+                F.array(F.lit("click here"), F.lit("read more"),
+                        F.lit("details"), F.lit("home")),
+                ((F.col("l_partkey") % 4) + 1).cast("int"))
+            .alias("text"))
+        return anchor_text_agg(pairs)
+
+    def q_host_backoff(spark, sf):
+        """Per-host error-rate circuit breaker (operators/
+        politeness.py host_backoff): events replay as fetch results —
+        'error' events map to NULL/429/5xx statuses, the rest to
+        2xx/3xx — exact integer error rate + breaker flag."""
+        from simplecrawler_spark.operators.politeness import (
+            host_backoff,
+        )
+
+        ev = _t(spark, sf, "events")
+        status = (F.when(F.col("event_type") == "error",
+                         F.when(F.col("event_id") % 3 == 0,
+                                F.lit(None).cast("long"))
+                         .when(F.col("event_id") % 3 == 1, F.lit(429))
+                         .otherwise(F.lit(503)))
+                  .when(F.col("event_type") == "view", F.lit(301))
+                  .otherwise(F.lit(200)))
+        results = ev.select(
+            F.col("user_id").cast("string").alias("host"),
+            status.alias("status"))
+        return host_backoff(results, threshold_scaled=300_000,
+                            min_fetches=5)
+
+    def q_sniff_format(spark, sf):
+        """Magic-number payload sniffing (functions/multimodal.py
+        sniff_format_expr): binary payloads synthesised from hex —
+        every format class plus truncated/garbage rows — identically
+        in the oracle (both engines compare the hexed 16-byte
+        prefix)."""
+        from simplecrawler_spark.functions.multimodal import (
+            sniff_format_expr,
+        )
+
+        orders = _t(spark, sf, "orders")
+        k = F.col("o_orderkey") % 7
+        tail = F.hex(F.concat(
+            F.lit("t"), (F.col("o_custkey") % 97).cast("string")))
+        hexes = (F.when(k == 0, F.concat(F.lit("FFD8FFE0"), tail))
+                 .when(k == 1, F.concat(F.lit("89504E470D0A1A0A"),
+                                        tail))
+                 .when(k == 2, F.concat(F.lit("474946383961"), tail))
+                 .when(k == 3, F.concat(F.lit("52494646AABBCCDD"
+                                              "57454250"), tail))
+                 .when(k == 4, F.concat(F.lit("424D"), tail))
+                 .when(k == 5, tail)            # garbage
+                 .otherwise(F.lit("FF")))       # truncated 1 byte
+        df = orders.select("o_orderkey",
+                           F.unhex(hexes).alias("payload"))
+        return df.select(
+            "o_orderkey",
+            sniff_format_expr(F.col("payload")).alias("fmt_sniffed"))
+
     def q_redact_pii(spark, sf):
         """PII scrub (functions/text.py redact_pii_exprs): the
         synthetic docs carry no PII, so the query injects a
@@ -868,6 +1036,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pagerank": q_pagerank,
         "q_hits": q_hits,
         "q_url_traps": q_url_traps,
+        "q_recrawl": q_recrawl,
+        "q_chunk_docs": q_chunk_docs,
+        "q_sitemap": q_sitemap,
+        "q_robots_sitemaps": q_robots_sitemaps,
+        "q_anchor_text": q_anchor_text,
+        "q_host_backoff": q_host_backoff,
+        "q_sniff_format": q_sniff_format,
         "q_redact_pii": q_redact_pii,
         "q_quality_buckets": q_quality_buckets,
         "q_event_window_rollup": q_event_window_rollup,
@@ -1821,6 +1996,208 @@ def oracle_sql() -> dict[str, str]:
                     '^(19|20)[0-9]{2}(-[0-9]{2}(-[0-9]{2})?)?$'))) >= 2
                OR ulen > 2048) AS is_trap
             FROM s
+        """,
+        # q_chunk_docs twin: same whitespace tokens, starts at every
+        # stride while start < n (range excludes n), 1-based inclusive
+        # list slice clamped at the tail; chunk_id = start // stride
+        "q_chunk_docs": r"""
+            WITH t AS (
+              SELECT doc_id,
+                list_filter(regexp_split_to_array(text, '\s+'),
+                            x -> x <> '') AS toks
+              FROM documents
+            ), s AS (
+              SELECT doc_id, toks,
+                     unnest(range(0, len(toks), 12)) AS start_tok
+              FROM t
+            )
+            SELECT doc_id,
+              (start_tok // 12)::BIGINT AS chunk_id,
+              start_tok::BIGINT AS start_tok,
+              len(toks[start_tok + 1 : start_tok + 16])::BIGINT
+                AS n_chunk_tokens,
+              md5(array_to_string(
+                  toks[start_tok + 1 : start_tok + 16], ' '))
+                AS chunk_md5
+            FROM s
+        """,
+        # q_sitemap twin: identical urlset synthesis, then the same
+        # block split (</url>|</sitemap>) + first-loc/lastmod extract
+        "q_sitemap": r"""
+            WITH u AS (
+              SELECT o_orderkey,
+                '<?xml version="1.0"?><urlset><url><loc> http://s'
+                || (o_custkey % 20)::VARCHAR || '.test/p'
+                || (o_orderkey % 100)::VARCHAR || ' </loc>'
+                || CASE WHEN o_orderkey % 3 = 0
+                        THEN '<lastmod>2024-0'
+                             || ((o_orderkey % 9) + 1)::VARCHAR
+                             || '-01</lastmod>'
+                        ELSE '' END
+                || '</url><url><loc>http://s'
+                || (o_custkey % 20)::VARCHAR || '.test/q'
+                || (o_orderkey % 7)::VARCHAR
+                || '</loc></url></urlset>' AS body
+              FROM orders
+            ), b AS (
+              SELECT o_orderkey,
+                unnest(regexp_split_to_array(body,
+                       '</url>|</sitemap>')) AS blk
+              FROM u
+            ), e AS (
+              SELECT o_orderkey,
+                trim(regexp_extract(blk, '<loc>([^<]*)</loc>', 1))
+                  AS loc,
+                trim(regexp_extract(blk,
+                     '<lastmod>([^<]*)</lastmod>', 1)) AS lastmod
+              FROM b
+            )
+            SELECT o_orderkey, loc, lastmod
+            FROM e WHERE loc <> ''
+        """,
+        # q_anchor_text twin: identical pair synthesis, then the same
+        # (href,text)-grain count + per-href modal pick (count DESC,
+        # text ASC) and target totals
+        "q_anchor_text": """
+            WITH pairs AS (
+              SELECT '/t' || (l_orderkey % 30)::VARCHAR AS href,
+                     (['click here', 'read more', 'details', 'home'])
+                       [(l_partkey % 4) + 1] AS text
+              FROM lineitem
+            ), per_text AS (
+              SELECT href, text, count(*) AS cnt
+              FROM pairs GROUP BY href, text
+            ), ranked AS (
+              SELECT href, text, cnt,
+                     row_number() OVER (PARTITION BY href
+                       ORDER BY cnt DESC, text ASC) AS rn
+              FROM per_text
+            )
+            SELECT href,
+                   sum(cnt)::BIGINT AS n_refs,
+                   count(*)::BIGINT AS n_texts,
+                   max(CASE WHEN rn = 1 THEN text END) AS top_text
+            FROM ranked GROUP BY href
+        """,
+        # q_host_backoff twin: identical status synthesis, NULL/429/
+        # 5xx = error, rational error rate + breaker flag in int64
+        "q_host_backoff": """
+            WITH r AS (
+              SELECT user_id::VARCHAR AS host,
+                CASE WHEN event_type = 'error' THEN
+                       CASE event_id % 3 WHEN 0 THEN NULL
+                            WHEN 1 THEN 429 ELSE 503 END
+                     WHEN event_type = 'view' THEN 301
+                     ELSE 200 END AS status
+              FROM events
+            ), a AS (
+              SELECT host, count(*) AS n_fetches,
+                sum(CASE WHEN status IS NULL OR status = 429
+                              OR status >= 500
+                         THEN 1 ELSE 0 END)::BIGINT AS n_errors
+              FROM r GROUP BY host
+            )
+            SELECT host, n_fetches, n_errors,
+              (n_errors * 1000000 // n_fetches)::BIGINT
+                AS error_rate_scaled,
+              (n_errors * 1000000 // n_fetches) >= 300000
+                AND n_fetches >= 5 AS backoff
+            FROM a
+        """,
+        # q_sniff_format twin: identical hex synthesis, blob
+        # roundtrip (hex(unhex(...))), same 16-byte-prefix CASE
+        "q_sniff_format": """
+            WITH u AS (
+              SELECT o_orderkey,
+                CASE o_orderkey % 7
+                WHEN 0 THEN 'FFD8FFE0'
+                            || hex('t' || (o_custkey % 97)::VARCHAR)
+                WHEN 1 THEN '89504E470D0A1A0A'
+                            || hex('t' || (o_custkey % 97)::VARCHAR)
+                WHEN 2 THEN '474946383961'
+                            || hex('t' || (o_custkey % 97)::VARCHAR)
+                WHEN 3 THEN '52494646AABBCCDD57454250'
+                            || hex('t' || (o_custkey % 97)::VARCHAR)
+                WHEN 4 THEN '424D'
+                            || hex('t' || (o_custkey % 97)::VARCHAR)
+                WHEN 5 THEN hex('t' || (o_custkey % 97)::VARCHAR)
+                ELSE 'FF' END AS hx
+              FROM orders
+            ), b AS (
+              SELECT o_orderkey,
+                     substring(hex(unhex(hx)), 1, 32) AS h
+              FROM u
+            )
+            SELECT o_orderkey,
+              CASE
+                WHEN h LIKE 'FFD8FF%' THEN 'jpeg'
+                WHEN h LIKE '89504E470D0A1A0A%' THEN 'png'
+                WHEN h LIKE '474946383761%'
+                     OR h LIKE '474946383961%' THEN 'gif'
+                WHEN substring(h, 1, 8) = '52494646'
+                     AND substring(h, 17, 8) = '57454250' THEN 'webp'
+                WHEN h LIKE '424D%' THEN 'bmp'
+                ELSE 'unknown' END AS fmt_sniffed
+            FROM b
+        """,
+        # q_robots_sitemaps twin: identical robots text (chr(10)
+        # newlines, chr(9) the tab) and the same flag-free
+        # case-insensitive directive regex (robots.py SITEMAP_LINE_RE)
+        "q_robots_sitemaps": r"""
+            WITH t AS (
+              SELECT o_orderkey,
+                CASE o_orderkey % 3
+                WHEN 0 THEN
+                  'User-agent: *' || chr(10) || 'Disallow: /private'
+                  || chr(10) || 'Sitemap: http://s'
+                  || (o_custkey % 20)::VARCHAR || '.test/sm'
+                  || (o_orderkey % 50)::VARCHAR || '.xml' || chr(10)
+                WHEN 1 THEN
+                  'sitemap: http://s' || (o_custkey % 20)::VARCHAR
+                  || '.test/a.xml' || chr(10) || 'SITEMAP:' || chr(9)
+                  || 'http://s' || (o_custkey % 20)::VARCHAR
+                  || '.test/b' || (o_orderkey % 9)::VARCHAR || '.xml'
+                ELSE 'User-agent: *' || chr(10) || 'Disallow:'
+                END AS txt
+              FROM orders
+            )
+            SELECT o_orderkey,
+              unnest(regexp_extract_all(txt,
+                '(?:^|\n)[ \t]*[Ss][Ii][Tt][Ee][Mm][Aa][Pp]'
+                || '[ \t]*:[ \t]*([^ \t\r\n]+)', 1)) AS sitemap_url
+            FROM t
+        """,
+        # q_recrawl twin: identical lag window (ties broken by
+        # event_id), rational λ = changes·10^6 // fetches, staleness
+        # priority = λ · (corpus max ts − last fetch) — all int64
+        "q_recrawl": """
+            WITH f AS (
+              SELECT user_id AS url_id,
+                     epoch_us(ts) // 1000000 AS ts_s,
+                     event_type AS fp, event_id
+              FROM events
+            ), o AS (
+              SELECT url_id, ts_s,
+                CASE WHEN lag(fp) OVER w IS NOT NULL
+                          AND fp <> lag(fp) OVER w
+                     THEN 1 ELSE 0 END AS changed
+              FROM f
+              WINDOW w AS (PARTITION BY url_id ORDER BY ts_s, event_id)
+            ), p AS (
+              SELECT url_id, count(*) AS n_fetches,
+                     sum(changed)::BIGINT AS n_changes,
+                     max(ts_s)::BIGINT AS last_fetch_s
+              FROM o GROUP BY url_id
+            ), nowt AS (SELECT max(ts_s)::BIGINT AS now_s FROM f)
+            SELECT url_id, n_fetches, n_changes, last_fetch_s,
+              (n_changes * 1000000 // n_fetches)::BIGINT
+                AS lambda_scaled,
+              ((SELECT now_s FROM nowt) - last_fetch_s)::BIGINT
+                AS age_s,
+              ((n_changes * 1000000 // n_fetches)
+               * ((SELECT now_s FROM nowt) - last_fetch_s))::BIGINT
+                AS priority
+            FROM p
         """,
         "q_redact_pii": pii_oracle,
         # same LM CTEs as q_unigram_logprob, then: exact double score →

@@ -233,6 +233,63 @@ def main():
                    n_python(plan) == 0
                    and n_ops(plan, "TakeOrderedAndProject") >= 1, ""))
 
+    # 14d. trap flags are a single narrow JVM pass over the discovery
+    # rows: no Exchange, no Python — cheap enough to run per href
+    plan = formatted(qs["q_url_traps"](spark, SF_DIR))
+    sections.append(("q_url_traps", plan))
+    checks.append(("url traps no Exchange and no Python",
+                   n_ops(plan, "Exchange") == 0
+                   and n_python(plan) == 0, ""))
+
+    # 14e. chunking is explode-in-codegen: no Exchange, no Python —
+    # chunks are assembled row-locally from each doc's own array
+    plan = formatted(qs["q_chunk_docs"](spark, SF_DIR))
+    sections.append(("q_chunk_docs", plan))
+    checks.append(("chunk_docs explode is shuffle-free, no Python",
+                   n_ops(plan, "Exchange") == 0
+                   and n_python(plan) == 0
+                   and n_ops(plan, "Generate") >= 1, ""))
+
+    # 14f. recrawl priority: the lag window and the per-url agg SHARE
+    # one url-keyed Exchange (a separate agg shuffle would make 3);
+    # the only other Exchange is the 1-row global max-ts "now" agg
+    # that broadcasts back. No Python anywhere.
+    plan = formatted(qs["q_recrawl"](spark, SF_DIR))
+    sections.append(("q_recrawl", plan))
+    checks.append(("recrawl window+agg share the url shuffle, no Python",
+                   n_ops(plan, "Exchange") == 2
+                   and n_ops(plan, "Window") == 1
+                   and n_ops(plan, "BroadcastExchange") == 1
+                   and n_python(plan) == 0,
+                   f"exchanges={n_ops(plan, 'Exchange')} "
+                   f"(url-grain + 1-row now-agg)"))
+
+    # 14g. anchor-text agg: identical anchors collapse in a partial
+    # agg BEFORE the shuffle; one Window on the already-aggregated
+    # distinct-text rows; no Python
+    plan = formatted(qs["q_anchor_text"](spark, SF_DIR))
+    sections.append(("q_anchor_text", plan))
+    checks.append(("anchor agg partial-aggregates before the shuffle",
+                   n_ops(plan, "HashAggregate") >= 2
+                   and n_ops(plan, "Window") == 1
+                   and n_python(plan) == 0, ""))
+
+    # 14h. host backoff: ONE host-grain Exchange (combinable agg),
+    # no Python
+    plan = formatted(qs["q_host_backoff"](spark, SF_DIR))
+    sections.append(("q_host_backoff", plan))
+    checks.append(("host backoff single combinable shuffle, no Python",
+                   n_ops(plan, "Exchange") == 1
+                   and n_python(plan) == 0, ""))
+
+    # 14i. payload sniffing is a narrow projection: no Exchange, no
+    # Python — cheap enough to gate every ingest row pre-decode
+    plan = formatted(qs["q_sniff_format"](spark, SF_DIR))
+    sections.append(("q_sniff_format", plan))
+    checks.append(("format sniff no Exchange and no Python",
+                   n_ops(plan, "Exchange") == 0
+                   and n_python(plan) == 0, ""))
+
     # 15. IVF probe is a partition-pruned scan: non-probed cell
     # directories never reach the file index
     import shutil

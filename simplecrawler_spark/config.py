@@ -109,6 +109,13 @@ class CrawlConfig:
     # default — the transcript grain is one row per (page, href),
     # which a 10^10-URL crawl should only pay for when asked.
     crawl_log: bool = False
+    # frontier hygiene: drop discovered hrefs whose url_norm trips
+    # operators/traps.py::url_trap_flags (deep paths, segment loops,
+    # parameter exploders, session ids, calendar pagers, over-long
+    # urls) BEFORE the dedupe shuffle — trapped urls never enter the
+    # frontier or the seen set. Off by default: the reference has no
+    # trap defence, and visited-set parity tests depend on that.
+    trap_filter: bool = False
     # link extraction: "stdlib" = html.parser.HTMLParser, exact
     # reference parity (parser.py:11-56, the default); "regex" = the
     # ~9x-faster scan in operators/parse.py::hrefs_fast — identical on

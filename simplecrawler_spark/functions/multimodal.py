@@ -352,3 +352,32 @@ def caption_dup_clusters(corpus: DataFrame, min_cluster: int = 2,
                 .where(F.col("cluster_size") >= min_cluster))
     return (keyed.join(clusters, "caption_key")
             .select("image_id", "cluster_id", "cluster_size"))
+
+
+def sniff_format_expr(bytes_col):
+    """Magic-number format sniff for the payload's binary column:
+    'jpeg' | 'png' | 'gif' | 'webp' | 'bmp' | 'unknown', from the
+    first 16 bytes only — the content-type header lies on the open
+    web, and a 10^10-image ingest must gate on the BYTES before
+    paying a decode (the decode seam in images.py raises on
+    undecodable fmt; this expr is the cheap pre-filter that keeps
+    poison out of the Arrow batches).
+
+    Pure JVM: substring the binary prefix, hex it, compare string
+    prefixes — one narrow expression, no Python, engine-portable
+    (DuckDB cannot substring BLOBs, so both engines compare on the
+    hex STRING of the same prefix; q_sniff_format twins it).
+    """
+    from pyspark.sql import functions as F
+
+    if isinstance(bytes_col, str):
+        bytes_col = F.col(bytes_col)
+    h = F.hex(F.substring(bytes_col, 1, 16))
+    return (F.when(h.startswith("FFD8FF"), F.lit("jpeg"))
+            .when(h.startswith("89504E470D0A1A0A"), F.lit("png"))
+            .when(h.startswith("474946383761")
+                  | h.startswith("474946383961"), F.lit("gif"))
+            .when((h.substr(1, 8) == "52494646")
+                  & (h.substr(17, 8) == "57454250"), F.lit("webp"))
+            .when(h.startswith("424D"), F.lit("bmp"))
+            .otherwise(F.lit("unknown")))

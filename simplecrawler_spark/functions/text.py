@@ -248,3 +248,60 @@ def redact_pii_exprs(text: Column) -> dict[str, Column]:
                                    F.lit(PII_PHONE)).cast("long"),
         "text_redacted": after_phone,
     }
+
+
+def chunk_docs(df, text_col: str = "text", *, chunk_tokens: int = 64,
+               stride: int | None = None,
+               id_cols: tuple[str, ...] = ("doc_id",)):
+    """Sliding-window training-chunk segmentation: explode each
+    document into fixed-token-budget chunks (the step before
+    operators/packing.py pack_sequences lays chunks into shards).
+
+    Semantics (exact, both engines — q_chunk_docs twins it):
+      * tokens = whitespace split of the raw text (empties dropped);
+      * chunk starts at every ``stride`` tokens while start < n
+        (``stride`` defaults to ``chunk_tokens`` — disjoint chunks;
+        smaller stride = overlapping windows, the LLM-pretraining
+        convention for long-document continuity);
+      * each chunk is the next ``chunk_tokens`` tokens (the last one
+        may be shorter, never empty); chunk_text re-joins tokens with
+        single spaces (whitespace-normalising, documented);
+      * empty/whitespace-only docs produce NO rows.
+
+    Pure JVM expressions end to end: split + sequence + posexplode +
+    slice + array_join — no Python, no shuffle (row-local explode);
+    output order inside a doc is chunk_id. Output = ``id_cols`` +
+    (chunk_id, start_tok, n_chunk_tokens, chunk_text).
+
+    Scale shape: the explode multiplies rows by ~n/stride but every
+    chunk is assembled from its own row's array — Catalyst keeps the
+    whole thing in one WholeStageCodegen span over the scan, so
+    chunking composes with filter pushdown and never materialises the
+    token arrays across a shuffle.
+    """
+    if stride is None:
+        stride = chunk_tokens
+    if chunk_tokens < 1 or stride < 1:
+        raise ValueError(
+            f"chunk_tokens and stride must be >= 1, got "
+            f"chunk_tokens={chunk_tokens} stride={stride}")
+    toks = F.filter(F.split(F.col(text_col), r"\s+"),
+                    lambda x: x != F.lit(""))
+    n = F.size(toks)
+    starts = F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride)))
+    base = df.select(*id_cols, toks.alias("_toks"),
+                     starts.alias("_starts"))
+    pos = F.posexplode("_starts")
+    return (base.select(*id_cols, "_toks",
+                        pos.alias("chunk_id", "start_tok"))
+            .select(*id_cols,
+                    F.col("chunk_id").cast("long"),
+                    F.col("start_tok").cast("long"),
+                    F.size(F.slice(F.col("_toks"),
+                                   F.col("start_tok") + 1,
+                                   chunk_tokens))
+                    .cast("long").alias("n_chunk_tokens"),
+                    F.array_join(
+                        F.slice(F.col("_toks"),
+                                F.col("start_tok") + 1, chunk_tokens),
+                        " ").alias("chunk_text")))

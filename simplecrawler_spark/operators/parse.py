@@ -413,3 +413,154 @@ def explode_links(fetched: DataFrame, src_url_col: str = "url_norm",
             F.explode("_hrefs").alias("href_raw"),
         )
     )
+
+
+def extract_sitemap_entries(df: DataFrame, body_col: str = "body", *,
+                            id_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Sitemap-protocol seed discovery: explode sitemap XML bodies
+    into (loc, lastmod) rows — pure JVM string machinery, no XML
+    parser, no Python.
+
+    The reference discovers URLs only from anchor tags
+    (parser.py AnchorTagParser); a production frontier also bootstraps
+    from /sitemap.xml (the sitemaps.org protocol robots.txt points
+    at). ``lastmod`` feeds straight into
+    operators/freshness.py::recrawl_priority as a change signal.
+
+    Semantics (exact, both engines — q_sitemap twins it):
+      * the body splits on ``</url>`` or ``</sitemap>`` closers, so
+        both urlset files and sitemapindex files explode one row per
+        entry;
+      * per block, the FIRST ``<loc>…</loc>`` is the entry URL
+        (surrounding whitespace trimmed), the first
+        ``<lastmod>…</lastmod>`` its optional timestamp — blocks
+        without a loc (preamble, trailing close tags) emit nothing;
+      * lastmod is returned as a trimmed raw string (W3C datetime
+        parsing is the caller's step: formats vary and a bad date
+        must not drop the URL); blocks without lastmod carry NULL.
+
+    Regex-over-XML is deliberate and bounded here: sitemap files are
+    machine-generated, schema-fixed, and size-capped by the protocol
+    (50k URLs / 50 MB per file) — the failure modes that break
+    regex-on-HTML (hand-written nesting, comments, script islands)
+    are out of contract, and entries inside XML comments are accepted
+    as-is (documented; a strict parser would need a real XML decoder,
+    which is the same Arrow-batch seam as the HTML path).
+
+    Scale shape: split + transform + filter + explode in one codegen
+    span over the fetch stage's rows — row-local, no shuffle; the
+    downstream canonicalize → seen anti-join is the crawl round's
+    existing machinery.
+    """
+    blocks = F.split(F.col(body_col), "</url>|</sitemap>")
+    entries = F.filter(
+        F.transform(
+            blocks,
+            lambda b: F.struct(
+                F.trim(F.regexp_extract(b, r"<loc>([^<]*)</loc>", 1))
+                .alias("loc"),
+                F.trim(F.regexp_extract(
+                    b, r"<lastmod>([^<]*)</lastmod>", 1))
+                .alias("lastmod"))),
+        lambda s: s["loc"] != F.lit(""))
+    out = df.select(*id_cols, F.explode(entries).alias("_e"))
+    return out.select(
+        *id_cols,
+        F.col("_e.loc").alias("loc"),
+        F.when(F.col("_e.lastmod") != "", F.col("_e.lastmod"))
+        .alias("lastmod"))
+
+
+class _AnchorTextCollector(HTMLParser):
+    """Collect (href, anchor text) pairs in document order: text is
+    the concatenated character data between <a href=…> and its
+    close (nested markup stripped, entities unescaped by HTMLParser,
+    whitespace runs collapsed). Unclosed anchors close at EOF."""
+
+    def __init__(self):
+        super().__init__()
+        self.pairs: list[tuple[str, str]] = []
+        self._href: str | None = None
+        self._buf: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "a":
+            self._flush()
+            for name, value in attrs:
+                if name == "href" and value is not None:
+                    self._href = value
+                    self._buf = []
+                    break
+
+    def handle_endtag(self, tag):
+        if tag == "a":
+            self._flush()
+
+    def handle_data(self, data):
+        if self._href is not None:
+            self._buf.append(data)
+
+    def _flush(self):
+        if self._href is not None:
+            text = " ".join("".join(self._buf).split())
+            self.pairs.append((self._href, text))
+            self._href = None
+            self._buf = []
+
+    def close(self):
+        super().close()
+        self._flush()
+
+
+def anchor_pairs_from_html(html: str) -> list[tuple[str, str]]:
+    """Pure-Python core for anchor-text harvesting (the offline
+    ranking/captioning signal; the reference's AnchorTagParser keeps
+    hrefs only — parser.py:11-56 — so text is an engine extension,
+    kept OUT of the crawl's fused parse stage)."""
+    c = _AnchorTextCollector()
+    try:
+        c.feed(html)
+        c.close()
+    except Exception:
+        pass  # parity: bad HTML ignored (parser.py:39-42)
+    return c.pairs
+
+
+@F.pandas_udf(T.ArrayType(T.StructType([
+    T.StructField("href", T.StringType()),
+    T.StructField("text", T.StringType())])))
+def extract_anchor_pairs(bodies: pd.Series) -> pd.Series:
+    """Arrow-batch (href, text) extraction — same executor-side
+    stdlib-parser discipline as extract_hrefs."""
+    return pd.Series([
+        None if body is None else anchor_pairs_from_html(body)
+        for body in bodies])
+
+
+def anchor_text_agg(pairs: DataFrame, href_col: str = "href",
+                    text_col: str = "text") -> DataFrame:
+    """Aggregate harvested anchor pairs into the per-target signal
+    table: (href, n_refs, n_texts, top_text) where top_text is the
+    modal anchor string (count DESC, text ASC tie-break) — the
+    classic anchor-text relevance feature (and, for the image graft,
+    the caption candidate for a linked asset).
+
+    Scale shape: one (href, text)-grain partial-count agg, then a
+    per-href window over the already-aggregated distinct-text rows —
+    state per href is its distinct anchor TEXT set, not its raw link
+    count, so hub pages with millions of identical "click here" rows
+    collapse map-side before any shuffle."""
+    from pyspark.sql import Window
+
+    per_text = pairs.groupBy(
+        F.col(href_col).alias("href"),
+        F.col(text_col).alias("text")).agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("href").orderBy(
+        F.col("cnt").desc(), F.col("text").asc())
+    return (per_text
+            .withColumn("_rn", F.row_number().over(w))
+            .groupBy("href")
+            .agg(F.sum("cnt").alias("n_refs"),
+                 F.count("*").alias("n_texts"),
+                 F.max(F.when(F.col("_rn") == 1, F.col("text")))
+                 .alias("top_text")))

@@ -137,3 +137,41 @@ def apply_global_budget(scheduled: DataFrame, deferred: DataFrame,
     rest = scheduled.join(take.select("url_hash"), "url_hash",
                           "left_anti")
     return take, deferred.unionByName(rest.select(deferred.columns))
+
+
+def host_backoff(results: DataFrame, *, host_col: str = "host",
+                 status_col: str = "status",
+                 threshold_scaled: int = 500_000,
+                 min_fetches: int = 5,
+                 scale: int = 10 ** 6) -> DataFrame:
+    """Per-host error-rate circuit breaker: hosts whose recent fetch
+    results are mostly failures should cool down before the next
+    round burns more budget on them (and more of their capacity —
+    hammering a 5xx-ing host is the impolite failure mode politeness
+    delays don't cover; the reference handles errors per-URL only,
+    crawler.py's try/except around one GET).
+
+    A fetch FAILED when status is NULL (transport error) or in the
+    retryable classes 429 / 5xx. Exact integer arithmetic
+    (q_host_backoff twins it): error_rate_scaled =
+    n_errors·scale // n_fetches; ``backoff`` = rate ≥
+    ``threshold_scaled`` AND n_fetches ≥ ``min_fetches`` (small
+    samples never trip the breaker).
+
+    Returns (host, n_fetches, n_errors, error_rate_scaled, backoff).
+    Scale shape: ONE map-side-combinable groupBy(host) — the same key
+    grain the politeness window already shuffles on; the output joins
+    the next round's frontier as a gate or a priority penalty."""
+    is_err = (F.col(status_col).isNull()
+              | (F.col(status_col) == 429)
+              | (F.col(status_col) >= 500)).cast("long")
+    agg = results.groupBy(F.col(host_col).alias("host")).agg(
+        F.count("*").alias("n_fetches"),
+        F.sum(is_err).alias("n_errors"))
+    return agg.select(
+        "host", "n_fetches", "n_errors",
+        F.expr(f"n_errors * {scale} div n_fetches")
+        .cast("long").alias("error_rate_scaled"),
+        ((F.expr(f"n_errors * {scale} div n_fetches")
+          >= threshold_scaled)
+         & (F.col("n_fetches") >= min_fetches)).alias("backoff"))

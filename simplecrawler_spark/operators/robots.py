@@ -110,6 +110,23 @@ def crawl_delay_col(robots_txt, user_agent: str):
     return delay_of(robots_txt)
 
 
+SITEMAP_LINE_RE = (r"(?:^|\n)[ \t]*[Ss][Ii][Tt][Ee][Mm][Aa][Pp]"
+                   r"[ \t]*:[ \t]*([^ \t\r\n]+)")
+
+
+def sitemap_urls_expr(robots_txt) -> "F.Column":
+    """array<string> of Sitemap: directive URLs from robots rule text
+    — the sitemaps.org discovery hook (robotstxt.org extension every
+    major crawler honours). Pure JVM regexp (directive name matched
+    case-insensitively via character classes so the same pattern runs
+    in DuckDB's RE2 without flags); URL case is preserved. Feeds
+    operators/parse.py::extract_sitemap_entries after the sitemap
+    bodies are fetched. The reference never reads Sitemap lines
+    (crawler.py only calls can_fetch) — this is frontier
+    bootstrapping the open-web crawl needs."""
+    return F.regexp_extract_all(robots_txt, F.lit(SITEMAP_LINE_RE), 1)
+
+
 def fetch_robots_table(spark, auth_scheme: dict[str, str], fetcher,
                        cfg: CrawlConfig) -> DataFrame:
     """Fetch robots.txt for a driver-side {authority: scheme} dict of

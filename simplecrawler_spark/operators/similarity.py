@@ -624,3 +624,137 @@ def sq8_cosine_topk(embeddings: DataFrame, query: list[float],
         F.round(cosine_expr(F.col(vec_col), query), 6).alias("cosine_q6"))
     return (exact.orderBy(F.col("cosine_q6").desc(), F.col(id_col).asc())
             .limit(k))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (the FAISS/Milvus IVF-PQ residual of the SQ8
+# story): split each vector into m subspaces, learn n_codes centroids
+# per subspace, store one small code per subspace. At 10^10 vectors
+# the PQ code column (m bytes/row) is what scans; ADC scores rows via
+# per-query lookup tables, and a constant-size rescore pool restores
+# exactness. Training is iterative k-means per subspace — genuinely
+# not SQL-expressible, so PQ is pinned by pytest (reconstruction
+# improvement, recall floor, rescore==exact) rather than an oracle
+# row; the ADC arithmetic itself reuses the same literal-array HOF
+# discipline as SQ8 above.
+# ---------------------------------------------------------------------------
+
+def pq_train(embeddings: DataFrame, m: int = 8, n_codes: int = 16,
+             n_iters: int = 3, vec_col: str = "embedding",
+             id_col: str = "vec_id") -> list[list[list[float]]]:
+    """Per-subspace Lloyd's k-means codebooks:
+    ``codebooks[j][c]`` is subspace j's centroid c (length dim/m).
+
+    Deterministic init — the n_codes lowest-id vectors' subvectors
+    (the ivf_centroids discipline). Each iteration is ONE narrow
+    assignment pass + ONE groupBy(subspace, code) of element-wise
+    partial sums: m·n_codes·(dim/m) = n_codes·dim doubles cross the
+    shuffle per partition and return to the driver to be inlined into
+    the next iteration's plan — no per-row driver traffic at any
+    corpus size. Empty codes keep their previous centroid."""
+    first = embeddings.select(F.size(_dbl(F.col(vec_col)))
+                              .alias("d")).first()
+    if first is None:
+        return []
+    dim = int(first["d"])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    subdim = dim // m
+    sample = (embeddings.select(id_col, vec_col)
+              .orderBy(id_col).limit(n_codes).collect())
+    codebooks = [
+        [[float(x) for x in r[1][j * subdim:(j + 1) * subdim]]
+         for r in sample]
+        for j in range(m)]
+    for _ in range(n_iters):
+        codes = pq_assign_expr(F.col(vec_col), codebooks)
+        ex = (embeddings
+              .select(F.posexplode(codes).alias("j", "code"),
+                      _dbl(F.col(vec_col)).alias("v"))
+              .select("j", "code",
+                      F.slice(F.col("v"),
+                              F.col("j") * subdim + 1,
+                              F.lit(subdim)).alias("sv")))
+        sums = ex.groupBy("j", "code").agg(
+            F.count("*").alias("n"),
+            *[F.sum(F.col("sv").getItem(t)).alias(f"s{t}")
+              for t in range(subdim)])
+        by_jc = {(int(r["j"]), int(r["code"])): r
+                 for r in sums.collect()}
+        codebooks = [
+            [[by_jc[(j, c)][f"s{t}"] / by_jc[(j, c)]["n"]
+              for t in range(subdim)]
+             if (j, c) in by_jc else codebooks[j][c]
+             for c in range(n_codes)]
+            for j in range(m)]
+    return codebooks
+
+
+def pq_assign_expr(vec_col, codebooks: list[list[list[float]]]):
+    """array<int> of length m: each subspace's nearest-code index
+    (squared L2, lowest-index tie-break via first-occurrence
+    array_position). Pure JVM HOFs over literal codebooks — the
+    m-byte-per-row column the 10^10-vector scan reads."""
+    m = len(codebooks)
+    subdim = len(codebooks[0][0])
+    out = []
+    for j in range(m):
+        sub = F.slice(_dbl(vec_col), j * subdim + 1, subdim)
+        dists = F.array(*[
+            F.aggregate(
+                F.zip_with(sub,
+                           F.array(*[F.lit(float(x)) for x in cent]),
+                           lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0), lambda a, v: a + v)
+            for cent in codebooks[j]])
+        out.append((F.array_position(dists, F.array_min(dists)) - 1)
+                   .cast("int"))
+    return F.array(*out)
+
+
+def pq_adc_topk(embeddings: DataFrame, query: list[float],
+                codebooks: list[list[list[float]]], k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                rescore: int = 0) -> DataFrame:
+    """Asymmetric-distance cosine top-k over PQ codes: the query's
+    inner-product and squared-norm lookup tables (m × n_codes floats)
+    are computed driver-side and inlined as literal arrays, so scoring
+    a row is m array lookups + adds — never a vector op. With
+    ``rescore`` > 0 the top candidates re-rank on the full-precision
+    column (the IVF-PQ two-stage contract; rescore ≥ the true top-k's
+    candidate rank makes the result exact).
+
+    Returns (id_col, cosine_q6) — quantised-reconstruction cosine
+    rounded to 6 places, id ASC tie-break."""
+    m = len(codebooks)
+    subdim = len(codebooks[0][0])
+    ip_tbl = [[sum(query[j * subdim + t] * c[t] for t in range(subdim))
+               for c in codebooks[j]] for j in range(m)]
+    n2_tbl = [[sum(x * x for x in c) for c in codebooks[j]]
+              for j in range(m)]
+    qn = math.sqrt(sum(x * x for x in query))
+    codes = pq_assign_expr(F.col(vec_col), codebooks)
+    scored = embeddings.select(id_col, vec_col, codes.alias("_codes"))
+    num = sum(
+        (F.element_at(F.array(*[F.lit(float(v)) for v in ip_tbl[j]]),
+                      F.col("_codes").getItem(j) + 1)
+         for j in range(m)), F.lit(0.0))
+    n2 = sum(
+        (F.element_at(F.array(*[F.lit(float(v)) for v in n2_tbl[j]]),
+                      F.col("_codes").getItem(j) + 1)
+         for j in range(m)), F.lit(0.0))
+    den = F.sqrt(n2) * F.lit(qn)
+    approx = F.round(F.when(den > 0, num / den).otherwise(F.lit(0.0)), 6)
+    scored = scored.select(id_col, vec_col, approx.alias("cosine_q6"))
+    if not rescore:
+        return (scored.select(id_col, "cosine_q6")
+                .orderBy(F.col("cosine_q6").desc(), F.col(id_col).asc())
+                .limit(k))
+    cand = (scored
+            .orderBy(F.col("cosine_q6").desc(), F.col(id_col).asc())
+            .limit(max(rescore, k)))
+    exact = cand.select(
+        id_col,
+        F.round(cosine_expr(F.col(vec_col), query), 6).alias("cosine_q6"))
+    return (exact.orderBy(F.col("cosine_q6").desc(), F.col(id_col).asc())
+            .limit(k))

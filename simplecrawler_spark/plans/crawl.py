@@ -608,6 +608,15 @@ class FrontierCrawler:
             cand = cand.drop("href_norm")
         if cfg.same_authority_only:
             cand = cand.filter(F.col("authority") == F.col("src_authority"))
+        if cfg.trap_filter:
+            # frontier hygiene (operators/traps.py): one more narrow
+            # JVM predicate in the same codegen span — trapped urls
+            # are gone before the dedupe shuffle and the seen set
+            from simplecrawler_spark.operators.traps import (
+                url_trap_flags,
+            )
+            cand = cand.filter(
+                ~url_trap_flags(F.col("url_norm"))["is_trap"])
         cand = cand.withColumn("url_hash", url_hash(F.col("url_norm")))
 
         # R1: within-round dedupe, deterministic min-pick per url_norm.

@@ -648,3 +648,30 @@ def test_requeue_rederives_authority_from_first_scheme_sep(spark, tmp_path):
         "a.test", "a.test")
     assert rows["https://user@b.test:8080/q"] == (
         "user@b.test:8080", "b.test:8080")
+
+
+def test_host_backoff_breaker(spark):
+    """operators/politeness.py host_backoff: NULL/429/5xx are errors,
+    2xx/3xx are not; the breaker needs BOTH the rate and the sample
+    floor."""
+    from simplecrawler_spark.operators.politeness import host_backoff
+
+    rows = (
+        # bad.test: 4/6 errors (null, 429, 503, 500) -> 666666, trips
+        [("bad.test", None), ("bad.test", 429), ("bad.test", 503),
+         ("bad.test", 500), ("bad.test", 200), ("bad.test", 301)]
+        # ok.test: 1/6 errors -> 166666, under threshold
+        + [("ok.test", 200)] * 5 + [("ok.test", 503)]
+        # tiny.test: 2/2 errors but below min_fetches -> no trip
+        + [("tiny.test", 500), ("tiny.test", None)]
+    )
+    df = spark.createDataFrame(rows, "host string, status long")
+    got = {r.host: r for r in host_backoff(
+        df, threshold_scaled=500_000, min_fetches=5).collect()}
+    b = got["bad.test"]
+    assert (b.n_fetches, b.n_errors, b.error_rate_scaled,
+            b.backoff) == (6, 4, 666666, True)
+    assert not got["ok.test"].backoff
+    assert got["ok.test"].n_errors == 1
+    t = got["tiny.test"]
+    assert (t.n_errors, t.backoff) == (2, False)

@@ -66,3 +66,33 @@ def test_corpus_schema(spark):
         "image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
     first = corpus.orderBy("image_id").first()
     assert first.fmt == "raw" and isinstance(first.phash, int)
+
+
+def test_sniff_format_expr_magic_numbers(spark):
+    """functions/multimodal.py sniff_format_expr: every format class
+    by its magic bytes; declared-format lies don't matter — only the
+    payload prefix does."""
+    from pyspark.sql import functions as F
+
+    from simplecrawler_spark.functions.multimodal import (
+        sniff_format_expr,
+    )
+
+    rows = [
+        (1, bytes.fromhex("FFD8FFE0") + b"rest", "jpeg"),
+        (2, bytes.fromhex("89504E470D0A1A0A") + b"x", "png"),
+        (3, b"GIF89a...", "gif"),
+        (4, b"GIF87a...", "gif"),
+        (5, b"RIFF\x00\x01\x02\x03WEBPVP8 ", "webp"),
+        (6, b"BMxxxx", "bmp"),
+        (7, b"plain text", "unknown"),
+        (8, b"", "unknown"),
+        (9, bytes.fromhex("FFD8"), "unknown"),      # truncated jpeg
+        (10, b"RIFF\x00\x01\x02\x03WAVEfmt ", "unknown"),  # RIFF!=webp
+    ]
+    df = spark.createDataFrame([(i, b) for i, b, _ in rows],
+                               "id long, bytes binary")
+    got = {r.id: r.f for r in df.select(
+        "id", sniff_format_expr(F.col("bytes")).alias("f")).collect()}
+    for i, _, want in rows:
+        assert got[i] == want, (i, got[i], want)

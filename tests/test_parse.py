@@ -148,3 +148,104 @@ def test_fast_extractor_crawl_visited_set_identical(spark, tmp_path):
         out[ex] = {(r.url_norm, r.depth, r.status)
                    for r in c.results().collect()}
     assert out["stdlib"] == out["regex"] and len(out["stdlib"]) > 5
+
+
+# ---------------------------------------------------------------------------
+# sitemap extraction
+# ---------------------------------------------------------------------------
+
+def _sitemap_rows(spark, body):
+    from simplecrawler_spark.operators.parse import (
+        extract_sitemap_entries,
+    )
+
+    df = spark.createDataFrame([(1, body)], "id long, body string")
+    return [(r.loc, r.lastmod) for r in
+            extract_sitemap_entries(df, id_cols=("id",))
+            .orderBy("loc").collect()]
+
+
+def test_sitemap_urlset_with_optional_lastmod(spark):
+    body = ('<?xml version="1.0"?><urlset>'
+            "<url><loc> http://a.test/1 </loc>"
+            "<lastmod>2024-01-02</lastmod></url>"
+            "<url><loc>http://a.test/2</loc></url></urlset>")
+    assert _sitemap_rows(spark, body) == [
+        ("http://a.test/1", "2024-01-02"),
+        ("http://a.test/2", None)]
+
+
+def test_sitemap_index_file(spark):
+    body = ("<sitemapindex>"
+            "<sitemap><loc>http://b.test/s1.xml</loc>"
+            "<lastmod>2023-12-31T10:00:00Z</lastmod></sitemap>"
+            "<sitemap><loc>http://b.test/s2.xml</loc></sitemap>"
+            "</sitemapindex>")
+    assert _sitemap_rows(spark, body) == [
+        ("http://b.test/s1.xml", "2023-12-31T10:00:00Z"),
+        ("http://b.test/s2.xml", None)]
+
+
+def test_sitemap_empty_and_garbage_bodies(spark):
+    assert _sitemap_rows(spark, "<urlset></urlset>") == []
+    assert _sitemap_rows(spark, "not xml at all") == []
+    assert _sitemap_rows(spark, "") == []
+
+
+def test_sitemap_lastmod_outside_block_not_paired(spark):
+    # lastmod belongs to ITS url block: a loc-less trailing block's
+    # lastmod must not leak onto the previous entry
+    body = ("<urlset><url><loc>http://c.test/x</loc></url>"
+            "<url><lastmod>2020-01-01</lastmod></url></urlset>")
+    assert _sitemap_rows(spark, body) == [("http://c.test/x", None)]
+
+
+# ---------------------------------------------------------------------------
+# anchor-text harvesting + aggregation
+# ---------------------------------------------------------------------------
+
+def test_anchor_pairs_from_html():
+    from simplecrawler_spark.operators.parse import (
+        anchor_pairs_from_html,
+    )
+
+    html = ('<p><a href="/a">Click <b>here</b> now</a>'
+            '<a href="/b"></a>'
+            '<a href="/a">Click here  now</a>'
+            '<a name="x">not a link</a>'
+            '<a href="/c">tail unclosed')
+    assert anchor_pairs_from_html(html) == [
+        ("/a", "Click here now"),   # nested markup stripped
+        ("/b", ""),                 # empty anchor kept
+        ("/a", "Click here now"),   # whitespace runs collapsed
+        ("/c", "tail unclosed"),    # EOF closes the anchor
+    ]
+    # entities unescape like HTMLParser; bad HTML yields what parsed
+    assert anchor_pairs_from_html('<a href="/x">A &amp; B</a>') == [
+        ("/x", "A & B")]
+    assert anchor_pairs_from_html("") == []
+
+
+def test_anchor_pair_start_closes_previous():
+    from simplecrawler_spark.operators.parse import (
+        anchor_pairs_from_html,
+    )
+
+    # a new <a> implicitly closes a dangling one (browsers agree)
+    html = '<a href="/1">one<a href="/2">two</a>'
+    assert anchor_pairs_from_html(html) == [("/1", "one"),
+                                            ("/2", "two")]
+
+
+def test_anchor_text_agg_modal_and_tiebreak(spark):
+    from simplecrawler_spark.operators.parse import anchor_text_agg
+
+    rows = [("/t", "beta"), ("/t", "alpha"), ("/t", "beta"),
+            ("/t", "alpha"), ("/t", "gamma"),   # tie beta/alpha -> alpha
+            ("/u", "only")]
+    df = spark.createDataFrame(rows, "href string, text string")
+    got = {r.href: r for r in anchor_text_agg(df).collect()}
+    assert (got["/t"].n_refs, got["/t"].n_texts,
+            got["/t"].top_text) == (5, 3, "alpha")
+    assert (got["/u"].n_refs, got["/u"].n_texts,
+            got["/u"].top_text) == (1, 1, "only")

@@ -78,3 +78,43 @@ def test_fragment_and_query_excluded_from_path(spark):
     # query/fragment must not count as path segments
     r = _flags(spark, "http://h.test/a/b?x=x/x/x#x/x/x")
     assert r.depth == 2 and not r.trap_repeat
+
+
+def test_trap_filter_gates_the_frontier(spark, tmp_path):
+    """CrawlConfig.trap_filter: discovered hrefs that trip a trap rule
+    never enter the frontier (not fetched, not in seen); with the
+    default (off) the same links are crawled. Clean links are
+    unaffected either way."""
+    from simplecrawler_spark.config import CrawlConfig
+    from simplecrawler_spark.plans.crawl import FrontierCrawler
+    from simplecrawler_spark.sources.fetch import TableFetcher
+    from simplecrawler_spark.sources.fixtures import (
+        _row, make_html_from_links, site_graph_df,
+    )
+
+    seed = "http://t.test/"
+    ok = "http://t.test/ok"
+    trap_sess = "http://t.test/p?phpsessid=abc"
+    trap_cal = "http://t.test/2024/05/2023/06"
+    rows = [
+        _row(seed, body=make_html_from_links([ok, trap_sess, trap_cal])),
+        _row(ok, body=""),
+        _row(trap_sess, body=""),
+        _row(trap_cal, body=""),
+    ]
+
+    def visited(trap_filter):
+        cfg = CrawlConfig(trap_filter=trap_filter, trim_query=False)
+        c = FrontierCrawler(
+            spark, TableFetcher(site_graph_df(spark, rows), cfg), cfg,
+            root=str(tmp_path / f"tf-{trap_filter}"))
+        c.crawl(seed)
+        return {r.url_norm
+                for r in c.results().select("url_norm").collect()}
+
+    on = visited(True)
+    assert ok in on
+    assert trap_sess not in on and trap_cal not in on
+
+    off = visited(False)
+    assert {ok, trap_sess, trap_cal} <= off
