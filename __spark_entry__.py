@@ -856,6 +856,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "o_orderkey",
             sniff_format_expr(F.col("payload")).alias("fmt_sniffed"))
 
+    def q_surt_keys(spark, sf):
+        """SURT index keys (functions/canonical.py surt_key_expr)
+        over the canonicalised dirty-URL fixture: the oracle rebuilds
+        the same reversed-host)/path?query key from the known
+        canonical form — every key byte-exact."""
+        from simplecrawler_spark.functions.canonical import (
+            surt_key_expr,
+        )
+
+        urls = canonicalize_df(_dirty_urls(_t(spark, sf, "orders")))
+        return (urls.select(
+            "url_norm",
+            surt_key_expr(F.col("host"), F.col("path"),
+                          F.col("query")).alias("surt"))
+            .groupBy("url_norm", "surt")
+            .agg(F.count("*").alias("n")))
+
     def q_redact_pii(spark, sf):
         """PII scrub (functions/text.py redact_pii_exprs): the
         synthetic docs carry no PII, so the query injects a
@@ -1043,6 +1060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_anchor_text": q_anchor_text,
         "q_host_backoff": q_host_backoff,
         "q_sniff_format": q_sniff_format,
+        "q_surt_keys": q_surt_keys,
         "q_redact_pii": q_redact_pii,
         "q_quality_buckets": q_quality_buckets,
         "q_event_window_rollup": q_event_window_rollup,
@@ -2078,6 +2096,27 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_texts,
                    max(CASE WHEN rn = 1 THEN text END) AS top_text
             FROM ranked GROUP BY href
+        """,
+        # q_surt_keys twin: known canonical parts of the dirty-URL
+        # fixture, same reversed-label)/path?query assembly
+        "q_surt_keys": f"""
+            WITH u AS (
+              SELECT {_ORACLE_URL_NORM} AS url_norm,
+                'src' || (o_custkey % 20)::VARCHAR || '.example.com'
+                  AS host,
+                '/p%20' || (o_orderkey % 50)::VARCHAR AS path,
+                'a=' || (o_custkey % 5)::VARCHAR
+                  || '&b=' || (o_orderkey % 3)::VARCHAR AS query
+              FROM orders
+            )
+            SELECT url_norm,
+              array_to_string(list_reverse(string_split(host, '.')),
+                              ',')
+                || ')' || path
+                || CASE WHEN query <> '' THEN '?' || query
+                        ELSE '' END AS surt,
+              count(*)::BIGINT AS n
+            FROM u GROUP BY 1, 2
         """,
         # q_host_backoff twin: identical status synthesis, NULL/429/
         # 5xx = error, rational error rate + breaker flag in int64

@@ -293,3 +293,36 @@ def test_with_path_and_arith_sugar(spark):
     row2 = df.select(C.with_path_expr(
         F.col("scheme"), F.col("authority"), "/x").alias("wp")).first()
     assert row2.wp == "http://example.com//x"
+
+
+def test_surt_key_expr(spark):
+    """SURT keys (canonical.py surt_key_expr): reversed host labels,
+    ')' separator, optional ?query; port dropped; subdomains of one
+    domain sort contiguously."""
+    from pyspark.sql import functions as F
+
+    from simplecrawler_spark.functions.canonical import surt_key_expr
+
+    rows = [
+        (1, "news.example.com", "/a/b", "x=1"),
+        (2, "example.com", "/", ""),
+        (3, "example.com:8080", "/p", None),
+        (4, "a.b.example.org", "", "q=2"),
+        (5, "other.net", "/z", ""),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, host string, path string, query string")
+    got = {r.id: r.surt for r in df.select(
+        "id", surt_key_expr(F.col("host"), F.col("path"),
+                            F.col("query")).alias("surt")).collect()}
+    assert got[1] == "com,example,news)/a/b?x=1"
+    assert got[2] == "com,example)/"
+    assert got[3] == "com,example)/p"             # port dropped
+    assert got[4] == "org,example,b,a)?q=2"
+    assert got[5] == "net,other)/z"
+    # the index property: every example.com URL shares the range
+    # prefix, so a sorted scan answers the domain query contiguously
+    ex = sorted(v for v in got.values() if v.startswith("com,example"))
+    allk = sorted(got.values())
+    i = allk.index(ex[0])
+    assert allk[i:i + len(ex)] == ex
