@@ -9,8 +9,9 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 --scaling: run the identical crawl job at local[2] and local[8]
 (N vs 4N cores — the sandbox stand-in for N vs 4N executors,
 BASELINE.md protocol) in fresh subprocesses, compute scaling
-efficiency = (T_4N / T_N) / 4, and write
-BENCH/SCALING.md + BENCH/BASELINE.md.
+efficiency = (T_4N / T_N) / 4, and write the raw protocol output to
+BENCH/SCALING_LATEST.md (the curated records live in BENCH/SCALING.md
++ BENCH/BASELINE.md and are merged by hand).
 
 --crawl-only: internal mode used by --scaling (crawl job only, one
 JSON line).
@@ -770,9 +771,12 @@ def run_scaling():
         "contention that no multi-machine cluster would see, so "
         f"local[{lo}]→local[{hi}] with headroom is the honest "
         "single-node stand-in for N→4N executors.\n")
-    for path in ("BENCH/SCALING.md", "BENCH/BASELINE.md"):
-        with open(path, "w") as fh:
-            fh.write(body)
+    # Raw protocol output goes to its own file; BENCH/SCALING.md and
+    # BENCH/BASELINE.md are curated records (history + attribution) and
+    # must not be clobbered by an automated run — merge new runs into
+    # them by hand after inspecting the probe classification.
+    with open("BENCH/SCALING_LATEST.md", "w") as fh:
+        fh.write(body)
     print(json.dumps({f"t{lo}_urls_per_sec": t_lo,
                       f"t{hi}_urls_per_sec": t_hi,
                       "trials": {c: [r["urls_per_sec"] for r in trials[c]]
