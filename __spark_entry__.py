@@ -1009,6 +1009,141 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                        max_hamming=6, n_bits=64)
         return D.connected_components(pairs.select("id_a", "id_b"))
 
+    def q_clip_gate(spark, sf):
+        """LAION-style CLIP image–text alignment gate
+        (functions/multimodal.clip_alignment_gate): every 4th pair
+        gets a deliberately mismatched caption embedding (the
+        (vec_id+37) mod N row), the rest are self-paired (alignment
+        ~1.0) — so the 0.3 threshold exercises both keep and drop.
+        Both engines compute the identical double expression
+        (sequential dot / norm product — the q_semantic_dedup float
+        discipline), so the threshold decision never flips; the
+        exported score is floor-scaled."""
+        from simplecrawler_spark.functions.multimodal import (
+            clip_alignment_gate,
+        )
+
+        emb = _t(spark, sf, "embeddings")
+        n = emb.count()
+        txt = emb.select(F.col("vec_id").alias("txt_id"),
+                         F.col("embedding").alias("txt_emb"))
+        pairs = (emb.select(
+            "vec_id", F.col("embedding").alias("img_emb"),
+            F.when(F.col("vec_id") % 4 == 0,
+                   (F.col("vec_id") + 37) % n)
+            .otherwise(F.col("vec_id")).alias("txt_id"))
+            .join(txt, "txt_id"))
+        out = clip_alignment_gate(pairs, id_col="vec_id", threshold=0.3)
+        return out.select(
+            "vec_id",
+            F.floor(F.col("alignment") * 100000).cast("long")
+            .alias("cos_scaled"),
+            "keep")
+
+    def q_blocklist(spark, sf):
+        """C4-style domain blocklist gate (operators/traps.py
+        blocklist_gate): hosts synthesised across a blocked ad
+        subdomain zone, a blocked parent domain, and a clean zone
+        with one exact-host entry — exercises subdomain suffix
+        matching, longest-match (most-specific) reporting, and the
+        keep flag. Suffix explode + equi hash join in both engines,
+        never a LIKE join."""
+        from simplecrawler_spark.operators.traps import blocklist_gate
+
+        ev = _t(spark, sf, "events")
+        host = F.concat(
+            F.lit("h"), (F.col("event_id") % 50).cast("string"),
+            F.when(F.col("event_id") % 3 == 0, F.lit(".ads.example.com"))
+            .when(F.col("event_id") % 3 == 1, F.lit(".example.com"))
+            .otherwise(F.lit(".clean.org")))
+        urls = ev.select("event_id", F.concat(F.lit("http://"), host,
+                                              F.lit("/p")).alias("url"))
+        bl = spark.createDataFrame(
+            [("ads.example.com",), ("example.com",), ("tracker.net",),
+             ("h7.clean.org",)], "domain string")
+        out = blocklist_gate(urls, bl)
+        # NULL-free export: the driver's rowset sort can't order
+        # NULL-vs-str; clean rows export '' (keep carries the signal)
+        return out.select(
+            "event_id", "url",
+            F.coalesce("blocked_domain", F.lit(""))
+            .alias("blocked_domain"), "keep")
+
+    def q_boilerplate(spark, sf):
+        """CCNet-style line-level boilerplate removal
+        (operators/quality.py strip_boilerplate): deterministic
+        injections give every doc a per-source footer (boilerplate in
+        every group), every 3rd doc a shared subscribe banner
+        (boilerplate once >= 3 docs of a source carry it), and every
+        7th a 5-char line under the min_line_chars=6 exemption (kept
+        even though frequent). Body lines are unique and survive.
+        Cleaned text exports as md5 — the full reassembled string is
+        compared, not just counts."""
+        from simplecrawler_spark.operators.quality import (
+            strip_boilerplate,
+        )
+
+        docs = _t(spark, sf, "documents")
+        text2 = F.concat(
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit("SUBSCRIBE TO OUR NEWSLETTER\n"))
+            .otherwise(F.lit("")),
+            F.col("text"),
+            F.lit("\n(c) 2026 "), F.col("source"),
+            F.lit(" media group"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("\nshort"))
+            .otherwise(F.lit("")))
+        injected = docs.select("doc_id", "source", text2.alias("text"))
+        out = strip_boilerplate(injected, min_docs=3, min_line_chars=6)
+        return out.select(
+            "doc_id", "source", "n_lines", "n_stripped",
+            F.md5("text_clean").alias("clean_md5"))
+
+    def q_epochs(spark, sf):
+        """Weighted epoch assembly (operators/packing.py
+        assemble_epochs): src0 x2.25 (integer copies + md5-bucket
+        fractional 3rd copy), src1 x1, src2 x0.5 (downsample), src3
+        x3 (pure upsample); other sources dropped. Both engines
+        replay the identical md5 bucket + copy fan-out + order-key
+        derivation, so the full (id, copy, order_key) rowset
+        hash-matches."""
+        from simplecrawler_spark.operators.packing import (
+            assemble_epochs,
+        )
+
+        docs = _t(spark, sf, "documents")
+        return assemble_epochs(
+            docs, {"src0": 2.25, "src1": 1.0, "src2": 0.5, "src3": 3.0})
+
+    def q_warc(spark, sf):
+        """WARC source roundtrip (sources/warc.py): format one
+        text-mode WARC archive per source from the documents table
+        (records concatenated in doc_id order), then parse the
+        archives back into records — header fields, Content-Length
+        payload carve, and per-archive record numbering all verified;
+        the payload survives byte-exact (md5 of the carved payload ==
+        md5 of the original text, including multiline bodies)."""
+        from simplecrawler_spark.sources.warc import (
+            parse_warc_text, warc_record_expr,
+        )
+
+        docs = _t(spark, sf, "documents")
+        rec = warc_record_expr(
+            F.lit("response"),
+            F.concat(F.lit("http://site/"),
+                     F.col("doc_id").cast("string")),
+            F.lit("2026-01-01T00:00:00Z"), F.col("text"))
+        arch = (docs.select(F.col("source").alias("file_id"),
+                            "doc_id", rec.alias("r"))
+                .groupBy("file_id")
+                .agg(F.array_join(F.transform(F.array_sort(
+                    F.collect_list(F.struct("doc_id", "r"))),
+                    lambda s: s.r), "").alias("content")))
+        out = parse_warc_text(arch)
+        return out.select(
+            "file_id", "record_no", "warc_type", "url",
+            "content_length", F.md5("payload").alias("payload_md5"))
+
     return {
         "q_canonicalize": q_canonicalize,
         "q_url_dedupe": q_url_dedupe,
@@ -1070,6 +1205,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stratified_sample": q_stratified_sample,
         "q_caption_dups": q_caption_dups,
         "q_sq8_topk": q_sq8_topk,
+        "q_clip_gate": q_clip_gate,
+        "q_blocklist": q_blocklist,
+        "q_boilerplate": q_boilerplate,
+        "q_epochs": q_epochs,
+        "q_warc": q_warc,
     }
 
 
@@ -2440,5 +2580,203 @@ def oracle_sql() -> dict[str, str]:
                               ELSE 0.0 END, 6) AS cosine_q6
             FROM s
             ORDER BY cosine_q6 DESC, vec_id ASC LIMIT 10
+        """,
+        # CLIP alignment gate: identical double shape as Spark (the
+        # q_semantic_dedup discipline) — sequential dot over the cast
+        # double list, sqrt-of-sum norms, raw dot / (na*nb), zero-norm
+        # -> 0.0 — so the 0.3 keep decision can never flip between
+        # engines
+        "q_clip_gate": """
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), n AS (SELECT count(*) AS n FROM embeddings),
+            p AS (
+              SELECT e.vec_id,
+                     CASE WHEN e.vec_id % 4 = 0
+                          THEN (e.vec_id + 37) % n.n
+                          ELSE e.vec_id END AS txt_id,
+                     e.v AS iv
+              FROM e, n
+            ), j AS (
+              SELECT p.vec_id, p.iv, t.v AS tv
+              FROM p JOIN e t ON t.vec_id = p.txt_id
+            ), s AS (
+              SELECT vec_id,
+                     list_aggregate(list_transform(
+                       range(1, len(iv) + 1), i -> iv[i] * tv[i]),
+                       'sum') AS dt,
+                     sqrt(list_aggregate(list_transform(iv, x -> x * x),
+                       'sum')) AS na,
+                     sqrt(list_aggregate(list_transform(tv, x -> x * x),
+                       'sum')) AS nb
+              FROM j
+            ), c AS (
+              SELECT vec_id,
+                     CASE WHEN na > 0 AND nb > 0 THEN dt / (na * nb)
+                          ELSE 0.0 END AS cos
+              FROM s
+            )
+            SELECT vec_id,
+                   floor(cos * 100000)::BIGINT AS cos_scaled,
+                   cos >= 0.3 AS keep
+            FROM c
+        """,
+        # domain blocklist gate: same suffix generation (>= 2 labels,
+        # host itself, no bare TLD), equi join, longest-match reduce
+        "q_blocklist": """
+            WITH u AS (
+              SELECT event_id,
+                     'h' || (event_id % 50)::VARCHAR ||
+                     CASE WHEN event_id % 3 = 0 THEN '.ads.example.com'
+                          WHEN event_id % 3 = 1 THEN '.example.com'
+                          ELSE '.clean.org' END AS host
+              FROM events
+            ), uu AS (
+              SELECT event_id, 'http://' || host || '/p' AS url, host
+              FROM u
+            ), bl(domain) AS (
+              VALUES ('ads.example.com'), ('example.com'),
+                     ('tracker.net'), ('h7.clean.org')
+            ), s AS (
+              SELECT url,
+                     unnest(list_transform(
+                       range(0, greatest(
+                         len(string_split(host, '.')) - 1, 1)),
+                       i -> array_to_string(
+                         string_split(host, '.')[(i+1):], '.'))) AS cand
+              FROM uu
+            ), hits AS (
+              SELECT url, arg_max(cand, len(cand)) AS blocked_domain
+              FROM s JOIN bl ON s.cand = bl.domain
+              GROUP BY url
+            )
+            SELECT uu.event_id, uu.url,
+                   coalesce(hits.blocked_domain, '') AS blocked_domain,
+                   hits.blocked_domain IS NULL AS keep
+            FROM uu LEFT JOIN hits USING (url)
+        """,
+        # line-level boilerplate strip: same injections, same
+        # trim-md5 line keys, same >= min_docs distinct-doc threshold
+        # per source, same < 6-char exemption, same reassembly order
+        "q_boilerplate": """
+            WITH d AS (
+              SELECT doc_id, source,
+                     CASE WHEN doc_id % 3 = 0
+                          THEN 'SUBSCRIBE TO OUR NEWSLETTER' || chr(10)
+                          ELSE '' END
+                     || text || chr(10) || '(c) 2026 ' || source
+                     || ' media group'
+                     || CASE WHEN doc_id % 7 = 0
+                             THEN chr(10) || 'short' ELSE '' END AS text
+              FROM documents
+            ), l AS (
+              SELECT doc_id, source,
+                     unnest(string_split(text, chr(10))) AS line
+              FROM d
+            ), k AS (
+              SELECT source, doc_id, md5(trim(line)) AS lh
+              FROM l WHERE len(trim(line)) >= 6
+            ), bp AS (
+              SELECT source, lh FROM k
+              GROUP BY source, lh HAVING count(DISTINCT doc_id) >= 3
+            ), bs AS (
+              SELECT source, list(lh) AS bl FROM bp GROUP BY source
+            ), o AS (
+              SELECT d.doc_id, d.source,
+                     string_split(d.text, chr(10)) AS ls,
+                     list_filter(string_split(d.text, chr(10)),
+                       x -> len(trim(x)) < 6 OR bs.bl IS NULL
+                            OR NOT list_contains(bs.bl, md5(trim(x))))
+                       AS kept
+              FROM d LEFT JOIN bs USING (source)
+            )
+            SELECT doc_id, source,
+                   len(ls)::BIGINT AS n_lines,
+                   (len(ls) - len(kept))::BIGINT AS n_stripped,
+                   md5(array_to_string(kept, chr(10))) AS clean_md5
+            FROM o
+        """,
+        # epoch assembly: same IEEE-double floor((wt-floor(wt))*1e6)
+        # threshold, same md5-bucket contract, same copy fan-out and
+        # order-key string
+        "q_epochs": """
+            WITH w(source, wt) AS (
+              VALUES ('src0', 2.25::DOUBLE), ('src1', 1.0::DOUBLE),
+                     ('src2', 0.5::DOUBLE), ('src3', 3.0::DOUBLE)
+            ), d AS (
+              SELECT doc_id, dd.source, wt
+              FROM documents dd JOIN w USING (source)
+            ), n AS (
+              SELECT doc_id, source,
+                     floor(wt)::BIGINT
+                     + CASE WHEN (('0x' || substr(
+                           md5('epoch|' || doc_id::VARCHAR),
+                           1, 15))::BIGINT % 1000000)
+                         < floor((wt - floor(wt)) * 1000000)::BIGINT
+                       THEN 1 ELSE 0 END AS n
+              FROM d
+            ), e AS (
+              SELECT doc_id, source, unnest(range(n)) AS copy
+              FROM n WHERE n > 0
+            )
+            SELECT doc_id, source, copy::BIGINT AS copy,
+                   md5('epoch|' || doc_id::VARCHAR || '|'
+                       || copy::VARCHAR) AS order_key
+            FROM e
+        """,
+        # WARC roundtrip: same record format, same marker split (the
+        # leading empty chunk shifts ordinals: 1-based subscripts - 2
+        # == Spark's 0-based posexplode - 1), same header regexes,
+        # same Content-Length payload carve
+        "q_warc": """
+            WITH r AS (
+              SELECT source, doc_id,
+                     'WARC/1.0' || chr(10)
+                     || 'WARC-Type: response' || chr(10)
+                     || 'WARC-Target-URI: http://site/'
+                       || doc_id::VARCHAR || chr(10)
+                     || 'WARC-Date: 2026-01-01T00:00:00Z' || chr(10)
+                     || 'Content-Length: ' || len(text)::VARCHAR
+                       || chr(10) || chr(10)
+                     || text || chr(10) || chr(10) AS rec
+              FROM documents
+            ), a AS (
+              SELECT source AS file_id,
+                     string_agg(rec, '' ORDER BY doc_id) AS content
+              FROM r GROUP BY source
+            ), s AS (
+              SELECT file_id,
+                     string_split_regex(content,
+                       'WARC/1\\.0' || chr(10)) AS l
+              FROM a
+            ), e AS (
+              SELECT file_id, unnest(l) AS rec,
+                     generate_subscripts(l, 1) AS pos
+              FROM s
+            ), p AS (
+              SELECT file_id, (pos - 2)::BIGINT AS record_no, rec
+              FROM e WHERE rec <> ''
+            ), x AS (
+              SELECT file_id, record_no,
+                     regexp_extract(rec,
+                       '(?s)^(.*?)' || chr(10) || chr(10), 1) AS hdrs,
+                     regexp_extract(rec,
+                       '(?s)^.*?' || chr(10) || chr(10) || '(.*)$', 1)
+                       AS body
+              FROM p
+            )
+            SELECT file_id, record_no,
+                   regexp_extract(hdrs,
+                     '(?im)^WARC-Type:\\s*(\\S+)\\s*$', 1) AS warc_type,
+                   regexp_extract(hdrs,
+                     '(?im)^WARC-Target-URI:\\s*(\\S+)\\s*$', 1) AS url,
+                   CAST(regexp_extract(hdrs,
+                     '(?im)^Content-Length:\\s*(\\d+)\\s*$', 1)
+                     AS BIGINT) AS content_length,
+                   md5(substr(body, 1,
+                     CAST(regexp_extract(hdrs,
+                       '(?im)^Content-Length:\\s*(\\d+)\\s*$', 1)
+                       AS BIGINT))) AS payload_md5
+            FROM x
         """,
     }

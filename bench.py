@@ -157,7 +157,8 @@ def pipeline_benches(spark, sf_dir: str) -> dict[str, float]:
              "q_sq8_topk", "q_hits", "q_url_traps", "q_recrawl",
              "q_chunk_docs", "q_sitemap", "q_robots_sitemaps",
              "q_anchor_text", "q_host_backoff", "q_sniff_format",
-             "q_surt_keys"]
+             "q_surt_keys", "q_clip_gate", "q_blocklist",
+             "q_boilerplate", "q_epochs", "q_warc"]
     qs = E.queries()
     for name in names:
         t0 = time.monotonic()

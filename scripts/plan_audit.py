@@ -290,6 +290,49 @@ def main():
                    n_ops(plan, "Exchange") == 0
                    and n_python(plan) == 0, ""))
 
+    # 14j. CLIP alignment gate: the cosine is pure JVM HOFs — the
+    # only exchanges belong to the query's own pair-construction join
+    plan = formatted(qs["q_clip_gate"](spark, SF_DIR))
+    sections.append(("q_clip_gate", plan))
+    checks.append(("clip gate zero Python, no cartesian",
+                   n_python(plan) == 0
+                   and n_ops(plan, "CartesianProduct") == 0, ""))
+
+    # 14k. blocklist gate: suffix explode + BROADCAST equi-join —
+    # never a LIKE/nested-loop scan of the list
+    plan = formatted(qs["q_blocklist"](spark, SF_DIR))
+    sections.append(("q_blocklist", plan))
+    checks.append(("blocklist broadcast equi-join, no nested loop",
+                   n_ops(plan, "BroadcastHashJoin") >= 1
+                   and n_ops(plan, "BroadcastNestedLoopJoin") == 0
+                   and n_ops(plan, "CartesianProduct") == 0
+                   and n_python(plan) == 0, ""))
+
+    # 14l. boilerplate strip: frequency pass shuffles only hash rows,
+    # strip pass joins the per-group sets broadcast; zero Python
+    plan = formatted(qs["q_boilerplate"](spark, SF_DIR))
+    sections.append(("q_boilerplate", plan))
+    checks.append(("boilerplate strip broadcast sets, zero Python",
+                   n_ops(plan, "BroadcastHashJoin") >= 1
+                   and n_python(plan) == 0, ""))
+
+    # 14m. epoch assembly: fan-out + order key are SHUFFLE-FREE (the
+    # epoch's one global sort belongs to the consumer)
+    plan = formatted(qs["q_epochs"](spark, SF_DIR))
+    sections.append(("q_epochs", plan))
+    checks.append(("epoch assembly no Exchange, no Python",
+                   n_ops(plan, "Exchange") == 0
+                   and n_python(plan) == 0, ""))
+
+    # 14n. WARC parse: split/regex/substr in codegen; the only
+    # exchange is the fixture's own per-source archive groupBy
+    plan = formatted(qs["q_warc"](spark, SF_DIR))
+    sections.append(("q_warc", plan))
+    checks.append(("warc parse zero Python, codegen",
+                   n_python(plan) == 0
+                   and ("WholeStageCodegen" in plan
+                        or "codegen id" in plan), ""))
+
     # 15. IVF probe is a partition-pruned scan: non-probed cell
     # directories never reach the file index
     import shutil

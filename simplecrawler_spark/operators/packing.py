@@ -43,7 +43,7 @@ from simplecrawler_spark.functions.text import (
     token_count_expr,
 )
 
-__all__ = ["pack_sequences", "rebalance_mix"]
+__all__ = ["pack_sequences", "rebalance_mix", "assemble_epochs"]
 
 
 def pack_sequences(docs: DataFrame, budget_tokens: int = 4096,
@@ -160,3 +160,61 @@ def rebalance_mix(docs: DataFrame, targets: dict[str, float],
     return (sized.join(F.broadcast(thresholds), source_col)
             .select(id_col, source_col,
                     (bucket < F.col("_thr")).alias("keep")))
+
+
+def assemble_epochs(docs: DataFrame, weights: dict[str, float],
+                    source_col: str = "source", id_col: str = "doc_id",
+                    salt: str = "epoch|") -> DataFrame:
+    """Weighted epoch assembly: replicate each document
+    ``weights[source]`` times (fractional weights round per-document
+    by deterministic md5 bucket — weight 2.25 gives every doc 2
+    copies and a stable 25% of docs a 3rd; weight 0.5 downsamples)
+    and attach a deterministic global shuffle key. This is the
+    "books x2, web x1, wiki x3" mixture knob every pretraining run
+    applies between cleaning and sharding (the UPSAMPLING complement
+    of rebalance_mix, which only downsamples).
+
+    Returns (id_col, source_col, copy, order_key): one row per
+    training copy, ``copy`` in [0, n), ``order_key`` =
+    md5(salt|id|copy) — sorting by it is the epoch shuffle,
+    reproducible across runs, engines, and cluster sizes (rand()
+    is none of those). Sources absent from ``weights`` are dropped.
+
+    Scale shape: ZERO shuffle in this operator — the weight lookup is
+    a literal map, the copy fan-out is an in-codegen explode bounded
+    by ceil(max weight), and the order key is a per-row hash. The
+    epoch's one unavoidable global shuffle belongs to the consumer:
+    ``repartitionByRange(order_key)`` gets uniformly-distributed
+    16-hex keys, so the exchange is balanced regardless of the
+    weights — and a doc's upsampled copies carry different keys, so
+    they spread across the epoch instead of clumping (exactly what
+    repeated-data SGD wants).
+    """
+    import math
+
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be >= 0")
+    # per-source integer (base copies, extra-copy bucket threshold) —
+    # IEEE-double floor identical to the oracle's SQL arithmetic
+    base = {s: int(math.floor(w)) for s, w in weights.items()}
+    thr = {s: int(math.floor((w - math.floor(w)) * SPLIT_BUCKETS))
+           for s, w in weights.items()}
+    base_m = F.create_map(*[F.lit(x) for kv in base.items() for x in kv])
+    thr_m = F.create_map(*[F.lit(x) for kv in thr.items() for x in kv])
+    bucket = hash_long60(F.col(id_col).cast("string"), salt) % SPLIT_BUCKETS
+    n = (base_m[F.col(source_col)]
+         + F.when(bucket < thr_m[F.col(source_col)], 1).otherwise(0))
+    sized = (docs.where(F.col(source_col).isin(list(weights)))
+             .select(F.col(id_col), F.col(source_col), n.alias("_n"))
+             .where(F.col("_n") > 0))
+    out = sized.select(
+        F.col(id_col), F.col(source_col),
+        F.explode(F.sequence(F.lit(0), F.col("_n") - 1)).alias("copy"))
+    order_key = F.md5(F.concat(
+        F.lit(salt), F.col(id_col).cast("string"), F.lit("|"),
+        F.col("copy").cast("string")))
+    return out.select(F.col(id_col), F.col(source_col),
+                      F.col("copy").cast("long").alias("copy"),
+                      order_key.alias("order_key"))

@@ -152,3 +152,59 @@ def quality_buckets(docs: DataFrame, n_buckets: int = 3,
                 / F.sum("_cnt").over(w_all)).cast("int").alias("bucket"))
     return (d.join(buckets, [group_col, "_q"])
             .select(id_col, group_col, "n_tokens", "logprob", "bucket"))
+
+
+def strip_boilerplate(docs: DataFrame, text_col: str = "text",
+                      group_col: str = "source", id_col: str = "doc_id",
+                      min_docs: int = 3, min_line_chars: int = 6,
+                      broadcast_sets: bool = True) -> DataFrame:
+    """CCNet-style line-level boilerplate removal: a line that recurs
+    (trim-normalised) in >= ``min_docs`` DISTINCT documents of the
+    same ``group_col`` (host/source) is template chrome — nav bars,
+    cookie banners, subscribe footers — not content; strip it from
+    every document of the group and reassemble the text in original
+    line order. Lines shorter than ``min_line_chars`` are exempt
+    (too little signal to call boilerplate).
+
+    Returns (id_col, group_col, n_lines, n_stripped, text_clean).
+
+    Scale shape: document TEXT never shuffles — the frequency pass
+    explodes to (group, md5(line), doc) and aggregates on the 32-hex
+    hash (map-side-combinable count-distinct grain), and the strip
+    pass joins each group's BOILERPLATE HASH SET (bounded: only
+    lines crossing the min_docs threshold) back onto the docs by
+    group key — broadcast by default (``broadcast_sets``; a group's
+    chrome vocabulary is tiny next to its corpus), plain hash join
+    otherwise — then filters the doc's own line array with a JVM
+    lambda (md5-in-filter, whole-stage codegen). Two shuffles of
+    skinny hash rows total, zero Python, no text movement.
+    """
+    trimmed = lambda x: F.trim(x)  # noqa: E731 — shared shape
+    lines = F.split(F.col(text_col), "\n")
+
+    keyed = (docs.select(F.col(group_col), F.col(id_col),
+                         F.explode(lines).alias("_line"))
+             .where(F.length(F.trim(F.col("_line"))) >= min_line_chars)
+             .select(group_col, id_col,
+                     F.md5(F.trim(F.col("_line"))).alias("_lh")))
+    bp = (keyed.groupBy(group_col, "_lh")
+          .agg(F.countDistinct(id_col).alias("_nd"))
+          .where(F.col("_nd") >= min_docs))
+    bp_sets = (bp.groupBy(group_col)
+               .agg(F.array_sort(F.collect_set("_lh")).alias("_bl")))
+    if broadcast_sets:
+        bp_sets = F.broadcast(bp_sets)
+
+    joined = docs.join(bp_sets, group_col, "left")
+    kept = F.when(
+        F.col("_bl").isNull(), lines
+    ).otherwise(F.filter(
+        lines,
+        lambda x: (F.length(trimmed(x)) < min_line_chars)
+        | ~F.array_contains(F.col("_bl"), F.md5(trimmed(x)))))
+    return joined.select(
+        F.col(id_col), F.col(group_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        (F.size(lines) - F.size(kept)).cast("long").alias("n_stripped"),
+        F.array_join(kept, "\n").alias("text_clean"),
+    )

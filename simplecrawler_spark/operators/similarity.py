@@ -41,6 +41,17 @@ def _norm(a):
                               F.lit(0.0), lambda acc, v: acc + v))
 
 
+def cosine_cols_expr(a_col, b_col):
+    """Cosine between TWO array columns (row-local, zero-norm-safe →
+    0.0). Same expression shape as the DuckDB twin — raw dot divided
+    by the norm product — per the repo's cross-engine float
+    discipline (see q_semantic_dedup's round-3 ADVICE fix). Pure JVM
+    higher-order functions; no Python, no shuffle."""
+    na, nb = _norm(a_col), _norm(b_col)
+    return F.when((na > 0) & (nb > 0),
+                  _dot(a_col, b_col) / (na * nb)).otherwise(F.lit(0.0))
+
+
 def cosine_expr(vec_col, query: list[float]):
     q = F.array(*[F.lit(float(x)) for x in query])
     qn = math.sqrt(sum(x * x for x in query))

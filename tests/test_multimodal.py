@@ -351,3 +351,41 @@ def test_image_dedup_cluster_finds_planted_pairs(spark):
     # no unrelated merge: every component is {k, k+offset}
     for r in comp.values():
         assert r.doc_id % NEAR_DUP_ID_OFFSET == r.component
+
+
+def test_clip_alignment_gate(spark):
+    """Self-paired embeddings score exactly 1.0 (within float ulps of
+    the same double expression numpy computes); orthogonal pairs score
+    0; anti-parallel scores -1; a zero-norm embedding (encoder failure
+    sentinel) scores 0.0 and drops rather than NaN-ing the gate."""
+    rows = [
+        ("same", [1.0, 2.0, 3.0], [1.0, 2.0, 3.0]),
+        ("orth", [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]),
+        ("anti", [1.0, 0.0, 0.0], [-1.0, 0.0, 0.0]),
+        ("zero", [0.0, 0.0, 0.0], [1.0, 2.0, 3.0]),
+        ("mid", [1.0, 1.0, 0.0], [1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, img_emb array<float>, txt_emb array<float>")
+    got = {r.image_id: r for r in
+           MM.clip_alignment_gate(df, threshold=0.5).collect()}
+    assert got["same"].alignment == pytest.approx(1.0) and got["same"].keep
+    assert got["orth"].alignment == 0.0 and not got["orth"].keep
+    assert got["anti"].alignment == pytest.approx(-1.0)
+    assert got["zero"].alignment == 0.0 and not got["zero"].keep
+    # cos(45°) = 1/sqrt(2): the numeric value, not just the flag
+    assert got["mid"].alignment == pytest.approx(1.0 / np.sqrt(2.0))
+    assert got["mid"].keep  # 0.707 >= 0.5
+
+
+def test_clip_gate_plan_is_pure_jvm(spark):
+    """The gate must stay narrow and JVM-side: no Exchange, no
+    Python eval in the physical plan (at 10^10 pairs the gate runs
+    where the rows live, ahead of any decode or shuffle)."""
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0], [1.0, 0.0])],
+        "image_id string, img_emb array<float>, txt_emb array<float>")
+    plan = (MM.clip_alignment_gate(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "BatchEvalPython" not in plan

@@ -116,3 +116,61 @@ def test_rebalance_mix_validates_fractions(spark):
         rebalance_mix(docs, {"web": 0.5})          # sums to 0.5
     with pytest.raises(ValueError):
         rebalance_mix(docs, {"web": 1.2, "books": -0.2})
+
+
+def test_assemble_epochs_copy_counts(spark):
+    """Integer weights give exact copy counts; fractional weight 2.5
+    gives 2 or 3 copies per doc with ~half the docs taking the 3rd;
+    weight 0.5 downsamples to ~half; unlisted sources are dropped."""
+    from simplecrawler_spark.operators.packing import assemble_epochs
+
+    docs = spark.createDataFrame(
+        [(i, ["a", "b", "c", "z"][i % 4]) for i in range(400)],
+        "doc_id long, source string")
+    out = assemble_epochs(docs, {"a": 2.0, "b": 2.5, "c": 0.5})
+    per = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert per["a"] == 200                 # exactly 2x of 100 docs
+    assert 220 <= per["b"] <= 280          # ~2.5x of 100
+    assert 30 <= per["c"] <= 70            # ~0.5x of 100
+    assert "z" not in per
+    # per-doc copy numbering is dense 0..n-1
+    copies = (out.where(F.col("source") == "a")
+              .groupBy("doc_id").agg(F.sort_array(
+                  F.collect_list("copy")).alias("cs")).collect())
+    assert all(r.cs == [0, 1] for r in copies)
+
+
+def test_assemble_epochs_deterministic_and_unique_keys(spark):
+    from simplecrawler_spark.operators.packing import assemble_epochs
+
+    docs = spark.createDataFrame(
+        [(i, "a") for i in range(50)], "doc_id long, source string")
+    a = sorted(map(tuple, assemble_epochs(docs, {"a": 1.75}).collect()))
+    b = sorted(map(tuple, assemble_epochs(docs, {"a": 1.75}).collect()))
+    assert a == b  # reproducible across runs
+    keys = [t[3] for t in a]
+    assert len(set(keys)) == len(keys)  # order_key unique per copy
+
+
+def test_assemble_epochs_plan_has_no_exchange(spark):
+    """The operator itself must not shuffle — fan-out and keying are
+    narrow; the epoch's one global sort belongs to the consumer."""
+    from simplecrawler_spark.operators.packing import assemble_epochs
+
+    docs = spark.createDataFrame(
+        [(1, "a")], "doc_id long, source string")
+    plan = (assemble_epochs(docs, {"a": 2.0})
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_assemble_epochs_validates_weights(spark):
+    from simplecrawler_spark.operators.packing import assemble_epochs
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    with pytest.raises(ValueError):
+        assemble_epochs(docs, {})
+    with pytest.raises(ValueError):
+        assemble_epochs(docs, {"a": -1.0})

@@ -915,3 +915,63 @@ def test_pq_bad_m_raises(spark):
 
     with pytest.raises(ValueError, match="not divisible"):
         pq_train(_pq_emb(spark), m=7)
+
+
+def test_strip_boilerplate_per_group(spark):
+    """Boilerplate frequency is scoped to the group: the banner crosses
+    min_docs in source 's' only, so 't' keeps it; lines under
+    min_line_chars are exempt however frequent; reassembly preserves
+    original line order; a group with no boilerplate passes through
+    byte-identical."""
+    from simplecrawler_spark.operators.quality import strip_boilerplate
+
+    rows = [
+        (0, "s", "BANNER LINE\nbody zero\nok\nfooter common"),
+        (1, "s", "BANNER LINE\nbody one\nfooter common"),
+        (2, "s", "body two\nBANNER LINE\nfooter common"),
+        (3, "t", "BANNER LINE\nbody three"),
+        (4, "t", "solo text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r.doc_id: r for r in
+           strip_boilerplate(df, min_docs=3, min_line_chars=3)
+           .collect()}
+    # both 3x lines stripped in 's'; 'ok' (2 chars) exempt
+    assert got[0].text_clean == "body zero\nok"
+    assert got[0].n_lines == 4 and got[0].n_stripped == 2
+    assert got[1].text_clean == "body one"
+    assert got[2].text_clean == "body two"  # mid-doc position stripped
+    # 't' has only one BANNER LINE doc — below min_docs, kept
+    assert got[3].text_clean == "BANNER LINE\nbody three"
+    assert got[4].text_clean == "solo text" and got[4].n_stripped == 0
+
+
+def test_strip_boilerplate_trim_normalisation(spark):
+    """'  footer ' and 'footer' count as the same line for frequency,
+    and both forms are stripped — but kept lines keep their original
+    bytes."""
+    from simplecrawler_spark.operators.quality import strip_boilerplate
+
+    rows = [(0, "s", "  footer \n body A"), (1, "s", "footer\nbody B"),
+            (2, "s", "footer\nbody C")]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r.doc_id: r for r in
+           strip_boilerplate(df, min_docs=3, min_line_chars=3)
+           .collect()}
+    assert got[0].text_clean == " body A"  # original bytes preserved
+    assert got[1].text_clean == "body B"
+    assert all(got[k].n_stripped == 1 for k in (0, 1, 2))
+
+
+def test_strip_boilerplate_no_text_shuffle(spark):
+    """The frequency pass shuffles only (group, md5) rows and the
+    strip pass joins a broadcast per-group hash set — the plan must
+    show the broadcast and no Python anywhere."""
+    from simplecrawler_spark.operators.quality import strip_boilerplate
+
+    df = spark.createDataFrame(
+        [(0, "s", "a line here\nmore")], "doc_id long, source string, text string")
+    plan = (strip_boilerplate(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    assert "Python" not in plan

@@ -118,3 +118,57 @@ def test_trap_filter_gates_the_frontier(spark, tmp_path):
 
     off = visited(False)
     assert {ok, trap_sess, trap_cal} <= off
+
+
+def test_host_suffixes_expr(spark):
+    from simplecrawler_spark.operators.traps import host_suffixes_expr
+
+    rows = [("http://a.B.Example.com:8080/x?y#z",),
+            ("https://user:pw@deep.ads.net/",),
+            ("http://localhost/p",),
+            ("not a url",)]
+    df = spark.createDataFrame(rows, "url string")
+    got = [r.s for r in
+           df.select(host_suffixes_expr(F.col("url")).alias("s"))
+           .collect()]
+    assert got[0] == ["a.b.example.com", "b.example.com", "example.com"]
+    assert got[1] == ["deep.ads.net", "ads.net"]
+    assert got[2] == ["localhost"]
+    assert got[3] == []
+
+
+def test_blocklist_gate_subdomain_and_longest_match(spark):
+    from simplecrawler_spark.operators.traps import blocklist_gate
+
+    urls = spark.createDataFrame(
+        [(1, "http://x.ads.example.com/p"),   # both entries match
+         (2, "http://www.example.com/q"),     # parent only
+         (3, "http://example.org/r"),         # clean
+         (4, "http://ads.example.com/s"),     # exact entry
+         (5, "http://notexample.com/t")],     # suffix is LABEL-wise
+        "id long, url string")
+    bl = spark.createDataFrame(
+        [("example.com",), ("ads.example.com",)], "domain string")
+    got = {r.id: r for r in blocklist_gate(urls, bl).collect()}
+    assert got[1].blocked_domain == "ads.example.com"  # most specific
+    assert got[2].blocked_domain == "example.com"
+    assert got[3].blocked_domain is None and got[3].keep
+    assert got[4].blocked_domain == "ads.example.com"
+    # 'notexample.com' must NOT match 'example.com' (no substring join)
+    assert got[5].keep
+
+
+def test_blocklist_gate_broadcasts_small_list(spark):
+    """With broadcast_list=True (the curated-list case) the blocklist
+    side must hash-join broadcast — no shuffle of the URL rows for
+    the candidate join, and never a cartesian/LIKE scan."""
+    from simplecrawler_spark.operators.traps import blocklist_gate
+
+    urls = spark.createDataFrame(
+        [(1, "http://a.example.com/p")], "id long, url string")
+    bl = spark.createDataFrame([("example.com",)], "domain string")
+    plan = (blocklist_gate(urls, bl)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
