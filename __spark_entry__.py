@@ -1144,6 +1144,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "file_id", "record_no", "warc_type", "url",
             "content_length", F.md5("payload").alias("payload_md5"))
 
+    def q_wet(spark, sf):
+        """WET-style visible-text extraction (operators/parse.py
+        extract_visible_text): each doc's text is wrapped in a full
+        HTML page — title, script AND style payloads (must vanish),
+        an entity-bearing heading (&amp; must unescape), an inline
+        anchor (must contribute its text, no break) — and the
+        extractor's output is compared against the EXPECTED extraction
+        composed directly in SQL (partial-oracle discipline, like
+        q_image_features: the parse itself is stdlib-parser Python,
+        the relational residue is exact). Fixture texts are
+        HTML-char-free (verified), so composition is exact."""
+        from simplecrawler_spark.operators.parse import (
+            extract_visible_text,
+        )
+
+        docs = _t(spark, sf, "documents")
+        d = F.col("doc_id").cast("string")
+        html = F.concat(
+            F.lit("<html><head><title>Doc "), d,
+            F.lit("</title><script>var x = 1;</script>"
+                  "<style>p{color:red}</style></head><body><h1>Doc "),
+            d, F.lit(" &amp; heading</h1><p>"), F.col("text"),
+            F.lit('</p><p>Visit <a href="/x">link '), d,
+            F.lit("</a> now.</p></body></html>"))
+        out = docs.select(
+            "doc_id", extract_visible_text(html).alias("wet"))
+        return out.select(
+            "doc_id", F.length("wet").cast("long").alias("n_chars"),
+            F.md5("wet").alias("wet_md5"))
+
     return {
         "q_canonicalize": q_canonicalize,
         "q_url_dedupe": q_url_dedupe,
@@ -1210,6 +1240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_boilerplate": q_boilerplate,
         "q_epochs": q_epochs,
         "q_warc": q_warc,
+        "q_wet": q_wet,
     }
 
 
@@ -2778,5 +2809,29 @@ def oracle_sql() -> dict[str, str]:
                        '(?im)^Content-Length:\\s*(\\d+)\\s*$', 1)
                        AS BIGINT))) AS payload_md5
             FROM x
+        """,
+        # WET extraction: the oracle composes the EXPECTED visible
+        # text directly — title block, unescaped heading,
+        # whitespace-collapsed body, inline anchor text joined into
+        # its sentence — script/style payloads absent
+        "q_wet": """
+            WITH c AS (
+              SELECT doc_id,
+                     trim(regexp_replace(text, '\\s+', ' ', 'g'))
+                       AS body
+              FROM documents
+            ), e AS (
+              SELECT doc_id,
+                     'Doc ' || doc_id::VARCHAR || chr(10)
+                     || 'Doc ' || doc_id::VARCHAR || ' & heading'
+                       || chr(10)
+                     || body || chr(10)
+                     || 'Visit link ' || doc_id::VARCHAR || ' now.'
+                       AS wet
+              FROM c
+            )
+            SELECT doc_id, len(wet)::BIGINT AS n_chars,
+                   md5(wet) AS wet_md5
+            FROM e
         """,
     }

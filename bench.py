@@ -158,19 +158,62 @@ def pipeline_benches(spark, sf_dir: str) -> dict[str, float]:
              "q_chunk_docs", "q_sitemap", "q_robots_sitemaps",
              "q_anchor_text", "q_host_backoff", "q_sniff_format",
              "q_surt_keys", "q_clip_gate", "q_blocklist",
-             "q_boilerplate", "q_epochs", "q_warc"]
+             "q_boilerplate", "q_epochs", "q_warc", "q_wet"]
     qs = E.queries()
     for name in names:
         t0 = time.monotonic()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.monotonic() - t0, 3)
     timings["substring_rolling"] = substring_rolling_bench(spark, sf_dir)
+    timings["warc_wet_pipeline"] = warc_wet_bench(spark, sf_dir)
     timings["image_validate"] = image_bench(spark)
     timings["image_neardup"] = image_neardup_bench(spark)
     timings["image_cluster"] = image_cluster_bench(spark)
     timings.update(expiry_bench(spark))
     timings["lsh_pairs_capped"] = lsh_capped_bench(spark)
     return timings
+
+
+def warc_wet_bench(spark, sf_dir: str) -> float:
+    """End-to-end archive→corpus ingest: format per-source WARC shards
+    (HTML-wrapped payloads), parse the records back, WET-extract the
+    visible text, and run the composite corpus clean — the integrated
+    Common-Crawl-style path (WARC → WET → cleaned corpus) as ONE
+    lazy plan; times everything from the archive strings on."""
+    from pyspark.sql import functions as F
+
+    from simplecrawler_spark.operators.dedup import clean_corpus
+    from simplecrawler_spark.operators.parse import extract_visible_text
+    from simplecrawler_spark.sources.warc import (
+        parse_warc_text, warc_record_expr,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    d = F.col("doc_id").cast("string")
+    html = F.concat(F.lit("<html><head><title>Doc "), d,
+                    F.lit("</title></head><body><p>"), F.col("text"),
+                    F.lit("</p></body></html>"))
+    rec = warc_record_expr(F.lit("response"),
+                           F.concat(F.lit("http://site/"), d),
+                           F.lit("2026-01-01T00:00:00Z"), html)
+    arch = (docs.select(F.col("source").alias("file_id"), "doc_id",
+                        rec.alias("r"))
+            .groupBy("file_id")
+            .agg(F.array_join(F.transform(F.array_sort(F.collect_list(
+                F.struct("doc_id", "r"))), lambda s: s.r), "")
+                .alias("content")))
+    arch.persist().count()  # stage the archives; time the ingest only
+    t0 = time.monotonic()
+    parsed = parse_warc_text(arch)
+    wet = parsed.select(
+        F.regexp_extract("url", r"(\d+)$", 1).cast("long")
+        .alias("doc_id"),
+        extract_visible_text("payload").alias("text"))
+    (clean_corpus(wet)
+     .write.format("noop").mode("overwrite").save())
+    wall = round(time.monotonic() - t0, 3)
+    arch.unpersist()
+    return wall
 
 
 def substring_rolling_bench(spark, sf_dir: str) -> float:

@@ -333,6 +333,15 @@ def main():
                    and ("WholeStageCodegen" in plan
                         or "codegen id" in plan), ""))
 
+    # 14o. WET extraction: exactly ONE Arrow-batch eval (the stdlib
+    # parser), no Exchange — fuses with the fetch/decode stage
+    plan = formatted(qs["q_wet"](spark, SF_DIR))
+    sections.append(("q_wet", plan))
+    checks.append(("wet extraction one Arrow eval, no Exchange",
+                   n_ops(plan, "ArrowEvalPython") == 1
+                   and n_ops(plan, "Exchange") == 0,
+                   f"arrow_evals={n_ops(plan, 'ArrowEvalPython')}"))
+
     # 15. IVF probe is a partition-pruned scan: non-probed cell
     # directories never reach the file index
     import shutil

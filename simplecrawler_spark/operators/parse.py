@@ -537,6 +537,87 @@ def extract_anchor_pairs(bodies: pd.Series) -> pd.Series:
         for body in bodies])
 
 
+# --- WET-style visible-text extraction -------------------------------------
+
+# tags whose TEXT CONTENT is invisible (script/style are CDATA to
+# HTMLParser, so their payload arrives as one handle_data call)
+_SKIP_TEXT_TAGS = {"script", "style", "noscript", "template"}
+
+# tags that delimit text blocks (WET convention: block-level markup
+# becomes a line break; inline markup — a, b, i, span, em, code … —
+# contributes nothing)
+_BLOCK_TAGS = {
+    "html", "head", "body", "title", "h1", "h2", "h3", "h4", "h5",
+    "h6", "p", "div", "section", "article", "header", "footer",
+    "nav", "aside", "ul", "ol", "li", "dl", "dt", "dd", "table",
+    "thead", "tbody", "tr", "td", "th", "br", "hr", "blockquote",
+    "pre", "form", "main", "figure", "figcaption",
+}
+
+_BREAK = "\x00"  # block sentinel: can't collide with source newlines
+
+
+class _VisibleTextCollector(HTMLParser):
+    """Visible text in document order: skip script/style/noscript/
+    template content, break blocks at block-level tags, unescape
+    entities (HTMLParser does), collapse whitespace within a block,
+    drop empty blocks, join blocks with newline."""
+
+    def __init__(self):
+        super().__init__()
+        self._skip = 0
+        self._parts: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _SKIP_TEXT_TAGS:
+            self._skip += 1
+        elif tag in _BLOCK_TAGS:
+            self._parts.append(_BREAK)
+
+    def handle_endtag(self, tag):
+        if tag in _SKIP_TEXT_TAGS:
+            self._skip = max(0, self._skip - 1)
+        elif tag in _BLOCK_TAGS:
+            self._parts.append(_BREAK)
+
+    def handle_data(self, data):
+        if not self._skip:
+            self._parts.append(data)
+
+    def text(self) -> str:
+        blocks = "".join(self._parts).split(_BREAK)
+        collapsed = (" ".join(b.split()) for b in blocks)
+        return "\n".join(b for b in collapsed if b)
+
+
+def text_from_html(html: str) -> str:
+    """Pure-Python core of WET extraction (Common Crawl's WET files
+    are exactly this: the WARC response payloads re-emitted as
+    extracted visible text — the ingest format of every open
+    pretraining corpus). Same stdlib-parser parity discipline as
+    hrefs (reference parser.py:11-56 keeps hrefs only; text is the
+    engine's corpus-side extension). Bad HTML is best-effort, never
+    an exception."""
+    c = _VisibleTextCollector()
+    try:
+        c.feed(html)
+        c.close()
+    except Exception:
+        pass  # parity: bad HTML ignored (parser.py:39-42)
+    return c.text()
+
+
+@F.pandas_udf(T.StringType())
+def extract_visible_text(bodies: pd.Series) -> pd.Series:
+    """Arrow-batch WET extraction over a body column. One narrow
+    stage, features-sized output (text, not markup) — at 100 TB this
+    runs fused with the fetch/decode pass and is what feeds every
+    downstream text operator (clean_corpus, dedup, quality)."""
+    return pd.Series([
+        None if body is None else text_from_html(body)
+        for body in bodies])
+
+
 def anchor_text_agg(pairs: DataFrame, href_col: str = "href",
                     text_col: str = "text") -> DataFrame:
     """Aggregate harvested anchor pairs into the per-target signal

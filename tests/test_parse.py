@@ -249,3 +249,46 @@ def test_anchor_text_agg_modal_and_tiebreak(spark):
             got["/t"].top_text) == (5, 3, "alpha")
     assert (got["/u"].n_refs, got["/u"].n_texts,
             got["/u"].top_text) == (1, 1, "only")
+
+
+# --- WET-style visible-text extraction --------------------------------------
+
+def test_text_from_html_semantics():
+    from simplecrawler_spark.operators.parse import text_from_html
+
+    html = ("<html><head><title>T</title><script>var x = '<p>no</p>';"
+            "</script><style>p{color:red}</style></head><body>"
+            "<h1>A &amp; B</h1><p>first   para</p>"
+            "<p>Visit <a href='/x'>the link</a> now.</p>"
+            "<div>block<br>break</div>"
+            "<noscript>hidden</noscript></body></html>")
+    assert text_from_html(html) == (
+        "T\nA & B\nfirst para\nVisit the link now.\nblock\nbreak")
+
+
+def test_text_from_html_edges():
+    from simplecrawler_spark.operators.parse import text_from_html
+
+    # source newlines are whitespace, not block breaks
+    assert text_from_html("<p>a\nb</p>") == "a b"
+    # empty blocks vanish
+    assert text_from_html("<p></p><p>x</p><p>  </p>") == "x"
+    # malformed markup is best-effort, never raises (HTMLParser
+    # emits an unterminated '<tag' as trailing data — parity)
+    assert text_from_html("<p>ok<unclosed") == "ok<unclosed"
+    assert text_from_html("") == ""
+    # unclosed script swallows its payload only up to EOF (invisible)
+    assert text_from_html("<p>seen</p><script>var x=1;") == "seen"
+
+
+def test_extract_visible_text_udf(spark):
+    from simplecrawler_spark.operators.parse import extract_visible_text
+
+    df = spark.createDataFrame(
+        [(1, "<body><h2>hi</h2><p>there</p></body>"), (2, None)],
+        "id long, body string")
+    got = {r.id: r.wet for r in
+           df.select("id", extract_visible_text("body").alias("wet"))
+           .collect()}
+    assert got[1] == "hi\nthere"
+    assert got[2] is None
