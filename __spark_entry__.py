@@ -1174,6 +1174,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", F.length("wet").cast("long").alias("n_chars"),
             F.md5("wet").alias("wet_md5"))
 
+    def q_bpe_pairs(spark, sf):
+        """BPE training statistics (functions/bpe.py pair_counts over
+        word_freqs): adjacent-symbol-pair counts weighted by word
+        frequency — iteration 0 of the merge loop, the corpus-scale
+        half of tokenizer training. Top 40 by (count desc, pair asc)
+        — the same deterministic tie-break bpe_train uses. The merge
+        LOOP itself is bounded driver state and pytest-pinned
+        (tests/test_bpe.py), the IVF-k-means/PQ boundary."""
+        from simplecrawler_spark.functions import bpe
+
+        docs = _t(spark, sf, "documents")
+        pc = bpe.pair_counts(bpe.word_freqs(docs))
+        return (pc.orderBy(F.col("pair_count").desc(), "a", "b")
+                .limit(40).select("a", "b", "pair_count"))
+
     return {
         "q_canonicalize": q_canonicalize,
         "q_url_dedupe": q_url_dedupe,
@@ -1241,6 +1256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_epochs": q_epochs,
         "q_warc": q_warc,
         "q_wet": q_wet,
+        "q_bpe_pairs": q_bpe_pairs,
     }
 
 
@@ -2833,5 +2849,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, len(wet)::BIGINT AS n_chars,
                    md5(wet) AS wet_md5
             FROM e
+        """,
+        # BPE pair statistics: same tokenisation, same char+</w>
+        # symbol sequence, same freq-weighted adjacent-pair sum,
+        # same (count desc, pair asc) deterministic top-40
+        "q_bpe_pairs": f"""
+            WITH t AS (
+              SELECT {_ORACLE_TOKS} AS toks FROM documents
+            ), w AS (
+              SELECT unnest(toks) AS word FROM t
+            ), f AS (
+              SELECT word, count(*) AS freq FROM w GROUP BY word
+            ), s AS (
+              SELECT freq,
+                     list_append(list_transform(
+                       range(1, len(word) + 1), i -> word[i]),
+                       '</w>') AS syms
+              FROM f
+            ), p AS (
+              SELECT freq,
+                     unnest(list_transform(range(1, len(syms)),
+                       i -> {{'a': syms[i], 'b': syms[i+1]}})) AS pr
+              FROM s
+            )
+            SELECT pr.a AS a, pr.b AS b,
+                   sum(freq)::BIGINT AS pair_count
+            FROM p GROUP BY 1, 2
+            ORDER BY pair_count DESC, a, b LIMIT 40
         """,
     }

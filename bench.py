@@ -158,7 +158,8 @@ def pipeline_benches(spark, sf_dir: str) -> dict[str, float]:
              "q_chunk_docs", "q_sitemap", "q_robots_sitemaps",
              "q_anchor_text", "q_host_backoff", "q_sniff_format",
              "q_surt_keys", "q_clip_gate", "q_blocklist",
-             "q_boilerplate", "q_epochs", "q_warc", "q_wet"]
+             "q_boilerplate", "q_epochs", "q_warc", "q_wet",
+             "q_bpe_pairs"]
     qs = E.queries()
     for name in names:
         t0 = time.monotonic()
@@ -166,6 +167,7 @@ def pipeline_benches(spark, sf_dir: str) -> dict[str, float]:
         timings[name] = round(time.monotonic() - t0, 3)
     timings["substring_rolling"] = substring_rolling_bench(spark, sf_dir)
     timings["warc_wet_pipeline"] = warc_wet_bench(spark, sf_dir)
+    timings["bpe_train_encode"] = bpe_bench(spark, sf_dir)
     timings["image_validate"] = image_bench(spark)
     timings["image_neardup"] = image_neardup_bench(spark)
     timings["image_cluster"] = image_cluster_bench(spark)
@@ -214,6 +216,21 @@ def warc_wet_bench(spark, sf_dir: str) -> float:
     wall = round(time.monotonic() - t0, 3)
     arch.unpersist()
     return wall
+
+
+def bpe_bench(spark, sf_dir: str) -> float:
+    """Tokenizer path end-to-end: train 100 BPE merges from the
+    corpus (distributed word counts + bounded driver merge loop),
+    then encode every document with the learned table (Arrow-batch,
+    word-memoised)."""
+    from simplecrawler_spark.functions import bpe
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    t0 = time.monotonic()
+    merges = bpe.bpe_train(docs, n_merges=100, max_words=200_000)
+    (bpe.bpe_encode(docs, merges)
+     .write.format("noop").mode("overwrite").save())
+    return round(time.monotonic() - t0, 3)
 
 
 def substring_rolling_bench(spark, sf_dir: str) -> float:

@@ -342,6 +342,16 @@ def main():
                    and n_ops(plan, "Exchange") == 0,
                    f"arrow_evals={n_ops(plan, 'ArrowEvalPython')}"))
 
+    # 14p. BPE pair statistics: the corpus-scale half of tokenizer
+    # training is pure JVM, partial-aggregated, top-k via TakeOrdered
+    plan = formatted(qs["q_bpe_pairs"](spark, SF_DIR))
+    sections.append(("q_bpe_pairs", plan))
+    checks.append(("bpe pair stats pure JVM, partial agg, TakeOrdered",
+                   n_python(plan) == 0
+                   and "partial" in plan.lower()
+                   and n_ops(plan, "TakeOrderedAndProject") >= 1
+                   and n_ops(plan, "Sort") == 0, ""))
+
     # 15. IVF probe is a partition-pruned scan: non-probed cell
     # directories never reach the file index
     import shutil
