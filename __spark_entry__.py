@@ -1189,6 +1189,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (pc.orderBy(F.col("pair_count").desc(), "a", "b")
                 .limit(40).select("a", "b", "pair_count"))
 
+    def q_gopher(spark, sf):
+        """Gopher document-shape rules (operators/quality.py
+        gopher_rules): injections plant each failure mode — every 7th
+        doc becomes a bullet line (bullet_ok), every 5th gains
+        '#'/'...' symbol spam (symbol_ok), every 4th gains extra
+        stopwords — and every ratio is an exact int64
+        cross-multiplication, so no flag can flip between engines."""
+        from simplecrawler_spark.operators.quality import gopher_rules
+
+        docs = _t(spark, sf, "documents")
+        text2 = F.concat(
+            F.when(F.col("doc_id") % 7 == 0, F.lit("- "))
+            .otherwise(F.lit("")),
+            F.col("text"),
+            F.when(F.col("doc_id") % 4 == 0,
+                   F.lit(" of the data have")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.lit(" ## ... ## ... ## ... ## ..."))
+            .otherwise(F.lit("")))
+        return gopher_rules(
+            docs.select("doc_id", text2.alias("text")), min_words=10)
+
+    def q_c4(spark, sf):
+        """C4 line+doc cleaning rules (operators/quality.py
+        c4_line_rules): synthesised multi-line docs exercise the
+        terminal-punctuation/min-words line gate, the javascript
+        line drop (every 6th doc), and the '{' / 'lorem ipsum'
+        whole-doc drops (every 9th / 11th); cleaned text exports as
+        md5."""
+        from simplecrawler_spark.operators.quality import c4_line_rules
+
+        docs = _t(spark, sf, "documents")
+        text2 = F.concat(
+            F.lit("This sentence about "), F.col("source"),
+            F.lit(" has plenty of words.\nshort line\n"),
+            F.col("text"), F.lit("."),
+            F.lit("\nHere is another complete sentence with "
+                  "enough words."),
+            F.when(F.col("doc_id") % 6 == 0,
+                   F.lit("\nEnable javascript to view comments on "
+                         "this page.")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 9 == 0,
+                   F.lit("\nif (x) { return }")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0,
+                   F.lit("\nLorem ipsum dolor sit amet text filler."))
+            .otherwise(F.lit("")))
+        out = c4_line_rules(docs.select("doc_id", text2.alias("text")))
+        return out.select(
+            "doc_id", "n_lines", "n_kept", "has_brace", "has_lorem",
+            "keep", F.md5("text_clean").alias("clean_md5"))
+
     return {
         "q_canonicalize": q_canonicalize,
         "q_url_dedupe": q_url_dedupe,
@@ -1257,6 +1308,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_warc": q_warc,
         "q_wet": q_wet,
         "q_bpe_pairs": q_bpe_pairs,
+        "q_gopher": q_gopher,
+        "q_c4": q_c4,
     }
 
 
@@ -2876,5 +2929,122 @@ def oracle_sql() -> dict[str, str]:
                    sum(freq)::BIGINT AS pair_count
             FROM p GROUP BY 1, 2
             ORDER BY pair_count DESC, a, b LIMIT 40
+        """,
+        # Gopher rules: same injections, same whitespace-word split,
+        # same exact-int64 cross-multiplied ratio comparisons
+        "q_gopher": """
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0 THEN '- ' ELSE '' END
+                     || text
+                     || CASE WHEN doc_id % 4 = 0
+                             THEN ' of the data have' ELSE '' END
+                     || CASE WHEN doc_id % 5 = 0
+                             THEN ' ## ... ## ... ## ... ## ...'
+                             ELSE '' END AS text
+              FROM documents
+            ), m AS (
+              SELECT doc_id, text,
+                     list_filter(regexp_split_to_array(text, '\\s+'),
+                                 x -> x <> '') AS words,
+                     list_transform(string_split(text, chr(10)),
+                                    l -> trim(l)) AS tl
+              FROM d
+            ), s AS (
+              SELECT doc_id,
+                     len(words)::BIGINT AS n_words,
+                     list_aggregate(list_transform(words,
+                       w -> len(w)::BIGINT), 'sum') AS total_chars,
+                     len(list_filter(words, w ->
+                       regexp_matches(w, '[a-zA-Z]')))::BIGINT
+                       AS n_alpha,
+                     (len(text)
+                      - len(replace(text, '#', '')))::BIGINT AS n_hash,
+                     ((len(text) - len(replace(text, '...', '')))
+                      // 3)::BIGINT AS n_dots,
+                     len(tl)::BIGINT AS n_lines,
+                     len(list_filter(tl, l -> l LIKE '- %'
+                       OR l LIKE '* %' OR l LIKE chr(8226) || '%'))
+                       ::BIGINT AS n_bullet,
+                     len(list_filter(tl, l -> l LIKE '%...'))::BIGINT
+                       AS n_ell,
+                     (list_contains(list_transform(words,
+                        w -> lower(w)), 'the')::INT
+                      + list_contains(list_transform(words,
+                        w -> lower(w)), 'be')::INT
+                      + list_contains(list_transform(words,
+                        w -> lower(w)), 'to')::INT
+                      + list_contains(list_transform(words,
+                        w -> lower(w)), 'of')::INT
+                      + list_contains(list_transform(words,
+                        w -> lower(w)), 'and')::INT
+                      + list_contains(list_transform(words,
+                        w -> lower(w)), 'that')::INT
+                      + list_contains(list_transform(words,
+                        w -> lower(w)), 'have')::INT
+                      + list_contains(list_transform(words,
+                        w -> lower(w)), 'with')::INT)::BIGINT AS n_stop
+              FROM m
+            )
+            SELECT doc_id, n_words,
+                   (n_words >= 10 AND n_words <= 100000) AS words_ok,
+                   (total_chars >= 3 * n_words
+                    AND total_chars <= 10 * n_words) AS wordlen_ok,
+                   (10 * (n_hash + n_dots) <= n_words) AS symbol_ok,
+                   (10 * n_bullet <= 9 * n_lines) AS bullet_ok,
+                   (10 * n_ell <= 3 * n_lines) AS ellipsis_ok,
+                   (5 * n_alpha >= 4 * n_words) AS alpha_ok,
+                   (n_stop >= 2) AS stopword_ok,
+                   ((n_words >= 10 AND n_words <= 100000)
+                    AND (total_chars >= 3 * n_words
+                         AND total_chars <= 10 * n_words)
+                    AND (10 * (n_hash + n_dots) <= n_words)
+                    AND (10 * n_bullet <= 9 * n_lines)
+                    AND (10 * n_ell <= 3 * n_lines)
+                    AND (5 * n_alpha >= 4 * n_words)
+                    AND (n_stop >= 2)) AS keep
+            FROM s
+        """,
+        # C4 rules: same line synthesis, same terminal-punct +
+        # min-words + javascript line gate, same doc-level drops
+        "q_c4": """
+            WITH d AS (
+              SELECT doc_id,
+                     'This sentence about ' || source
+                     || ' has plenty of words.' || chr(10)
+                     || 'short line' || chr(10) || text || '.'
+                     || chr(10)
+                     || 'Here is another complete sentence with '
+                     || 'enough words.'
+                     || CASE WHEN doc_id % 6 = 0 THEN chr(10)
+                          || 'Enable javascript to view comments on '
+                          || 'this page.' ELSE '' END
+                     || CASE WHEN doc_id % 9 = 0 THEN chr(10)
+                          || 'if (x) { return }' ELSE '' END
+                     || CASE WHEN doc_id % 11 = 0 THEN chr(10)
+                          || 'Lorem ipsum dolor sit amet text filler.'
+                          ELSE '' END AS text
+              FROM documents
+            ), m AS (
+              SELECT doc_id, text,
+                     string_split(text, chr(10)) AS ls,
+                     list_filter(string_split(text, chr(10)), l ->
+                       (trim(l) LIKE '%.' OR trim(l) LIKE '%!'
+                        OR trim(l) LIKE '%?' OR trim(l) LIKE '%"')
+                       AND len(list_filter(regexp_split_to_array(
+                             trim(l), '\\s+'), x -> x <> '')) >= 5
+                       AND NOT contains(lower(trim(l)), 'javascript'))
+                       AS kept
+              FROM d
+            )
+            SELECT doc_id, len(ls)::BIGINT AS n_lines,
+                   len(kept)::BIGINT AS n_kept,
+                   contains(text, '{') AS has_brace,
+                   contains(lower(text), 'lorem ipsum') AS has_lorem,
+                   (NOT contains(text, '{')
+                    AND NOT contains(lower(text), 'lorem ipsum')
+                    AND len(kept) >= 3) AS keep,
+                   md5(array_to_string(kept, chr(10))) AS clean_md5
+            FROM m
         """,
     }

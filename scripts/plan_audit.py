@@ -342,6 +342,16 @@ def main():
                    and n_ops(plan, "Exchange") == 0,
                    f"arrow_evals={n_ops(plan, 'ArrowEvalPython')}"))
 
+    # 14q. Gopher + C4 document rules: the first-stage gates must be
+    # pure narrow JVM (no Exchange, no Python) — they run at scan
+    # grain ahead of everything that aggregates
+    for qn in ("q_gopher", "q_c4"):
+        plan = formatted(qs[qn](spark, SF_DIR))
+        sections.append((qn, plan))
+        checks.append((f"{qn} rules no Exchange and no Python",
+                       n_ops(plan, "Exchange") == 0
+                       and n_python(plan) == 0, ""))
+
     # 14p. BPE pair statistics: the corpus-scale half of tokenizer
     # training is pure JVM, partial-aggregated, top-k via TakeOrdered
     plan = formatted(qs["q_bpe_pairs"](spark, SF_DIR))

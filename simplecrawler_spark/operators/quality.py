@@ -33,7 +33,8 @@ from pyspark.sql import functions as F
 
 from simplecrawler_spark.functions.text import tokens_expr
 
-__all__ = ["unigram_logprob", "quality_buckets"]
+__all__ = ["unigram_logprob", "quality_buckets", "strip_boilerplate",
+           "gopher_rules", "c4_line_rules", "GOPHER_STOPWORDS"]
 
 
 def unigram_logprob(docs: DataFrame, text_col: str = "text",
@@ -208,3 +209,114 @@ def strip_boilerplate(docs: DataFrame, text_col: str = "text",
         (F.size(lines) - F.size(kept)).cast("long").alias("n_stripped"),
         F.array_join(kept, "\n").alias("text_clean"),
     )
+
+
+# the Gopher paper's stopword-presence list (Rae et al. 2021, §A1.1:
+# a doc must contain >= 2 of these to pass the rule)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have",
+                    "with")
+
+
+def gopher_rules(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", min_words: int = 50,
+                 max_words: int = 100_000) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021 — the repetition rules
+    live in functions/text.py repetition_keep_expr; these are the
+    remaining document-shape rules). Per-doc boolean flags plus the
+    composite ``keep``:
+
+      words_ok     — whitespace-word count in [min_words, max_words]
+      wordlen_ok   — mean word length in [3, 10]
+      symbol_ok    — ('#' + '...') occurrences <= 10% of words
+      bullet_ok    — <= 90% of lines start with a bullet
+      ellipsis_ok  — <= 30% of lines end with '...'
+      alpha_ok     — >= 80% of words contain an alphabetic char
+      stopword_ok  — >= 2 distinct GOPHER_STOPWORDS present
+
+    EVERY ratio is compared in EXACT int64 cross-multiplication
+    (10*n_sym <= n_words, 5*n_alpha >= 4*n_words, ...) — the repo's
+    cross-engine discipline: no float ratio can flip a flag between
+    Spark and the oracle. One narrow pure-JVM projection: no
+    shuffle, no Python, codegen — gate-at-scan-grain like
+    clean_corpus."""
+    text = F.col(text_col)
+    words = F.filter(F.split(text, r"\s+"), lambda w: w != F.lit(""))
+    n_words = F.size(words).cast("long")
+    total_chars = F.aggregate(
+        F.transform(words, lambda w: F.length(w).cast("long")),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    n_alpha = F.size(F.filter(
+        words, lambda w: w.rlike("[a-zA-Z]"))).cast("long")
+    n_hash = (F.length(text)
+              - F.length(F.replace(text, F.lit("#")))).cast("long")
+    n_dots = ((F.length(text)
+               - F.length(F.replace(text, F.lit("..."))))
+              / F.lit(3)).cast("long")
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines).cast("long")
+    trimmed = F.transform(lines, F.trim)
+    n_bullet = F.size(F.filter(
+        trimmed, lambda l: l.startswith("- ") | l.startswith("* ")
+        | l.startswith("•"))).cast("long")
+    n_ell_end = F.size(F.filter(
+        trimmed, lambda l: l.endswith("..."))).cast("long")
+    low_words = F.transform(words, F.lower)
+    n_stop = sum(
+        (F.array_contains(low_words, s).cast("long")
+         for s in GOPHER_STOPWORDS), start=F.lit(0).cast("long"))
+
+    words_ok = (n_words >= min_words) & (n_words <= max_words)
+    wordlen_ok = ((total_chars >= 3 * n_words)
+                  & (total_chars <= 10 * n_words))
+    symbol_ok = (10 * (n_hash + n_dots)) <= n_words
+    bullet_ok = (10 * n_bullet) <= (9 * n_lines)
+    ellipsis_ok = (10 * n_ell_end) <= (3 * n_lines)
+    alpha_ok = (5 * n_alpha) >= (4 * n_words)
+    stopword_ok = n_stop >= 2
+    keep = (words_ok & wordlen_ok & symbol_ok & bullet_ok
+            & ellipsis_ok & alpha_ok & stopword_ok)
+    return docs.select(
+        F.col(id_col), n_words.alias("n_words"),
+        words_ok.alias("words_ok"), wordlen_ok.alias("wordlen_ok"),
+        symbol_ok.alias("symbol_ok"), bullet_ok.alias("bullet_ok"),
+        ellipsis_ok.alias("ellipsis_ok"), alpha_ok.alias("alpha_ok"),
+        stopword_ok.alias("stopword_ok"), keep.alias("keep"))
+
+
+def c4_line_rules(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  min_line_words: int = 5) -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020 §2.2), line grain then
+    doc grain: keep only lines that end in terminal punctuation
+    (. ! ? ") AND have >= ``min_line_words`` whitespace words AND
+    don't mention javascript; drop the whole document if it contains
+    '{' (code), 'lorem ipsum', or retains < 3 lines.
+
+    Returns (id_col, n_lines, n_kept, has_brace, has_lorem, keep,
+    text_clean) — text_clean is the kept lines re-joined in order.
+    Pure per-row JVM array HOFs: no shuffle, no Python, no state —
+    the cheapest possible shape, which is why C4-style line rules run
+    FIRST in real pipelines, before anything that aggregates."""
+    text = F.col(text_col)
+    lines = F.split(text, "\n")
+    ltrim = lambda l: F.trim(l)  # noqa: E731
+
+    def line_ok(l):
+        t = ltrim(l)
+        n_w = F.size(F.filter(F.split(t, r"\s+"),
+                              lambda w: w != F.lit("")))
+        ends = (t.endswith(".") | t.endswith("!") | t.endswith("?")
+                | t.endswith('"'))
+        return (ends & (n_w >= min_line_words)
+                & ~F.lower(t).contains("javascript"))
+
+    kept = F.filter(lines, line_ok)
+    n_kept = F.size(kept).cast("long")
+    has_brace = text.contains("{")
+    has_lorem = F.lower(text).contains("lorem ipsum")
+    keep = ~has_brace & ~has_lorem & (n_kept >= 3)
+    return docs.select(
+        F.col(id_col), F.size(lines).cast("long").alias("n_lines"),
+        n_kept.alias("n_kept"), has_brace.alias("has_brace"),
+        has_lorem.alias("has_lorem"), keep.alias("keep"),
+        F.array_join(kept, "\n").alias("text_clean"))

@@ -975,3 +975,74 @@ def test_strip_boilerplate_no_text_shuffle(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan
     assert "Python" not in plan
+
+
+def test_gopher_rules_each_flag(spark):
+    """One crafted doc per failure mode; a clean doc passes all."""
+    from simplecrawler_spark.operators.quality import gopher_rules
+
+    base = ("the data will be written to the table of records that "
+            "have with solid words here again ") * 3
+    rows = [
+        (0, base),                                   # clean
+        (1, "to of and"),                            # too few words
+        (2, base + " xx " + "#" * 40),               # symbol spam
+        (3, "- " + base.replace("\n", " ")),         # all-bullet lines
+        (4, base + " ..."),                          # ellipsis line end
+        (5, ("12 34 " * 40) + "the of"),             # non-alpha words
+        (6, "solid words here again " * 10),         # no stopwords
+        (7, base.replace(" ", "x") + " the of"),     # mean wordlen > 10
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in gopher_rules(df, min_words=10).collect()}
+    assert got[0].keep
+    assert not got[1].words_ok
+    assert not got[2].symbol_ok
+    assert not got[3].bullet_ok
+    assert not got[4].ellipsis_ok
+    assert not got[5].alpha_ok
+    assert not got[6].stopword_ok
+    assert not got[7].wordlen_ok
+    for k in range(1, 8):
+        assert not got[k].keep
+
+
+def test_c4_line_rules(spark):
+    from simplecrawler_spark.operators.quality import c4_line_rules
+
+    good3 = ("One full sentence with enough words here.\n"
+             "Another complete sentence with enough words too.\n"
+             "A third proper sentence with plenty of words.")
+    rows = [
+        (0, good3),
+        (1, good3 + "\nno terminal punctuation on this longer line"),
+        (2, good3 + "\nshort one."),
+        (3, good3 + "\nPlease enable javascript to see the widget."),
+        (4, good3 + "\nfunction f() { return 1 }"),
+        (5, good3 + "\nLOREM IPSUM dolor sit amet consectetur."),
+        (6, "Only two sentences survive this document here.\n"
+            "Second full sentence with enough words too."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in c4_line_rules(df).collect()}
+    assert got[0].keep and got[0].n_kept == 3
+    assert got[1].n_kept == 3 and got[1].keep      # bad line dropped
+    assert got[2].n_kept == 3                       # <5 words dropped
+    assert got[3].n_kept == 3                       # javascript dropped
+    assert got[4].has_brace and not got[4].keep     # doc-level drop
+    assert got[5].has_lorem and not got[5].keep
+    assert not got[6].keep and got[6].n_kept == 2   # <3 kept lines
+    assert got[0].text_clean == good3
+
+
+def test_gopher_c4_plans_are_narrow(spark):
+    from simplecrawler_spark.operators.quality import (
+        c4_line_rules, gopher_rules,
+    )
+
+    df = spark.createDataFrame([(0, "text here.")],
+                               "doc_id long, text string")
+    for op in (gopher_rules, c4_line_rules):
+        plan = op(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "Python" not in plan
