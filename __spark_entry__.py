@@ -1240,6 +1240,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "n_lines", "n_kept", "has_brace", "has_lorem",
             "keep", F.md5("text_clean").alias("clean_md5"))
 
+    def q_rrf(spark, sf):
+        """Reciprocal-rank fusion (operators/retrieval.py rrf_fuse):
+        two deterministic md5-ordered top-20 rankings over a 30-doc
+        pool (pigeonhole: >= 10 ids land in BOTH lists, so the
+        accumulation path is exercised alongside singletons) fused
+        with k=60; each term is floor(1e12/(k+rank)) in int64 —
+        exact and order-independent, so the fused scores hash-match
+        across engines."""
+        from pyspark.sql import Window
+
+        from simplecrawler_spark.operators.retrieval import rrf_fuse
+
+        docs = _t(spark, sf, "documents").where(F.col("doc_id") < 30)
+
+        def ranking(salt):
+            k = F.md5(F.concat(F.lit(salt),
+                               F.col("doc_id").cast("string")))
+            top = (docs.select("doc_id", k.alias("_k"))
+                   .orderBy("_k", "doc_id").limit(20))
+            return top.select(
+                "doc_id",
+                F.row_number().over(
+                    Window.orderBy("_k", "doc_id")).alias("rank"))
+
+        fused = rrf_fuse([ranking(""), ranking("b|")], k=60)
+        return fused.select("doc_id", "rrf_scaled", "n_lists")
+
+    def q_corpus_stats(spark, sf):
+        """Per-source dataset-card statistics (operators/quality.py
+        corpus_stats): doc/token/char volume, exact distinct
+        fingerprints, language hits, quality passes — the
+        mixture-planning table. One source-grain shuffle of counts +
+        one of (source, fingerprint) hashes."""
+        from simplecrawler_spark.operators.quality import corpus_stats
+
+        return corpus_stats(_t(spark, sf, "documents"))
+
     return {
         "q_canonicalize": q_canonicalize,
         "q_url_dedupe": q_url_dedupe,
@@ -1310,6 +1347,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_pairs": q_bpe_pairs,
         "q_gopher": q_gopher,
         "q_c4": q_c4,
+        "q_rrf": q_rrf,
+        "q_corpus_stats": q_corpus_stats,
     }
 
 
@@ -3046,5 +3085,60 @@ def oracle_sql() -> dict[str, str]:
                     AND len(kept) >= 3) AS keep,
                    md5(array_to_string(kept, chr(10))) AS clean_md5
             FROM m
+        """,
+        # RRF: same md5-ordered rankings, same floor(1e12/(60+rank))
+        # int64 terms (integer division == double floor here: no
+        # divisor in 61..80 puts the exact quotient at a double
+        # boundary), same combinable sum
+        "q_rrf": """
+            WITH p AS (
+              SELECT doc_id FROM documents WHERE doc_id < 30
+            ), a AS (
+              SELECT doc_id, row_number() OVER (
+                       ORDER BY md5(doc_id::VARCHAR), doc_id) AS rank
+              FROM p
+              ORDER BY md5(doc_id::VARCHAR), doc_id LIMIT 20
+            ), b AS (
+              SELECT doc_id, row_number() OVER (
+                       ORDER BY md5('b|' || doc_id::VARCHAR), doc_id)
+                       AS rank
+              FROM p
+              ORDER BY md5('b|' || doc_id::VARCHAR), doc_id LIMIT 20
+            ), u AS (
+              SELECT doc_id,
+                     (1000000000000 // (60 + rank))::BIGINT AS term
+              FROM a
+              UNION ALL
+              SELECT doc_id,
+                     (1000000000000 // (60 + rank))::BIGINT FROM b
+            )
+            SELECT doc_id, sum(term)::BIGINT AS rrf_scaled,
+                   count(*)::BIGINT AS n_lists
+            FROM u GROUP BY doc_id
+        """,
+        # dataset-card stats: same tokeniser, fingerprint, lang and
+        # quality shapes as the q_corpus_clean twin, aggregated per
+        # source with an exact distinct
+        "q_corpus_stats": f"""
+            WITH t AS (
+              SELECT doc_id, source, text, {toks} AS toks
+              FROM documents
+            ), g AS (
+              SELECT source, len(toks)::BIGINT AS nt,
+                     length(text)::BIGINT AS nc,
+                     {_ORACLE_FP} AS fp,
+                     ((case when {marker_ratio} >= 0.15
+                            then 'en' else 'other' end) = 'en')
+                       AS is_lang,
+                     ({quality} >= 0.5) AS is_q
+              FROM t
+            )
+            SELECT source, count(*)::BIGINT AS n_docs,
+                   sum(nt)::BIGINT AS n_tokens,
+                   sum(nc)::BIGINT AS n_chars,
+                   count(DISTINCT fp)::BIGINT AS n_unique,
+                   sum(is_lang::INT)::BIGINT AS n_lang,
+                   sum(is_q::INT)::BIGINT AS n_quality
+            FROM g GROUP BY source
         """,
     }

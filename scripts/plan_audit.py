@@ -352,6 +352,14 @@ def main():
                        n_ops(plan, "Exchange") == 0
                        and n_python(plan) == 0, ""))
 
+    # 14r. corpus stats: one pass, partial-aggregated on the source
+    # key, exact distinct rides the same grain — no Python
+    plan = formatted(qs["q_corpus_stats"](spark, SF_DIR))
+    sections.append(("q_corpus_stats", plan))
+    checks.append(("corpus stats partial agg, no Python",
+                   n_python(plan) == 0
+                   and "partial" in plan.lower(), ""))
+
     # 14p. BPE pair statistics: the corpus-scale half of tokenizer
     # training is pure JVM, partial-aggregated, top-k via TakeOrdered
     plan = formatted(qs["q_bpe_pairs"](spark, SF_DIR))

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from simplecrawler_spark.functions.text import tokens_expr
 
 __all__ = ["unigram_logprob", "quality_buckets", "strip_boilerplate",
+           "corpus_stats",
            "gopher_rules", "c4_line_rules", "GOPHER_STOPWORDS"]
 
 
@@ -320,3 +321,48 @@ def c4_line_rules(docs: DataFrame, text_col: str = "text",
         n_kept.alias("n_kept"), has_brace.alias("has_brace"),
         has_lorem.alias("has_lorem"), keep.alias("keep"),
         F.array_join(kept, "\n").alias("text_clean"))
+
+
+def corpus_stats(docs: DataFrame, group_col: str = "source",
+                 text_col: str = "text", id_col: str = "doc_id",
+                 lang: str = "en",
+                 min_quality: float = 0.5) -> DataFrame:
+    """Per-source dataset-card statistics — the mixture-planning
+    table every corpus release ships (and what rebalance_mix /
+    assemble_epochs take their targets from): document count, token
+    and char volume, EXACT distinct normalised fingerprints (so
+    n_docs - n_unique is the in-source exact-dup count), language
+    hits, and quality-gate passes.
+
+    Returns (group_col, n_docs, n_tokens, n_chars, n_unique,
+    n_lang, n_quality).
+
+    Scale shape: one pass over the text computes every per-row value
+    in the scan projection; n_docs/n_tokens/n_chars/n_lang/n_quality
+    partial-aggregate map-side on the source key, and the exact
+    distinct rides the same shuffle as a (source, fingerprint)-grain
+    pre-aggregate — 32-hex rows, never text. Output cardinality =
+    number of sources."""
+    from simplecrawler_spark.functions.text import (
+        fingerprint_expr,
+        lang_id_expr,
+        quality_score_expr,
+        token_count_expr,
+    )
+
+    text = F.col(text_col)
+    base = docs.select(
+        F.col(group_col),
+        token_count_expr(text).cast("long").alias("_nt"),
+        F.length(text).cast("long").alias("_nc"),
+        fingerprint_expr(text).alias("_fp"),
+        (lang_id_expr(text) == lang).cast("long").alias("_is_lang"),
+        (quality_score_expr(text) >= min_quality).cast("long")
+        .alias("_is_q"))
+    return (base.groupBy(group_col)
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("_nt").alias("n_tokens"),
+                 F.sum("_nc").alias("n_chars"),
+                 F.countDistinct("_fp").alias("n_unique"),
+                 F.sum("_is_lang").alias("n_lang"),
+                 F.sum("_is_q").alias("n_quality")))

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from simplecrawler_spark.functions.text import tokens_expr
 
-__all__ = ["ngram_topk", "bm25_score", "stratified_sample"]
+__all__ = ["ngram_topk", "bm25_score", "stratified_sample", "rrf_fuse"]
 
 
 def ngrams_expr(text, n: int = 2):
@@ -169,3 +169,40 @@ def stratified_sample(docs: DataFrame, n_per_group: int,
                                               F.col(id_col).asc()))
     return (docs.withColumn("sample_rank", rank)
             .where(F.col("sample_rank") <= n_per_group))
+
+
+def rrf_fuse(rankings: list[DataFrame], k: int = 60,
+             id_col: str = "doc_id", rank_col: str = "rank",
+             scale: int = 10 ** 12) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009): fuse N ranked
+    lists by score(d) = Σ_lists 1/(k + rank_l(d)) — the standard way
+    hybrid retrieval combines BM25 and embedding rankings without
+    score calibration (only RANKS cross systems, never raw scores).
+
+    Each term is floor(scale / (k + rank)) in int64 — exact,
+    order-independent summation (the repo's cross-engine discipline;
+    a float Σ1/(k+r) would drift with partial-agg order). Returns
+    (id_col, rrf_scaled, n_lists); callers order by
+    (rrf_scaled desc, id) — ties are resolved deterministically.
+
+    Scale shape: rankings are top-k tables (bounded — k rows per
+    query per system), so this is a union + ONE combinable groupBy
+    sum on the id key; no text, no windows, broadcast-sized inputs.
+    """
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    if k <= 0:
+        raise ValueError("k must be positive")
+    parts = [
+        r.select(F.col(id_col),
+                 F.floor(F.lit(scale)
+                         / (F.lit(k) + F.col(rank_col).cast("long")))
+                 .cast("long").alias("_term"))
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return (u.groupBy(id_col)
+            .agg(F.sum("_term").alias("rrf_scaled"),
+                 F.count("*").alias("n_lists")))

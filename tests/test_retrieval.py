@@ -187,3 +187,43 @@ def test_caption_dup_clusters_min_cluster_and_tag_opt(spark):
     # min_cluster=1: every image is its own (or shared) cluster
     out = caption_dup_clusters(corpus, min_cluster=1).collect()
     assert len(out) == 2
+
+
+def test_rrf_fuse_math_and_overlap(spark):
+    """Hand-checkable: doc 1 is rank 1 in both lists ->
+    2*floor(1e12/61); doc 2 only in A at rank 2 -> floor(1e12/62);
+    fused order puts the doubly-ranked doc first."""
+    from simplecrawler_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rank long")
+    b = spark.createDataFrame([(1, 1), (3, 2)], "doc_id long, rank long")
+    got = {r.doc_id: r for r in rrf_fuse([a, b], k=60).collect()}
+    t1, t2 = 10 ** 12 // 61, 10 ** 12 // 62
+    assert got[1].rrf_scaled == 2 * t1 and got[1].n_lists == 2
+    assert got[2].rrf_scaled == t2 and got[2].n_lists == 1
+    assert got[3].rrf_scaled == t2
+    assert got[1].rrf_scaled > got[2].rrf_scaled
+
+
+def test_rrf_fuse_validates(spark):
+    from simplecrawler_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1)], "doc_id long, rank long")
+    with pytest.raises(ValueError):
+        rrf_fuse([], k=60)
+    with pytest.raises(ValueError):
+        rrf_fuse([a], k=0)
+
+
+def test_rrf_single_combinable_shuffle(spark):
+    """Union + one groupBy sum: exactly one Exchange, partial aggs,
+    no Python."""
+    from simplecrawler_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1)], "doc_id long, rank long")
+    b = spark.createDataFrame([(1, 2)], "doc_id long, rank long")
+    plan = (rrf_fuse([a, b])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Exchange") <= 2  # one shuffle (+AQE read)
+    assert "Python" not in plan
+    assert "partial" in plan.lower()

@@ -1046,3 +1046,24 @@ def test_gopher_c4_plans_are_narrow(spark):
         plan = op(df)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
         assert "Python" not in plan
+
+
+def test_corpus_stats(spark):
+    from simplecrawler_spark.operators.quality import corpus_stats
+
+    en = ("the data will be written to the table of records that "
+          "have with solid words here again " * 3)
+    rows = [
+        (0, "s1", en), (1, "s1", en),          # exact dups (same fp)
+        (2, "s1", en + " extra tail words"),   # unique
+        (3, "s2", "zz qq ww"),                 # non-en, low quality
+    ]
+    df = spark.createDataFrame(rows,
+                               "doc_id long, source string, text string")
+    got = {r.source: r for r in corpus_stats(df).collect()}
+    s1 = got["s1"]
+    assert s1.n_docs == 3 and s1.n_unique == 2
+    assert s1.n_lang == 3 and s1.n_quality == 3
+    assert s1.n_tokens == 3 * 51 + 3  # 17 words x3 per doc, +3 tail
+    s2 = got["s2"]
+    assert s2.n_docs == 1 and s2.n_lang == 0 and s2.n_unique == 1
