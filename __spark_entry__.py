@@ -1277,6 +1277,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return corpus_stats(_t(spark, sf, "documents"))
 
+    def q_meta_robots(spark, sf):
+        """<meta name=robots> directives (operators/parse.py
+        meta_robots_expr): fixtures cover both attribute orders,
+        unquoted/uppercase names, the 'none' alias (= both flags),
+        a non-robots meta that must NOT match, and pages with no
+        meta at all. Same regexes + directive-list normalisation in
+        both engines."""
+        from simplecrawler_spark.operators.parse import (
+            meta_robots_expr,
+        )
+
+        ev = _t(spark, sf, "events")
+        m = F.col("event_id") % 5
+        body = F.concat(
+            F.lit("<html><head>"),
+            F.when(m == 0, F.lit('<meta name="robots" '
+                                 'content="noindex, nofollow">'))
+            .when(m == 1, F.lit("<meta content='nofollow' "
+                                "name=robots>"))
+            .when(m == 2, F.lit('<meta name=ROBOTS content="NONE">'))
+            .when(m == 3, F.lit('<meta name="description" '
+                                'content="noindex">'))
+            .otherwise(F.lit("")),
+            F.lit("</head><body>page</body></html>"))
+        flags = meta_robots_expr(body)
+        return ev.select("event_id",
+                         flags["noindex"].alias("noindex"),
+                         flags["nofollow"].alias("nofollow"))
+
+    def q_alloc_budget(spark, sf):
+        """Largest-remainder crawl-budget apportionment
+        (operators/politeness.py allocate_budget): 1000 fetch units
+        across 37 hosts weighted by event volume — exact int64
+        div/mod quotas, leftover units to the largest remainders
+        with (rem desc, host asc) tie-break; Σbudget == 1000 by
+        construction in both engines."""
+        from simplecrawler_spark.operators.politeness import (
+            allocate_budget,
+        )
+
+        ev = _t(spark, sf, "events")
+        hosts = (ev.select(
+            F.concat(F.lit("h"), (F.col("event_id") % 37)
+                     .cast("string")).alias("host"))
+            .groupBy("host").agg(F.count("*").alias("weight")))
+        return allocate_budget(hosts, total_budget=1000)
+
     return {
         "q_canonicalize": q_canonicalize,
         "q_url_dedupe": q_url_dedupe,
@@ -1349,6 +1396,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_c4": q_c4,
         "q_rrf": q_rrf,
         "q_corpus_stats": q_corpus_stats,
+        "q_meta_robots": q_meta_robots,
+        "q_alloc_budget": q_alloc_budget,
     }
 
 
@@ -3140,5 +3189,66 @@ def oracle_sql() -> dict[str, str]:
                    sum(is_lang::INT)::BIGINT AS n_lang,
                    sum(is_q::INT)::BIGINT AS n_quality
             FROM g GROUP BY source
+        """,
+        # meta robots: same fixture bodies, same two attribute-order
+        # regexes, same normalised ,directive, membership checks
+        "q_meta_robots": """
+            WITH b AS (
+              SELECT event_id,
+                     '<html><head>' ||
+                     CASE WHEN event_id % 5 = 0
+                          THEN '<meta name="robots" '
+                               || 'content="noindex, nofollow">'
+                          WHEN event_id % 5 = 1
+                          THEN '<meta content=''nofollow'' '
+                               || 'name=robots>'
+                          WHEN event_id % 5 = 2
+                          THEN '<meta name=ROBOTS content="NONE">'
+                          WHEN event_id % 5 = 3
+                          THEN '<meta name="description" '
+                               || 'content="noindex">'
+                          ELSE '' END
+                     || '</head><body>page</body></html>' AS body
+              FROM events
+            ), x AS (
+              SELECT event_id,
+                     ',' || regexp_replace(lower(coalesce(
+                       nullif(regexp_extract(body,
+                         '(?is)<meta\\s[^>]*name\\s*=\\s*["'']?robots'
+                         || '["'']?[^>]*?content\\s*=\\s*["'']'
+                         || '([^"''>]*)', 1), ''),
+                       nullif(regexp_extract(body,
+                         '(?is)<meta\\s[^>]*content\\s*=\\s*["'']'
+                         || '([^"''>]*)["''][^>]*name\\s*=\\s*["'']?'
+                         || 'robots', 1), ''),
+                       '')), '\\s+', '', 'g') || ',' AS d
+              FROM b
+            )
+            SELECT event_id,
+                   (contains(d, ',noindex,') OR contains(d, ',none,'))
+                     AS noindex,
+                   (contains(d, ',nofollow,') OR contains(d, ',none,'))
+                     AS nofollow
+            FROM x
+        """,
+        # budget apportionment: same int64 div/mod quotas, same
+        # largest-remainder rank and tie-break
+        "q_alloc_budget": """
+            WITH h AS (
+              SELECT 'h' || (event_id % 37)::VARCHAR AS host,
+                     count(*)::BIGINT AS weight
+              FROM events GROUP BY 1
+            ), t AS (SELECT sum(weight) AS W FROM h),
+            j AS (
+              SELECT host, weight,
+                     (1000 * weight) // t.W AS base,
+                     (1000 * weight) % t.W AS rem
+              FROM h, t
+            ), l AS (SELECT 1000 - sum(base) AS leftover FROM j)
+            SELECT j.host, j.weight,
+                   (j.base + CASE WHEN row_number() OVER (
+                        ORDER BY j.rem DESC, j.host ASC) <= l.leftover
+                      THEN 1 ELSE 0 END)::BIGINT AS budget
+            FROM j, l
         """,
     }

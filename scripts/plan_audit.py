@@ -352,6 +352,13 @@ def main():
                        n_ops(plan, "Exchange") == 0
                        and n_python(plan) == 0, ""))
 
+    # 14s. meta-robots directives: one narrow regex projection
+    plan = formatted(qs["q_meta_robots"](spark, SF_DIR))
+    sections.append(("q_meta_robots", plan))
+    checks.append(("meta robots no Exchange and no Python",
+                   n_ops(plan, "Exchange") == 0
+                   and n_python(plan) == 0, ""))
+
     # 14r. corpus stats: one pass, partial-aggregated on the source
     # key, exact distinct rides the same grain — no Python
     plan = formatted(qs["q_corpus_stats"](spark, SF_DIR))

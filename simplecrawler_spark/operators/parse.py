@@ -92,7 +92,42 @@ def _hrefs_stdlib(html: str) -> list[str]:
     return collector.hrefs
 
 
-_EXTRACTORS = {"stdlib": _hrefs_stdlib, "regex": hrefs_fast}
+class _FollowHrefCollector(HTMLParser):
+    """Like _HrefCollector but drops <a> tags carrying
+    rel=nofollow (rel is a space-separated token list per the HTML
+    spec; ugc/sponsored are left followable — only the explicit
+    nofollow token opts a link out of crawling)."""
+
+    def __init__(self):
+        super().__init__()
+        self.hrefs: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "a":
+            hrefs, nofollow = [], False
+            for name, value in attrs:
+                if name == "href" and value is not None:
+                    hrefs.append(value)
+                elif name == "rel" and value:
+                    nofollow |= "nofollow" in value.lower().split()
+            if not nofollow:
+                self.hrefs.extend(hrefs)
+
+    def error(self, message):  # pragma: no cover — parity
+        pass
+
+
+def _hrefs_stdlib_nofollow(html: str) -> list[str]:
+    collector = _FollowHrefCollector()
+    try:
+        collector.feed(html)
+    except Exception:
+        pass  # parity: bad HTML ignored (parser.py:39-42)
+    return collector.hrefs
+
+
+_EXTRACTORS = {"stdlib": _hrefs_stdlib, "regex": hrefs_fast,
+               "nofollow": _hrefs_stdlib_nofollow}
 
 
 def hrefs_from_html(html: str) -> list[str]:
@@ -535,6 +570,42 @@ def extract_anchor_pairs(bodies: pd.Series) -> pd.Series:
     return pd.Series([
         None if body is None else anchor_pairs_from_html(body)
         for body in bodies])
+
+
+# --- <meta name=robots> directives ------------------------------------------
+
+# both attribute orders; content value carved up to quote/'>'
+_META_NAME_FIRST = (r'(?is)<meta\s[^>]*name\s*=\s*["\']?robots["\']?'
+                    r'[^>]*?content\s*=\s*["\']([^"\'>]*)')
+_META_CONTENT_FIRST = (r'(?is)<meta\s[^>]*content\s*=\s*["\']'
+                       r'([^"\'>]*)["\'][^>]*name\s*=\s*["\']?robots')
+
+
+def meta_robots_expr(body) -> dict:
+    """Page-level robots directives from ``<meta name="robots">``
+    (the robots.txt protocol's in-page half — robotstxt.org's meta
+    extension; a compliant crawler honours BOTH): returns
+    {"noindex", "nofollow"} boolean Columns. ``none`` means both.
+    Handles either attribute order, optional quoting, any case, and
+    whitespace in the directive list. Pure JVM regex — one narrow
+    projection over the already-fetched body, fused into the same
+    stage as link extraction at zero extra passes."""
+    if isinstance(body, str):
+        body = F.col(body)
+    raw = F.coalesce(
+        F.nullif(F.regexp_extract(body, _META_NAME_FIRST, 1),
+                 F.lit("")),
+        F.nullif(F.regexp_extract(body, _META_CONTENT_FIRST, 1),
+                 F.lit("")),
+        F.lit(""))
+    directives = F.concat(
+        F.lit(","), F.regexp_replace(F.lower(raw), r"\s+", ""),
+        F.lit(","))
+    noindex = (directives.contains(",noindex,")
+               | directives.contains(",none,"))
+    nofollow = (directives.contains(",nofollow,")
+                | directives.contains(",none,"))
+    return {"noindex": noindex, "nofollow": nofollow}
 
 
 # --- WET-style visible-text extraction -------------------------------------

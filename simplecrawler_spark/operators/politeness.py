@@ -175,3 +175,51 @@ def host_backoff(results: DataFrame, *, host_col: str = "host",
         ((F.expr(f"n_errors * {scale} div n_fetches")
           >= threshold_scaled)
          & (F.col("n_fetches") >= min_fetches)).alias("backoff"))
+
+
+def allocate_budget(hosts: DataFrame, total_budget: int,
+                    weight_col: str = "weight",
+                    host_col: str = "host") -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of an integer fetch
+    budget across hosts proportional to ``weight_col`` (host rank,
+    backlog depth, freshness mass — whatever the scheduler
+    prioritises): every host gets floor(total·w/W), and the
+    ``total − Σfloor`` leftover units go to the largest remainders
+    (remainder desc, host asc tie-break). Exactly ``total_budget``
+    units are handed out; the apportionment is the unique
+    quota-respecting one, computed in EXACT int64 (total·w div/mod W
+    — no float quota can flip a unit between engines).
+
+    Returns (host_col, weight_col, budget).
+
+    Scale shape: one 1-row total + broadcast back, then one
+    host-grain window for the remainder rank — HOST grain, like
+    every politeness op here: 10^7-10^8 rows at open-web scale, not
+    corpus grain, and the sort key is (remainder, host), which is
+    uniform. Caller contract: weights are non-negative int64 with a
+    positive sum, and total_budget·max(w) must fit int64 (true for
+    any real budget×rank combination; raise the weights' GCD if
+    not)."""
+    if total_budget < 0:
+        raise ValueError("total_budget must be >= 0")
+    w = F.col(weight_col).cast("long")
+    tot = hosts.agg(F.sum(w).alias("_W"))
+    j = (hosts.select(F.col(host_col), w.alias(weight_col))
+         .crossJoin(F.broadcast(tot))
+         .select(host_col, weight_col,
+                 F.expr(f"CAST({total_budget} AS BIGINT) "
+                        f"* CAST({weight_col} AS BIGINT) div _W")
+                 .alias("_base"),
+                 F.expr(f"CAST({total_budget} AS BIGINT) "
+                        f"* CAST({weight_col} AS BIGINT) % _W")
+                 .alias("_rem")))
+    leftover = j.agg((F.lit(total_budget)
+                      - F.sum("_base")).alias("_left"))
+    rank = F.row_number().over(
+        Window.orderBy(F.col("_rem").desc(), F.col(host_col).asc()))
+    return (j.crossJoin(F.broadcast(leftover))
+            .withColumn("_rank", rank)
+            .select(host_col, weight_col,
+                    (F.col("_base")
+                     + (F.col("_rank") <= F.col("_left"))
+                     .cast("long")).alias("budget")))

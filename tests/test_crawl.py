@@ -675,3 +675,42 @@ def test_host_backoff_breaker(spark):
     assert got["ok.test"].n_errors == 1
     t = got["tiny.test"]
     assert (t.n_errors, t.backoff) == (2, False)
+
+
+def test_allocate_budget_largest_remainder(spark):
+    """Hamilton apportionment: quotas 1000*{5,3,2}/10 are exact ->
+    no leftovers; 100*{1,1,1}/3 leaves one unit to the largest
+    remainder with host-asc tie-break; total is always exact."""
+    from simplecrawler_spark.operators.politeness import (
+        allocate_budget,
+    )
+
+    exact = spark.createDataFrame(
+        [("a", 5), ("b", 3), ("c", 2)], "host string, weight long")
+    got = {r.host: r.budget for r in
+           allocate_budget(exact, 1000).collect()}
+    assert got == {"a": 500, "b": 300, "c": 200}
+
+    ties = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 1)], "host string, weight long")
+    got = {r.host: r.budget for r in
+           allocate_budget(ties, 100).collect()}
+    assert sum(got.values()) == 100
+    assert got == {"a": 34, "b": 33, "c": 33}  # host-asc tie-break
+
+    skew = spark.createDataFrame(
+        [("big", 997), ("s1", 1), ("s2", 1), ("s3", 1)],
+        "host string, weight long")
+    got = {r.host: r.budget for r in
+           allocate_budget(skew, 10).collect()}
+    assert sum(got.values()) == 10 and got["big"] >= 9
+
+
+def test_allocate_budget_validates(spark):
+    from simplecrawler_spark.operators.politeness import (
+        allocate_budget,
+    )
+
+    h = spark.createDataFrame([("a", 1)], "host string, weight long")
+    with pytest.raises(ValueError):
+        allocate_budget(h, -1)

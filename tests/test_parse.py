@@ -292,3 +292,46 @@ def test_extract_visible_text_udf(spark):
            .collect()}
     assert got[1] == "hi\nthere"
     assert got[2] is None
+
+
+def test_nofollow_extractor():
+    """'nofollow' link extractor drops rel=nofollow anchors (token
+    match in the space-separated rel list, any case), keeps
+    ugc/sponsored-only rels, and otherwise matches the stdlib
+    extractor's href semantics."""
+    from simplecrawler_spark.operators.parse import _EXTRACTORS
+
+    html = ('<a href="/keep1">a</a>'
+            '<a rel="nofollow" href="/drop1">b</a>'
+            '<a rel="ugc NOFOLLOW" href="/drop2">c</a>'
+            '<a rel="sponsored" href="/keep2">d</a>'
+            '<a rel="nofollowish" href="/keep3">e</a>'
+            '<a href="/keep4" rel=nofollow>f</a>')
+    assert _EXTRACTORS["nofollow"](html) == ["/keep1", "/keep2",
+                                             "/keep3"]
+    assert _EXTRACTORS["stdlib"](html) == [
+        "/keep1", "/drop1", "/drop2", "/keep2", "/keep3", "/keep4"]
+
+
+def test_meta_robots_expr(spark):
+    from simplecrawler_spark.operators.parse import meta_robots_expr
+
+    rows = [
+        (0, '<meta name="robots" content="noindex,nofollow">'),
+        (1, "<meta content='nofollow' name=robots>"),
+        (2, '<meta name=ROBOTS content="NONE">'),
+        (3, '<meta name="robots" content=" noindex , archive ">'),
+        (4, '<meta name="description" content="noindex">'),
+        (5, "no meta at all"),
+    ]
+    df = spark.createDataFrame(rows, "id long, body string")
+    flags = meta_robots_expr("body")
+    got = {r.id: r for r in df.select(
+        "id", flags["noindex"].alias("ni"),
+        flags["nofollow"].alias("nf")).collect()}
+    assert got[0].ni and got[0].nf
+    assert not got[1].ni and got[1].nf   # content-first order
+    assert got[2].ni and got[2].nf      # none = both
+    assert got[3].ni and not got[3].nf  # whitespace in list
+    assert not got[4].ni and not got[4].nf  # wrong meta name
+    assert not got[5].ni and not got[5].nf
