@@ -433,3 +433,69 @@ def test_stream_dedup_state_survives_restart(spark, tmp_path):
     surv = sd2.survivors()
     assert surv.count() == 80
     assert surv.where(F.col("doc_id") >= 100).count() == 0
+
+
+def test_warc_stream_matches_batch(spark, tmp_path):
+    """Streaming WARC ingest (streaming/warc_stream.py): archive
+    shards dropped into a watched dir parse to the identical rowset
+    the batch parser produces, a second drop is picked up
+    incrementally, and a restart with the same checkpoint never
+    re-ingests a shard (exactly-once per file)."""
+    import os
+
+    from simplecrawler_spark.sources.warc import (
+        parse_warc_text, warc_record_expr,
+    )
+    from simplecrawler_spark.streaming.warc_stream import (
+        start_warc_ingest,
+    )
+
+    in_dir = tmp_path / "in"
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    in_dir.mkdir()
+
+    def make_archive(ids):
+        rec = warc_record_expr(
+            F.lit("response"),
+            F.concat(F.lit("http://site/"),
+                     F.col("doc_id").cast("string")),
+            F.lit("2026-01-01T00:00:00Z"), F.col("text"))
+        rows = spark.createDataFrame(
+            [(i, f"payload text {i}\nsecond line {i}") for i in ids],
+            "doc_id long, text string")
+        parts = {r.doc_id: r.r for r in
+                 rows.select("doc_id", rec.alias("r")).collect()}
+        return "".join(parts[i] for i in ids)
+
+    (in_dir / "shard0.warc").write_text(make_archive([0, 1, 2]))
+    start_warc_ingest(spark, str(in_dir), out_dir, ckpt) \
+        .awaitTermination()
+    got1 = spark.read.parquet(out_dir)
+    assert got1.count() == 3
+
+    # incremental drop: only the new shard lands in batch 2
+    (in_dir / "shard1.warc").write_text(make_archive([3, 4]))
+    start_warc_ingest(spark, str(in_dir), out_dir, ckpt) \
+        .awaitTermination()
+    got2 = spark.read.parquet(out_dir)
+    assert got2.count() == 5  # 3 + 2, no shard re-ingested
+
+    # restart with nothing new: no duplicates
+    start_warc_ingest(spark, str(in_dir), out_dir, ckpt) \
+        .awaitTermination()
+    assert spark.read.parquet(out_dir).count() == 5
+
+    # row-level parity with the batch parser over the same shards
+    batch = parse_warc_text(
+        spark.createDataFrame(
+            [(n, (in_dir / n).read_text())
+             for n in ("shard0.warc", "shard1.warc")],
+            "file_id string, content string"))
+    stream_rows = {(os.path.basename(r.file_id), r.record_no,
+                    r.url, r.content_length, r.payload)
+                   for r in spark.read.parquet(out_dir).collect()}
+    batch_rows = {(r.file_id, r.record_no, r.url,
+                   r.content_length, r.payload)
+                  for r in batch.collect()}
+    assert stream_rows == batch_rows
