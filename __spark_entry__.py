@@ -1324,6 +1324,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .groupBy("host").agg(F.count("*").alias("weight")))
         return allocate_budget(hosts, total_budget=1000)
 
+    def q_pack_images(spark, sf):
+        """Byte-budget image shard packing (operators/packing.py
+        pack_weighted — the webdataset case): the 256-image corpus
+        packed into ~8 MB pixel-byte shards (weight = w*h*3, exact
+        from metadata — no decode) in the deterministic md5-hash
+        global order. The oracle replays the same layout with a
+        single global cumsum (SQL needs no two-phase trick; the
+        ORDER is what must match)."""
+        from simplecrawler_spark.operators.packing import pack_weighted
+        from simplecrawler_spark.sources.fixtures import synthetic_corpus
+
+        corpus = synthetic_corpus(spark, n_images=256)
+        return pack_weighted(
+            corpus, F.col("w").cast("long") * F.col("h") * 3,
+            budget=8_000_000, id_col="image_id", salt="packimg|",
+            weight_name="n_bytes")
+
     return {
         "q_canonicalize": q_canonicalize,
         "q_url_dedupe": q_url_dedupe,
@@ -1398,6 +1415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_corpus_stats": q_corpus_stats,
         "q_meta_robots": q_meta_robots,
         "q_alloc_budget": q_alloc_budget,
+        "q_pack_images": q_pack_images,
     }
 
 
@@ -3250,5 +3268,27 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY j.rem DESC, j.host ASC) <= l.leftover
                       THEN 1 ELSE 0 END)::BIGINT AS budget
             FROM j, l
+        """,
+        # byte-budget image packing: same md5 layout (salt packimg|),
+        # weight = w*h*3 replayed from the inlined dims, one global
+        # exclusive cumsum / budget
+        "q_pack_images": f"""
+            WITH dims(k, w, h) AS (VALUES {_sql_dims(256)}),
+            base AS (
+              SELECT printf('img_%08d', k) AS image_id,
+                     ('0x' || substr(md5('packimg|'
+                        || printf('img_%08d', k)), 1, 15))::BIGINT
+                       % 1000000 AS hh,
+                     (w::BIGINT * h * 3) AS n_bytes
+              FROM dims
+            )
+            SELECT image_id, n_bytes,
+                   CAST(floor(
+                     COALESCE(SUM(n_bytes) OVER (
+                       ORDER BY hh, image_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) / 8000000.0)
+                     AS BIGINT) AS shard_id
+            FROM base
         """,
     }

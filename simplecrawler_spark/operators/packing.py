@@ -43,28 +43,26 @@ from simplecrawler_spark.functions.text import (
     token_count_expr,
 )
 
-__all__ = ["pack_sequences", "rebalance_mix", "assemble_epochs"]
+__all__ = ["pack_sequences", "pack_weighted", "rebalance_mix",
+           "assemble_epochs"]
 
 
-def pack_sequences(docs: DataFrame, budget_tokens: int = 4096,
-                   text_col: str = "text", id_col: str = "doc_id",
-                   n_ranges: int = 64,
-                   salt: str = "pack|") -> DataFrame:
-    """Assign each document to a fixed-token-budget shard.
+def pack_weighted(docs: DataFrame, weight, budget: int,
+                  id_col: str = "doc_id", n_ranges: int = 64,
+                  salt: str = "pack|",
+                  weight_name: str = "weight") -> DataFrame:
+    """Assign each row to a fixed-WEIGHT-budget shard — the generic
+    core of pack_sequences (weight = tokens) and the webdataset-style
+    image case (weight = payload bytes: a 10^10-image corpus ships as
+    ~size-bounded shards so loader I/O per shard is predictable).
 
-    Documents are laid out in a deterministic global order (md5-hash
+    Rows are laid out in a deterministic global order (md5-hash
     range, then id — reproducible across runs, engines, and cluster
-    sizes, unlike any rand()/partition-id scheme) and a global running
-    token offset is computed; a document belongs to the shard its
-    first token lands in::
+    sizes, unlike any rand()/partition-id scheme), a global running
+    weight offset is computed, and a row belongs to the shard its
+    first unit lands in: shard_id = floor(offset_before / budget).
 
-        shard_id = floor(offset_before_doc / budget_tokens)
-
-    so every shard spans ~budget_tokens tokens (the last document of a
-    shard may straddle the boundary — standard pretraining packing,
-    where the loader truncates or wraps at the shard seam).
-
-    Returns (id_col, n_tokens, shard_id).
+    Returns (id_col, weight_name, shard_id).
 
     The global offset is a two-phase distributed prefix sum over
     ``n_ranges`` deterministic hash buckets: per-bucket window cumsum
@@ -74,8 +72,8 @@ def pack_sequences(docs: DataFrame, budget_tokens: int = 4096,
     never the assignment (the order is (hash, id), bucket = hash
     prefix, so bucket boundaries align with the order).
     """
-    if budget_tokens <= 0:
-        raise ValueError("budget_tokens must be positive")
+    if budget <= 0:
+        raise ValueError("budget must be positive")
     if not 1 <= n_ranges <= SPLIT_BUCKETS:
         raise ValueError("n_ranges out of range")
     bucket_width = SPLIT_BUCKETS // n_ranges + 1
@@ -84,28 +82,46 @@ def pack_sequences(docs: DataFrame, budget_tokens: int = 4096,
         F.col(id_col),
         h.alias("_h"),
         (h / F.lit(bucket_width)).cast("int").alias("_rng"),
-        token_count_expr(F.col(text_col)).cast("long").alias("n_tokens"))
+        weight.cast("long").alias(weight_name))
 
     # phase 1: cumsum within each hash range (parallel over ranges)
     w_local = (Window.partitionBy("_rng")
                .orderBy(F.col("_h").asc(), F.col(id_col).asc())
                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    local = base.withColumn("_cum_in", F.sum("n_tokens").over(w_local))
+    local = base.withColumn("_cum_in", F.sum(weight_name).over(w_local))
 
     # phase 2: per-range totals (n_ranges rows) -> exclusive offsets;
     # the window below runs over <= n_ranges rows, not the corpus
     w_off = (Window.orderBy(F.col("_rng").asc())
              .rowsBetween(Window.unboundedPreceding, -1))
     offsets = (base.groupBy("_rng")
-               .agg(F.sum("n_tokens").alias("_tot"))
+               .agg(F.sum(weight_name).alias("_tot"))
                .select("_rng", F.coalesce(F.sum("_tot").over(w_off),
                                           F.lit(0)).alias("_off")))
 
     return (local.join(F.broadcast(offsets), "_rng")
-            .select(id_col, "n_tokens",
+            .select(id_col, weight_name,
                     F.floor((F.col("_off") + F.col("_cum_in")
-                             - F.col("n_tokens"))
-                            / F.lit(budget_tokens)).alias("shard_id")))
+                             - F.col(weight_name))
+                            / F.lit(budget)).alias("shard_id")))
+
+
+def pack_sequences(docs: DataFrame, budget_tokens: int = 4096,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   n_ranges: int = 64,
+                   salt: str = "pack|") -> DataFrame:
+    """Token-budget shard packing (see pack_weighted for the layout
+    and the two-phase distributed prefix sum): every shard spans
+    ~budget_tokens tokens; the last document of a shard may straddle
+    the boundary — standard pretraining packing, where the loader
+    truncates or wraps at the seam. Returns
+    (id_col, n_tokens, shard_id)."""
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    return pack_weighted(
+        docs, token_count_expr(F.col(text_col)), budget_tokens,
+        id_col=id_col, n_ranges=n_ranges, salt=salt,
+        weight_name="n_tokens")
 
 
 def rebalance_mix(docs: DataFrame, targets: dict[str, float],

@@ -174,3 +174,33 @@ def test_assemble_epochs_validates_weights(spark):
         assemble_epochs(docs, {})
     with pytest.raises(ValueError):
         assemble_epochs(docs, {"a": -1.0})
+
+
+def test_pack_weighted_bytes_budget(spark):
+    """pack_weighted with byte weights (the webdataset image case):
+    consecutive shard ids, every shard's weight stays near budget
+    (a shard exceeds it only via its straddling last row), and the
+    assignment is parallelism-invariant (n_ranges changes nothing)."""
+    from simplecrawler_spark.operators.packing import pack_weighted
+
+    docs = spark.createDataFrame(
+        [(i, 1000 + (i * 137) % 3000) for i in range(200)],
+        "doc_id long, nbytes long")
+    out = pack_weighted(docs, F.col("nbytes"), budget=10_000,
+                        weight_name="n_bytes")
+    rows = out.collect()
+    assert len(rows) == 200
+    per_shard = {}
+    for r in rows:
+        per_shard.setdefault(r.shard_id, 0)
+        per_shard[r.shard_id] += r.n_bytes
+    sids = sorted(per_shard)
+    assert sids == list(range(len(sids)))  # dense, consecutive
+    # every shard but the last spans >= budget only through overhang
+    for sid in sids[:-1]:
+        assert per_shard[sid] >= 10_000 - 4000  # first unit in-shard
+    a = sorted(map(tuple, rows))
+    b = sorted(map(tuple, pack_weighted(
+        docs, F.col("nbytes"), budget=10_000, weight_name="n_bytes",
+        n_ranges=7).collect()))
+    assert a == b  # n_ranges is parallelism only, never assignment
