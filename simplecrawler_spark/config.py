@@ -70,6 +70,17 @@ class CrawlConfig:
     # deferred with their depth/priority intact. At/above 1_000_000
     # (UNLIMITED_BUDGET) the cap — and its extra anti-join — is off.
     max_urls_per_round: int = 1_000_000
+    # how the global cap is divided when armed:
+    #   "cheapest" — take the cap's cheapest (priority, url_hash)
+    #     rows across ALL hosts (a hot host with good priorities can
+    #     take the whole round);
+    #   "fair" — Hamilton-apportion the cap across hosts by pending
+    #     count (politeness.allocate_budget), then take each host's
+    #     cheapest rows up to its share. A host never starves; the
+    #     cap is an upper bound (a host's share can exceed its
+    #     pending — those units go unused this round and its surplus
+    #     rolls forward as deferred work).
+    round_budget_mode: str = "cheapest"
     # bloom seen-filter sidecar
     bloom_enabled: bool = True
     bloom_fpp: float = 0.001

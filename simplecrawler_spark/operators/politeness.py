@@ -131,6 +131,26 @@ def apply_global_budget(scheduled: DataFrame, deferred: DataFrame,
     the cap is armed."""
     if cfg.max_urls_per_round >= UNLIMITED_BUDGET:
         return scheduled, deferred
+    if getattr(cfg, "round_budget_mode", "cheapest") == "fair":
+        # fair share: Hamilton-apportion the cap across hosts by
+        # pending count, take each host's cheapest rows up to its
+        # share. One host-grain count agg + broadcast join + the
+        # per-host window politeness already pays — no global sort.
+        counts = (scheduled.groupBy("host")
+                  .agg(F.count("*").alias("weight")))
+        alloc = allocate_budget(counts, int(cfg.max_urls_per_round))
+        w = Window.partitionBy("host").orderBy(
+            F.col("priority").asc(), F.col("url_hash").asc())
+        ranked = (scheduled
+                  .join(F.broadcast(alloc.select("host", "budget")),
+                        "host")
+                  .withColumn("_rank", F.row_number().over(w)))
+        take = (ranked.filter(F.col("_rank") <= F.col("budget"))
+                .drop("_rank", "budget"))
+        rest = (ranked.filter(F.col("_rank") > F.col("budget"))
+                .drop("_rank", "budget"))
+        return (take.select(scheduled.columns),
+                deferred.unionByName(rest.select(deferred.columns)))
     take = (scheduled.orderBy(F.col("priority").asc(),
                               F.col("url_hash").asc())
             .limit(int(cfg.max_urls_per_round)))

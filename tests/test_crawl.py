@@ -714,3 +714,46 @@ def test_allocate_budget_validates(spark):
     h = spark.createDataFrame([("a", 1)], "host string, weight long")
     with pytest.raises(ValueError):
         allocate_budget(h, -1)
+
+
+def test_fair_round_budget_no_host_starvation(spark):
+    """round_budget_mode='fair': a hot host with the best priorities
+    cannot eat the whole round cap — every pending host gets its
+    Hamilton share of the cap, cheapest rows first within the host;
+    'cheapest' mode (the default) demonstrably starves the others on
+    the same input."""
+    from types import SimpleNamespace
+
+    from simplecrawler_spark.operators.politeness import (
+        apply_global_budget,
+    )
+
+    rows = ([("hot", f"http://hot/{i}", 0, i) for i in range(100)]
+            + [(f"h{j}", f"http://h{j}/{i}", 50, 1000 + j * 10 + i)
+               for j in range(5) for i in range(10)])
+    sched = spark.createDataFrame(
+        rows, "host string, url_norm string, priority long, url_hash long")
+    deferred = sched.limit(0)
+
+    cfg_fair = SimpleNamespace(max_urls_per_round=50,
+                               round_budget_mode="fair")
+    take, rest = apply_global_budget(sched, deferred, cfg_fair)
+    got = {r["host"]: r["n"] for r in
+           take.groupBy("host").agg(F.count("*").alias("n")).collect()}
+    # Hamilton shares of 50 over weights {100, 10x5}: hot ~ 33, each
+    # small host ~ 3; nobody starves, total <= cap
+    assert all(got.get(f"h{j}", 0) >= 3 for j in range(5))
+    assert got["hot"] <= 34
+    assert sum(got.values()) <= 50
+    assert take.count() + rest.count() == 150  # nothing lost
+    # within-host order: hot's cheapest priorities first
+    hot_rows = take.filter(F.col("host") == "hot") \
+        .select("url_hash").collect()
+    assert {r.url_hash for r in hot_rows} == set(range(len(hot_rows)))
+
+    cfg_cheap = SimpleNamespace(max_urls_per_round=50,
+                                round_budget_mode="cheapest")
+    take2, _ = apply_global_budget(sched, deferred, cfg_cheap)
+    got2 = {r["host"]: r["n"] for r in
+            take2.groupBy("host").agg(F.count("*").alias("n")).collect()}
+    assert got2 == {"hot": 50}  # the starvation fair mode prevents
