@@ -1341,6 +1341,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             budget=8_000_000, id_col="image_id", salt="packimg|",
             weight_name="n_bytes")
 
+    def q_dedup_against(spark, sf):
+        """Incremental cross-snapshot dedup (operators/dedup.py
+        dedup_against, exact mode): the new half of the corpus
+        (doc_id >= 250) deduped against a reference of the old half
+        PLUS planted copies of docs 300-319 under fresh ids — so
+        the survivors are exactly the new docs whose normalised
+        fingerprint is not in the reference set. (The minhash band
+        mode is pytest-pinned — its band machinery carries its own
+        oracles via q_lsh_pairs.)"""
+        docs = _t(spark, sf, "documents")
+        new = docs.where(F.col("doc_id") >= 250) \
+            .select("doc_id", "text")
+        planted = (docs.where((F.col("doc_id") >= 300)
+                              & (F.col("doc_id") < 320))
+                   .select((F.col("doc_id") + 10000).alias("doc_id"),
+                           "text"))
+        ref = (docs.where(F.col("doc_id") < 250)
+               .select("doc_id", "text").unionByName(planted))
+        return D.dedup_against(new, ref).select("doc_id")
+
+    def q_linear_score(spark, sf):
+        """FastText-style hashed linear classifier inference
+        (operators/quality.py hashed_linear_score): a 10-term
+        integer-weight model applied over hashed token buckets —
+        dot products and the truncating mean stay exact int64 in
+        both engines (Spark div == DuckDB //, both
+        truncate-toward-zero)."""
+        from simplecrawler_spark.functions.text import hash_long60
+        from simplecrawler_spark.operators.quality import (
+            hashed_linear_score,
+        )
+
+        vocab = [("the", 500), ("table", -300), ("data", 200),
+                 ("key", 150), ("slow", -250), ("fast", 250),
+                 ("row", 100), ("scan", -120), ("value", 80),
+                 ("merge", 60)]
+        w = (spark.createDataFrame(vocab, "word string, weight long")
+             .select((hash_long60(F.col("word"), "flt|")
+                      % (1 << 18)).alias("bucket"), "weight")
+             .groupBy("bucket").agg(F.sum("weight").alias("weight")))
+        docs = _t(spark, sf, "documents")
+        return hashed_linear_score(docs, w)
+
     return {
         "q_canonicalize": q_canonicalize,
         "q_url_dedupe": q_url_dedupe,
@@ -1416,6 +1459,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_meta_robots": q_meta_robots,
         "q_alloc_budget": q_alloc_budget,
         "q_pack_images": q_pack_images,
+        "q_dedup_against": q_dedup_against,
+        "q_linear_score": q_linear_score,
     }
 
 
@@ -3290,5 +3335,52 @@ def oracle_sql() -> dict[str, str]:
                                 AND 1 PRECEDING), 0) / 8000000.0)
                      AS BIGINT) AS shard_id
             FROM base
+        """,
+        # incremental dedup: same normalised fingerprint, same
+        # planted reference copies, same anti-join
+        "q_dedup_against": f"""
+            WITH newd AS (
+              SELECT doc_id, {_ORACLE_FP} AS fp
+              FROM documents WHERE doc_id >= 250
+            ), ref AS (
+              SELECT DISTINCT fp FROM (
+                SELECT {_ORACLE_FP} AS fp FROM documents
+                WHERE doc_id < 250
+                UNION ALL
+                SELECT {_ORACLE_FP} FROM documents
+                WHERE doc_id >= 300 AND doc_id < 320
+              )
+            )
+            SELECT doc_id FROM newd
+            WHERE fp NOT IN (SELECT fp FROM ref)
+        """,
+        # hashed linear classifier: same md5 bucket contract, same
+        # per-bucket weight collapse, same truncating integer mean
+        "q_linear_score": f"""
+            WITH v(word, wt) AS (
+              VALUES ('the', 500), ('table', -300), ('data', 200),
+                     ('key', 150), ('slow', -250), ('fast', 250),
+                     ('row', 100), ('scan', -120), ('value', 80),
+                     ('merge', 60)
+            ), wb AS (
+              SELECT ('0x' || substr(md5('flt|' || word), 1, 15))
+                       ::BIGINT % 262144 AS b,
+                     sum(wt)::BIGINT AS wt
+              FROM v GROUP BY 1
+            ), t AS (
+              SELECT doc_id, unnest({toks}) AS tok FROM documents
+            ), tb AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5('flt|' || tok), 1, 15))
+                       ::BIGINT % 262144 AS b
+              FROM t
+            ), s AS (
+              SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                     sum(coalesce(wb.wt, 0))::BIGINT AS dot_scaled
+              FROM tb LEFT JOIN wb USING (b) GROUP BY doc_id
+            )
+            SELECT doc_id, n_tokens, dot_scaled,
+                   (dot_scaled // n_tokens)::BIGINT AS score_scaled
+            FROM s
         """,
     }

@@ -352,6 +352,15 @@ def main():
                        n_ops(plan, "Exchange") == 0
                        and n_python(plan) == 0, ""))
 
+    # 14t. hashed linear classifier: broadcast model join, partial
+    # aggs, zero Python
+    plan = formatted(qs["q_linear_score"](spark, SF_DIR))
+    sections.append(("q_linear_score", plan))
+    checks.append(("linear classifier broadcast model, no Python",
+                   n_ops(plan, "BroadcastHashJoin") >= 1
+                   and n_python(plan) == 0
+                   and "partial" in plan.lower(), ""))
+
     # 14s. meta-robots directives: one narrow regex projection
     plan = formatted(qs["q_meta_robots"](spark, SF_DIR))
     sections.append(("q_meta_robots", plan))

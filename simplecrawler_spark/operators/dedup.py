@@ -688,3 +688,60 @@ def simhash(docs: DataFrame, text_col: str = "text",
         val = val + F.when(F.col(f"s{j}") > 0,
                            F.lit(1 << j).cast("long")).otherwise(F.lit(0))
     return with_sums.select(id_col, val.alias("simhash"))
+
+
+def dedup_against(new_docs: DataFrame, reference_docs: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  method: str = "exact", n_hashes: int = 8,
+                  band_rows: int = 2, k: int = 3) -> DataFrame:
+    """Incremental cross-snapshot dedup: keep only the NEW corpus's
+    rows that are not already in the REFERENCE corpus — what every
+    recurring crawl runs between landing an increment and merging it
+    (in-corpus dedup alone re-admits everything the last snapshot
+    already holds).
+
+    ``method="exact"``: normalised-fingerprint anti-join — one
+    shuffle of 32-hex keys per side, reference fingerprints collapsed
+    DISTINCT first.
+
+    ``method="minhash"``: LSH band-key anti-join — a new doc is
+    dropped when ANY of its bands collides with any reference doc's
+    band (candidate-grain removal: the conservative crawl-increment
+    policy; to remove only VERIFIED near-dups, run ngram_jaccard on
+    the collisions instead). Shuffles band keys (short strings),
+    never text; the reference side is collapsed to its DISTINCT
+    band-key set before the join.
+
+    Returns the surviving new_docs rows with their input columns.
+    """
+    if method == "exact":
+        fp = fingerprint_expr(F.col(text_col))
+        ref = (reference_docs.select(fp.alias("_fp")).distinct())
+        return (new_docs.withColumn("_fp", fp)
+                .join(ref, "_fp", "left_anti").drop("_fp"))
+    if method != "minhash":
+        raise ValueError(f"unknown method {method!r}")
+
+    def band_keys(docs):
+        assert n_hashes % band_rows == 0
+        sig = minhash_signature(docs, text_col, id_col, n_hashes, k)
+        n_bands = n_hashes // band_rows
+        bands = F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws("|", *[F.col(f"mh{b * band_rows + r}")
+                                   for r in range(band_rows)])
+                .alias("key"))
+            for b in range(n_bands)
+        ])
+        return (sig.where(F.col("mh0").isNotNull())
+                .select(F.col(id_col), F.explode(bands).alias("bk"))
+                .select(id_col, F.col("bk.band").alias("band"),
+                        F.col("bk.key").alias("key")))
+
+    ref_keys = (band_keys(reference_docs)
+                .select("band", "key").distinct())
+    hit_ids = (band_keys(new_docs)
+               .join(ref_keys, ["band", "key"], "left_semi")
+               .select(id_col).distinct())
+    return new_docs.join(hit_ids, id_col, "left_anti")

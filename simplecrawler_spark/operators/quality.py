@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from simplecrawler_spark.functions.text import tokens_expr
 
 __all__ = ["unigram_logprob", "quality_buckets", "strip_boilerplate",
+           "hashed_linear_score",
            "corpus_stats",
            "gopher_rules", "c4_line_rules", "GOPHER_STOPWORDS"]
 
@@ -366,3 +367,61 @@ def corpus_stats(docs: DataFrame, group_col: str = "source",
                  F.countDistinct("_fp").alias("n_unique"),
                  F.sum("_is_lang").alias("n_lang"),
                  F.sum("_is_q").alias("n_quality")))
+
+
+def hashed_linear_score(docs: DataFrame, weights: DataFrame,
+                        n_buckets: int = 1 << 18,
+                        text_col: str = "text",
+                        id_col: str = "doc_id",
+                        bucket_col: str = "bucket",
+                        weight_col: str = "weight",
+                        salt: str = "flt|",
+                        broadcast_weights: bool = True) -> DataFrame:
+    """FastText-style linear text-classifier INFERENCE — the
+    quality / educational-value classifier pass of CCNet- and
+    FineWeb-edu-style pipelines. Training happens offline (model
+    fitting is out of engine scope, like the CLIP encoder); the
+    engine's job is applying the model at corpus scale, and a linear
+    model over hashed token features is exactly a join + sum:
+
+      bucket(token) = md5-hash(salt|token) mod n_buckets  (hashing
+      trick — OOV-free, engine-portable), dot = Σ_tokens
+      weight[bucket], score_scaled = dot div n_tokens (weights are
+      integer-scaled by the caller; everything stays exact int64 —
+      Spark's div and DuckDB's // both truncate, pinned by the
+      oracle).
+
+    Returns (id_col, n_tokens, dot_scaled, score_scaled); docs with
+    no tokens are omitted (no defined score).
+
+    Scale shape: explode → map-side-combinable (doc, bucket) count →
+    join the weight table on bucket (broadcast by default — a model
+    is ≤ n_buckets rows; plain hash join for huge vocabularies) →
+    one doc-grain combinable sum. Unknown buckets weigh 0 (left
+    join). No Python anywhere.
+    """
+    from simplecrawler_spark.functions.text import (
+        hash_long60, tokens_expr,
+    )
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(tokens_expr(F.col(text_col))).alias("_tok"))
+    tf = (toks.select(
+        id_col,
+        (hash_long60(F.col("_tok"), salt) % n_buckets).alias("_b"))
+        .groupBy(id_col, "_b").agg(F.count("*").alias("_tf")))
+    w = weights.select(
+        F.col(bucket_col).cast("long").alias("_b"),
+        F.col(weight_col).cast("long").alias("_w"))
+    if broadcast_weights:
+        w = F.broadcast(w)
+    scored = (tf.join(w, "_b", "left")
+              .groupBy(id_col)
+              .agg(F.sum("_tf").alias("n_tokens"),
+                   F.sum(F.col("_tf") * F.coalesce(F.col("_w"),
+                                                   F.lit(0)))
+                   .alias("dot_scaled")))
+    return scored.select(
+        id_col, "n_tokens", "dot_scaled",
+        F.expr("dot_scaled div n_tokens").alias("score_scaled"))

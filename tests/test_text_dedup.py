@@ -1067,3 +1067,75 @@ def test_corpus_stats(spark):
     assert s1.n_tokens == 3 * 51 + 3  # 17 words x3 per doc, +3 tail
     s2 = got["s2"]
     assert s2.n_docs == 1 and s2.n_lang == 0 and s2.n_unique == 1
+
+
+def test_dedup_against_exact(spark):
+    from simplecrawler_spark.operators import dedup as D
+
+    new = spark.createDataFrame(
+        [(10, "brand new text here"), (11, "Already   KNOWN text"),
+         (12, "another fresh doc")], "doc_id long, text string")
+    ref = spark.createDataFrame(
+        [(1, "already known text"), (2, "something else")],
+        "doc_id long, text string")
+    got = D.dedup_against(new, ref)
+    # fingerprint normalisation: case+whitespace folds, so 11 drops
+    assert sorted(r.doc_id for r in got.collect()) == [10, 12]
+    assert got.columns == ["doc_id", "text"]  # input columns survive
+
+
+def test_dedup_against_minhash_drops_banded_near_dup(spark):
+    from simplecrawler_spark.operators import dedup as D
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota "
+            "kappa lam mu nu xi omicron pi rho sigma tau upsilon")
+    new = spark.createDataFrame(
+        [(10, base + " extra"),              # near-dup of ref 1
+         (11, "totally different words in this one about ships "
+              "and harbors and tides and moons and stars")],
+        "doc_id long, text string")
+    ref = spark.createDataFrame(
+        [(1, base)], "doc_id long, text string")
+    got = sorted(r.doc_id for r in
+                 D.dedup_against(new, ref, method="minhash").collect())
+    assert got == [11]  # near-dup dropped, unrelated survives
+    with pytest.raises(ValueError):
+        D.dedup_against(new, ref, method="nope")
+
+
+def test_hashed_linear_score(spark):
+    """Hand-computed: doc with 'the fast table' gets 500+250-300
+    over 3 tokens (mean truncates toward zero both engines); tokens
+    outside the model weigh 0; empty docs are omitted."""
+    from simplecrawler_spark.functions.text import hash_long60
+    from simplecrawler_spark.operators.quality import (
+        hashed_linear_score,
+    )
+
+    w = (spark.createDataFrame(
+        [("the", 500), ("fast", 250), ("table", -300)],
+        "word string, weight long")
+        .select((hash_long60(F.col("word"), "flt|") % (1 << 18))
+                .alias("bucket"), "weight"))
+    docs = spark.createDataFrame(
+        [(0, "the fast table"), (1, "unknown words only"),
+         (2, "the the the"), (3, "   ")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in hashed_linear_score(docs, w).collect()}
+    assert got[0].dot_scaled == 450 and got[0].score_scaled == 150
+    assert got[1].dot_scaled == 0 and got[1].n_tokens == 3
+    assert got[2].dot_scaled == 1500 and got[2].score_scaled == 500
+    assert 3 not in got  # no tokens -> no score
+
+
+def test_hashed_linear_score_plan(spark):
+    from simplecrawler_spark.operators.quality import (
+        hashed_linear_score,
+    )
+
+    w = spark.createDataFrame([(1, 5)], "bucket long, weight long")
+    docs = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    plan = (hashed_linear_score(docs, w)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    assert "Python" not in plan
