@@ -1384,6 +1384,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _t(spark, sf, "documents")
         return hashed_linear_score(docs, w)
 
+    def q_pipeline(spark, sf):
+        """The full cleaning pipeline as one audit table
+        (operators/quality.py corpus_pipeline_flags): lang, quality,
+        Gopher, C4, and exact-dedup verdicts side by side per doc.
+        Injections vary every stage independently: every 13th doc's
+        body goes marker-free (lang), every 5th gains symbol spam
+        (gopher), every 9th a brace line (c4), and every 10th+7 doc
+        is replaced by one CONSTANT document so `canonical` is true
+        only for the group's min id. The oracle re-composes the
+        individually-proven SQL fragments and conjoins them."""
+        from simplecrawler_spark.operators.quality import (
+            corpus_pipeline_flags,
+        )
+
+        docs = _t(spark, sf, "documents")
+        body = F.when(
+            F.col("doc_id") % 13 == 0,
+            F.lit("zq wq xq yq vq kq lq mq nq oq pq rq sq tq uq")
+        ).otherwise(F.col("text"))
+        text2 = F.concat(
+            F.lit("This sentence about "), F.col("source"),
+            F.lit(" has plenty of words.\n"), body,
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.lit(" ## ... ## ... ## ... ## ..."))
+            .otherwise(F.lit("")),
+            F.lit(".\nHere is another complete sentence with "
+                  "enough words."),
+            F.when(F.col("doc_id") % 9 == 0,
+                   F.lit("\nif (x) { return }")).otherwise(F.lit("")))
+        text3 = F.when(
+            F.col("doc_id") % 10 == 7,
+            F.lit("Duplicate document body appears many times.\n"
+                  "The data table row has the value of the key.\n"
+                  "Here is another complete sentence with enough "
+                  "words.")).otherwise(text2)
+        injected = docs.select("doc_id", text3.alias("text"))
+        return corpus_pipeline_flags(injected, gopher_min_words=10)
+
     return {
         "q_canonicalize": q_canonicalize,
         "q_url_dedupe": q_url_dedupe,
@@ -1461,6 +1499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pack_images": q_pack_images,
         "q_dedup_against": q_dedup_against,
         "q_linear_score": q_linear_score,
+        "q_pipeline": q_pipeline,
     }
 
 
@@ -3382,5 +3421,125 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens, dot_scaled,
                    (dot_scaled // n_tokens)::BIGINT AS score_scaled
             FROM s
+        """,
+        # full-pipeline audit: the lang/quality/gopher/c4/dedup SQL
+        # fragments (each proven by its own query) recomposed over
+        # the injected text and conjoined
+        "q_pipeline": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 10 = 7 THEN
+                       'Duplicate document body appears many times.'
+                       || chr(10) ||
+                       'The data table row has the value of the key.'
+                       || chr(10) ||
+                       'Here is another complete sentence with '
+                       || 'enough words.'
+                     ELSE
+                       'This sentence about ' || source
+                       || ' has plenty of words.' || chr(10)
+                       || CASE WHEN doc_id % 13 = 0
+                            THEN 'zq wq xq yq vq kq lq mq nq oq pq '
+                                 || 'rq sq tq uq'
+                            ELSE text END
+                       || CASE WHEN doc_id % 5 = 0
+                            THEN ' ## ... ## ... ## ... ## ...'
+                            ELSE '' END
+                       || '.' || chr(10)
+                       || 'Here is another complete sentence with '
+                       || 'enough words.'
+                       || CASE WHEN doc_id % 9 = 0
+                            THEN chr(10) || 'if (x) {{ return }}'
+                            ELSE '' END
+                     END AS text
+              FROM documents
+            ), t AS (
+              SELECT doc_id, text, {toks} AS toks FROM d
+            ), f1 AS (
+              SELECT doc_id,
+                     ((case when {marker_ratio} >= 0.15
+                            then 'en' else 'other' end) = 'en')
+                       AS lang_ok,
+                     ({quality} >= 0.5) AS quality_ok,
+                     {_ORACLE_FP} AS fp
+              FROM t
+            ), gm AS (
+              SELECT doc_id, text,
+                     list_filter(regexp_split_to_array(text, '\\s+'),
+                                 x -> x <> '') AS words,
+                     list_transform(string_split(text, chr(10)),
+                                    l -> trim(l)) AS tl
+              FROM d
+            ), gs AS (
+              SELECT doc_id,
+                     len(words)::BIGINT AS n_words,
+                     list_aggregate(list_transform(words,
+                       w -> len(w)::BIGINT), 'sum') AS total_chars,
+                     len(list_filter(words, w ->
+                       regexp_matches(w, '[a-zA-Z]')))::BIGINT
+                       AS n_alpha,
+                     (len(text)
+                      - len(replace(text, '#', '')))::BIGINT AS n_hash,
+                     ((len(text) - len(replace(text, '...', '')))
+                      // 3)::BIGINT AS n_dots,
+                     len(tl)::BIGINT AS n_lines,
+                     len(list_filter(tl, l -> l LIKE '- %'
+                       OR l LIKE '* %' OR l LIKE chr(8226) || '%'))
+                       ::BIGINT AS n_bullet,
+                     len(list_filter(tl, l -> l LIKE '%...'))::BIGINT
+                       AS n_ell,
+                     (list_contains(list_transform(words,
+                        w -> lower(w)), 'the')::INT
+                      + list_contains(list_transform(words,
+                        w -> lower(w)), 'be')::INT
+                      + list_contains(list_transform(words,
+                        w -> lower(w)), 'to')::INT
+                      + list_contains(list_transform(words,
+                        w -> lower(w)), 'of')::INT
+                      + list_contains(list_transform(words,
+                        w -> lower(w)), 'and')::INT
+                      + list_contains(list_transform(words,
+                        w -> lower(w)), 'that')::INT
+                      + list_contains(list_transform(words,
+                        w -> lower(w)), 'have')::INT
+                      + list_contains(list_transform(words,
+                        w -> lower(w)), 'with')::INT)::BIGINT AS n_stop
+              FROM gm
+            ), g AS (
+              SELECT doc_id,
+                     ((n_words >= 10 AND n_words <= 100000)
+                      AND (total_chars >= 3 * n_words
+                           AND total_chars <= 10 * n_words)
+                      AND (10 * (n_hash + n_dots) <= n_words)
+                      AND (10 * n_bullet <= 9 * n_lines)
+                      AND (10 * n_ell <= 3 * n_lines)
+                      AND (5 * n_alpha >= 4 * n_words)
+                      AND (n_stop >= 2)) AS gopher_ok
+              FROM gs
+            ), c AS (
+              SELECT doc_id,
+                     (NOT contains(text, '{{')
+                      AND NOT contains(lower(text), 'lorem ipsum')
+                      AND len(list_filter(string_split(text, chr(10)),
+                        l -> (trim(l) LIKE '%.' OR trim(l) LIKE '%!'
+                              OR trim(l) LIKE '%?'
+                              OR trim(l) LIKE '%"')
+                          AND len(list_filter(
+                                regexp_split_to_array(trim(l),
+                                '\\s+'), x -> x <> '')) >= 5
+                          AND NOT contains(lower(trim(l)),
+                                           'javascript'))) >= 3)
+                       AS c4_ok
+              FROM d
+            ), canon AS (
+              SELECT fp, min(doc_id) AS keep_id FROM f1 GROUP BY fp
+            )
+            SELECT f1.doc_id, f1.lang_ok, f1.quality_ok, g.gopher_ok,
+                   c.c4_ok, (f1.doc_id = canon.keep_id) AS canonical,
+                   (f1.lang_ok AND f1.quality_ok AND g.gopher_ok
+                    AND c.c4_ok AND f1.doc_id = canon.keep_id) AS keep
+            FROM f1
+            JOIN g USING (doc_id) JOIN c USING (doc_id)
+            JOIN canon ON canon.fp = f1.fp
         """,
     }

@@ -35,7 +35,7 @@ from simplecrawler_spark.functions.text import tokens_expr
 
 __all__ = ["unigram_logprob", "quality_buckets", "strip_boilerplate",
            "hashed_linear_score",
-           "corpus_stats",
+           "corpus_stats", "corpus_pipeline_flags",
            "gopher_rules", "c4_line_rules", "GOPHER_STOPWORDS"]
 
 
@@ -425,3 +425,56 @@ def hashed_linear_score(docs: DataFrame, weights: DataFrame,
     return scored.select(
         id_col, "n_tokens", "dot_scaled",
         F.expr("dot_scaled div n_tokens").alias("score_scaled"))
+
+
+def corpus_pipeline_flags(docs: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", lang: str = "en",
+                          min_quality: float = 0.5,
+                          gopher_min_words: int = 10) -> DataFrame:
+    """The full cleaning pipeline as ONE audit table — per document,
+    every stage's verdict side by side (the FineWeb/Dolma-style
+    ablation table: corpus builders tune stages by reading exactly
+    this breakdown before committing to a drop):
+
+      lang_ok     — language-ID gate (functions/text.lang_id_expr)
+      quality_ok  — heuristic quality score >= min_quality
+      gopher_ok   — gopher_rules composite (document shape)
+      c4_ok       — c4_line_rules document verdict
+      canonical   — exact-dedup survivor (min id per normalised
+                    fingerprint)
+      keep        — AND of all five
+
+    Flags are computed on the RAW text independently (audit
+    semantics — each stage's verdict is attributable), in one scan
+    projection; the only shuffle is the fingerprint min-agg +
+    join-back that `canonical` needs (32-hex + id rows). Zero
+    Python. Composes the individually-oracled stages — q_pipeline
+    twins the whole conjunction."""
+    from simplecrawler_spark.functions.text import (
+        fingerprint_expr,
+        lang_id_expr,
+        quality_score_expr,
+    )
+
+    text = F.col(text_col)
+    flagged = docs.select(
+        F.col(id_col), F.col(text_col),
+        (lang_id_expr(text) == lang).alias("lang_ok"),
+        (quality_score_expr(text) >= min_quality).alias("quality_ok"),
+        fingerprint_expr(text).alias("_fp"))
+    g = (gopher_rules(docs, text_col=text_col, id_col=id_col,
+                      min_words=gopher_min_words)
+         .select(F.col(id_col), F.col("keep").alias("gopher_ok")))
+    c = (c4_line_rules(docs, text_col=text_col, id_col=id_col)
+         .select(F.col(id_col), F.col("keep").alias("c4_ok")))
+    canon = (flagged.groupBy("_fp")
+             .agg(F.min(id_col).alias("_keep_id")))
+    out = (flagged.join(g, id_col).join(c, id_col)
+           .join(canon, "_fp")
+           .select(
+               F.col(id_col), "lang_ok", "quality_ok", "gopher_ok",
+               "c4_ok",
+               (F.col(id_col) == F.col("_keep_id")).alias("canonical")))
+    return out.withColumn(
+        "keep", F.col("lang_ok") & F.col("quality_ok")
+        & F.col("gopher_ok") & F.col("c4_ok") & F.col("canonical"))

@@ -1139,3 +1139,31 @@ def test_hashed_linear_score_plan(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan
     assert "Python" not in plan
+
+
+def test_corpus_pipeline_flags(spark):
+    from simplecrawler_spark.operators.quality import (
+        corpus_pipeline_flags,
+    )
+
+    good = ("The data table row has the value of the key here.\n"
+            "Here is another complete sentence with enough words.\n"
+            "A third proper sentence with plenty of words too.")
+    rows = [
+        (0, good),
+        (1, good),                          # exact dup of 0
+        (2, good.replace("data", "zq")      # still fine
+            + "\nExtra complete sentence with plenty more words."),
+        (3, "zq wq xq yq vq kq lq mq nq oq pq rq sq tq uq " * 2),
+        (4, good + "\nif (x) { return }"),  # c4 doc drop
+        (5, good + " ## ... ## ... ## ... ## ... ## ... ## ..."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           corpus_pipeline_flags(df, gopher_min_words=10).collect()}
+    assert got[0].keep and got[0].canonical
+    assert not got[1].canonical and not got[1].keep  # dup loses
+    assert got[2].keep
+    assert not got[3].lang_ok and not got[3].keep
+    assert not got[4].c4_ok and got[4].gopher_ok
+    assert not got[5].gopher_ok and not got[5].keep
