@@ -1422,6 +1422,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         injected = docs.select("doc_id", text3.alias("text"))
         return corpus_pipeline_flags(injected, gopher_min_words=10)
 
+    def q_lang_multi(spark, sf):
+        """Multilingual marker-vote language ID (functions/text.py
+        lang_id_multi_expr): every 4th doc rotates through planted
+        Spanish / French / German stopword text, the rest keep the
+        English-ish corpus body — the argmax is exact integer hit
+        counts (shared denominator) with the de<en<es<fr tie-break,
+        and the 3/20 threshold is a cross-multiplication; the oracle
+        replays every comparison verbatim as a cascading CASE."""
+        from simplecrawler_spark.functions.text import (
+            lang_id_multi_expr,
+        )
+
+        docs = _t(spark, sf, "documents")
+        m = F.col("doc_id") % 4
+        text2 = (
+            F.when(m == 1, F.lit(
+                "la casa de la familia es una de las casas que no "
+                "se ve en el pueblo para su gente"))
+            .when(m == 2, F.lit(
+                "le chat est dans la maison et les chiens ne sont "
+                "pas sur le toit pour une fois"))
+            .when(m == 3, F.lit(
+                "der hund und die katze sind nicht auf dem dach mit "
+                "den kindern und das ist auch gut"))
+            .otherwise(F.col("text")))
+        return docs.select(
+            "doc_id", lang_id_multi_expr(text2).alias("lang"))
+
     return {
         "q_canonicalize": q_canonicalize,
         "q_url_dedupe": q_url_dedupe,
@@ -1500,6 +1528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_against": q_dedup_against,
         "q_linear_score": q_linear_score,
         "q_pipeline": q_pipeline,
+        "q_lang_multi": q_lang_multi,
     }
 
 
@@ -3542,4 +3571,50 @@ def oracle_sql() -> dict[str, str]:
             JOIN g USING (doc_id) JOIN c USING (doc_id)
             JOIN canon ON canon.fp = f1.fp
         """,
+        # multilingual marker vote: same planted texts, same marker
+        # lists, same integer argmax with de<en<es<fr tie-break
+        "q_lang_multi": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 4 = 1 THEN
+                       'la casa de la familia es una de las casas '
+                       || 'que no se ve en el pueblo para su gente'
+                     WHEN doc_id % 4 = 2 THEN
+                       'le chat est dans la maison et les chiens ne '
+                       || 'sont pas sur le toit pour une fois'
+                     WHEN doc_id % 4 = 3 THEN
+                       'der hund und die katze sind nicht auf dem '
+                       || 'dach mit den kindern und das ist auch gut'
+                     ELSE text END AS text
+              FROM d0
+            ), t AS (
+              SELECT doc_id, {toks} AS toks FROM d
+            ), h AS (
+              SELECT doc_id, len(toks)::BIGINT AS n,
+                     len(list_filter(toks, x -> list_contains(
+                       [{", ".join(f"'{m}'" for m in X.LANG_MARKERS['de'])}],
+                       x)))::BIGINT AS h_de,
+                     len(list_filter(toks, x -> list_contains(
+                       [{", ".join(f"'{m}'" for m in X.LANG_MARKERS['en'])}],
+                       x)))::BIGINT AS h_en,
+                     len(list_filter(toks, x -> list_contains(
+                       [{", ".join(f"'{m}'" for m in X.LANG_MARKERS['es'])}],
+                       x)))::BIGINT AS h_es,
+                     len(list_filter(toks, x -> list_contains(
+                       [{", ".join(f"'{m}'" for m in X.LANG_MARKERS['fr'])}],
+                       x)))::BIGINT AS h_fr
+              FROM t
+            )
+            SELECT doc_id,
+                   CASE WHEN n > 0 AND 20 * greatest(h_de, h_en,
+                          h_es, h_fr) >= 3 * n THEN
+                     CASE WHEN h_de >= h_en AND h_de >= h_es
+                            AND h_de >= h_fr THEN 'de'
+                          WHEN h_en >= h_es AND h_en >= h_fr
+                            THEN 'en'
+                          WHEN h_es >= h_fr THEN 'es'
+                          ELSE 'fr' END
+                   ELSE 'other' END AS lang
+            FROM h
+        """.replace("FROM d0", "FROM documents"),
     }

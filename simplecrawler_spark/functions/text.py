@@ -305,3 +305,55 @@ def chunk_docs(df, text_col: str = "text", *, chunk_tokens: int = 64,
                         F.slice(F.col("_toks"),
                                 F.col("start_tok") + 1, chunk_tokens),
                         " ").alias("chunk_text")))
+
+
+# per-language stopword-marker sets for the multilingual ID (tiny
+# fixed lists — a real system swaps in fastText; exactness of the
+# ARGMAX plumbing is what the engine owns). All ratios share the
+# token-count denominator, so comparing HIT COUNTS compares ratios
+# exactly in integers.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": EN_MARKERS,
+    "es": ["el", "la", "los", "las", "de", "del", "que", "y", "en",
+           "un", "una", "es", "por", "con", "para", "su", "se", "no"],
+    "fr": ["le", "la", "les", "des", "de", "du", "et", "est", "que",
+           "une", "dans", "pour", "sur", "avec", "au", "pas", "ne"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den",
+           "des", "ein", "eine", "nicht", "auf", "als", "auch",
+           "sich", "zu"],
+}
+
+
+def lang_id_multi_expr(text: Column, threshold_num: int = 3,
+                       threshold_den: int = 20,
+                       markers: dict[str, list[str]] | None = None
+                       ) -> Column:
+    """Multilingual marker-vote language ID: the language whose
+    marker set hits the most tokens wins, provided its hit ratio
+    clears threshold_num/threshold_den (default 3/20 = 0.15, the
+    lang_id_expr gate); otherwise 'other'.
+
+    EXACT integer decisions end to end: hit counts share the token-
+    count denominator so the argmax compares counts directly, the
+    threshold is the cross-multiplication ``den·hits >= num·n_toks``,
+    and ties break on language-code order ('de' < 'en' < 'es' <
+    'fr') via min over (−hits, lang) structs — no float anywhere,
+    the oracle replays each comparison verbatim. One narrow
+    projection: per-row array HOFs only, whole-stage codegen.
+    """
+    markers = markers or LANG_MARKERS
+    toks = tokens_expr(text)
+    n = F.size(toks)
+    cands = F.array(*[
+        F.struct(
+            (-F.size(F.filter(toks, lambda t: t.isin(ms))))
+            .cast("long").alias("neg_hits"),
+            F.lit(lang).alias("lang"))
+        for lang, ms in sorted(markers.items())
+    ])
+    best = F.array_min(cands)
+    hits = -best.getField("neg_hits")
+    return F.when(
+        (n > 0) & (F.lit(threshold_den) * hits
+                   >= F.lit(threshold_num) * n),
+        best.getField("lang")).otherwise(F.lit("other"))

@@ -1167,3 +1167,27 @@ def test_corpus_pipeline_flags(spark):
     assert not got[3].lang_ok and not got[3].keep
     assert not got[4].c4_ok and got[4].gopher_ok
     assert not got[5].gopher_ok and not got[5].keep
+
+
+def test_lang_id_multi(spark):
+    """Marker vote: planted stopword texts resolve to their language;
+    marker-free text is 'other'; a tie breaks on code order (de <
+    en: 'la' is both es and fr... use a crafted exact tie)."""
+    rows = [
+        (0, "the table of data is a value for the query"),
+        (1, "la casa de la familia es una de las casas del pueblo"),
+        (2, "le chat est dans la maison avec les chiens du toit"),
+        (3, "der hund und die katze sind nicht auf dem dach"),
+        (4, "zq wq xq yq vq kq lq mq nq"),
+        (5, ""),
+        # 'la de' hits es(2) and fr(2) -> tie -> 'es' < 'fr'
+        (6, "la de la de"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.lang for r in df.select(
+        "doc_id", X.lang_id_multi_expr(F.col("text")).alias("lang"))
+        .collect()}
+    assert got[0] == "en" and got[1] == "es"
+    assert got[2] == "fr" and got[3] == "de"
+    assert got[4] == "other" and got[5] == "other"
+    assert got[6] == "es"  # exact tie, deterministic code-order break
