@@ -1450,6 +1450,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return docs.select(
             "doc_id", lang_id_multi_expr(text2).alias("lang"))
 
+    def q_main_text(spark, sf):
+        """jusText-style main-content extraction (operators/parse.py
+        extract_main_text): each doc wrapped in a page with an
+        all-anchor nav bar and a Terms|Privacy footer (link density
+        1 and ~0.9 — both drop), the doc body (density 0 — kept),
+        and a mixed prose+link sentence under the 0.5 density bound
+        (kept). Expected-composition oracle, q_wet discipline."""
+        from simplecrawler_spark.operators.parse import (
+            extract_main_text,
+        )
+
+        docs = _t(spark, sf, "documents")
+        d = F.col("doc_id").cast("string")
+        html = F.concat(
+            F.lit('<html><body><div><a href="/a">Home</a> '
+                  '<a href="/b">About</a> <a href="/c">Contact</a>'
+                  "</div><p>"),
+            F.col("text"),
+            F.lit('</p><p>See also <a href="/x">doc '), d,
+            F.lit('</a> for details.</p><div><a href="/t">Terms</a>'
+                  ' | <a href="/p">Privacy</a></div></body></html>'))
+        out = docs.select(
+            "doc_id", extract_main_text(html).alias("main"))
+        return out.select(
+            "doc_id", F.length("main").cast("long").alias("n_chars"),
+            F.md5("main").alias("main_md5"))
+
     return {
         "q_canonicalize": q_canonicalize,
         "q_url_dedupe": q_url_dedupe,
@@ -1529,6 +1556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_linear_score": q_linear_score,
         "q_pipeline": q_pipeline,
         "q_lang_multi": q_lang_multi,
+        "q_main_text": q_main_text,
     }
 
 
@@ -3617,4 +3645,19 @@ def oracle_sql() -> dict[str, str]:
                    ELSE 'other' END AS lang
             FROM h
         """.replace("FROM d0", "FROM documents"),
+        # main-content extraction: expected composition — kept blocks
+        # are the collapsed body and the mixed sentence; nav/footer
+        # blocks exceed the link-density bound and vanish
+        "q_main_text": """
+            WITH e AS (
+              SELECT doc_id,
+                     trim(regexp_replace(text, '\\s+', ' ', 'g'))
+                     || chr(10) || 'See also doc ' || doc_id::VARCHAR
+                     || ' for details.' AS main
+              FROM documents
+            )
+            SELECT doc_id, len(main)::BIGINT AS n_chars,
+                   md5(main) AS main_md5
+            FROM e
+        """,
     }

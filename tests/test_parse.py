@@ -335,3 +335,45 @@ def test_meta_robots_expr(spark):
     assert got[3].ni and not got[3].nf  # whitespace in list
     assert not got[4].ni and not got[4].nf  # wrong meta name
     assert not got[5].ni and not got[5].nf
+
+
+def test_main_text_from_html_link_density():
+    from simplecrawler_spark.operators.parse import main_text_from_html
+
+    html = ('<html><body>'
+            '<div><a href="/a">Home</a> <a href="/b">About</a> '
+            '<a href="/c">Contact</a></div>'
+            '<p>This is the long article paragraph with real '
+            'content in it.</p>'
+            '<p>Read more at <a href="/x">this page</a> now '
+            'maybe.</p>'
+            '<div><a href="/t">Terms</a> | <a href="/p">Privacy</a>'
+            '</div>'
+            '<p>tiny.</p>'
+            '</body></html>')
+    got = main_text_from_html(html)
+    assert got == ("This is the long article paragraph with real "
+                   "content in it.\nRead more at this page now "
+                   "maybe.")
+    # all-anchor page -> nothing survives
+    assert main_text_from_html(
+        '<div><a href="/a">All links everywhere here</a></div>') == ""
+    # min_chars exemption is a knob
+    assert main_text_from_html("<p>tiny.</p>", min_chars=3) == "tiny."
+    # nested anchors count once per char; unclosed <a> attributes
+    # text to the anchor until EOF
+    assert main_text_from_html(
+        "<p>prose continues <a>linked tail of the block") == ""
+
+
+def test_extract_main_text_udf(spark):
+    from simplecrawler_spark.operators.parse import extract_main_text
+
+    df = spark.createDataFrame(
+        [(1, "<p>a long enough plain prose block here.</p>"),
+         (2, None)], "id long, body string")
+    got = {r.id: r.m for r in
+           df.select("id", extract_main_text("body").alias("m"))
+           .collect()}
+    assert got[1] == "a long enough plain prose block here."
+    assert got[2] is None
