@@ -1477,6 +1477,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", F.length("main").cast("long").alias("n_chars"),
             F.md5("main").alias("main_md5"))
 
+    def q_wat_records(spark, sf):
+        """WAT-style metadata envelope (sources/warc.py
+        wat_record_expr): per-page JSON of url/status/mime/outlinks —
+        what link-graph jobs read instead of payload bytes. Spark's
+        and DuckDB's compact JSON renderings are byte-identical for
+        this shape, so the oracle compares md5 of the RECORD STRING
+        itself (strongest possible check: field order, quoting, and
+        array rendering all pinned)."""
+        from simplecrawler_spark.sources.warc import wat_record_expr
+
+        ev = _t(spark, sf, "events")
+        eid = F.col("event_id")
+        url = F.concat(F.lit("http://h"), (eid % 40).cast("string"),
+                       F.lit("/p"), (eid % 97).cast("string"))
+        status = F.when(eid % 11 == 0, F.lit(404)).otherwise(F.lit(200))
+        mime = (F.when(eid % 13 == 0, F.lit("image/png"))
+                .otherwise(F.lit("text/html")))
+        n = (eid % 3) + 1
+        links = F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.concat(F.lit("http://h"),
+                               ((eid + i) % 40).cast("string"),
+                               F.lit("/")))
+        rec = wat_record_expr(url, status, mime, links)
+        return ev.select("event_id", F.md5(rec).alias("wat_md5"))
+
     return {
         "q_canonicalize": q_canonicalize,
         "q_url_dedupe": q_url_dedupe,
@@ -1557,6 +1583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pipeline": q_pipeline,
         "q_lang_multi": q_lang_multi,
         "q_main_text": q_main_text,
+        "q_wat_records": q_wat_records,
     }
 
 
@@ -3658,6 +3685,29 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, len(main)::BIGINT AS n_chars,
                    md5(main) AS main_md5
+            FROM e
+        """,
+        # WAT envelope: identical compact-JSON rendering both engines
+        # -> md5 of the record string is comparable directly
+        "q_wat_records": """
+            WITH e AS (
+              SELECT event_id,
+                     'http://h' || (event_id % 40)::VARCHAR || '/p'
+                       || (event_id % 97)::VARCHAR AS url,
+                     CASE WHEN event_id % 11 = 0 THEN 404
+                          ELSE 200 END AS status,
+                     CASE WHEN event_id % 13 = 0 THEN 'image/png'
+                          ELSE 'text/html' END AS mime,
+                     list_transform(range(1, (event_id % 3) + 2),
+                       i -> 'http://h' || ((event_id + i) % 40)
+                              ::VARCHAR || '/') AS links
+              FROM events
+            )
+            SELECT event_id,
+                   md5(to_json(struct_pack(
+                     url := url, status := status::INT, mime := mime,
+                     n_links := len(links)::INT, links := links)))
+                     AS wat_md5
             FROM e
         """,
     }

@@ -162,7 +162,8 @@ def pipeline_benches(spark, sf_dir: str) -> dict[str, float]:
              "q_bpe_pairs", "q_gopher", "q_c4", "q_rrf",
              "q_corpus_stats", "q_meta_robots", "q_alloc_budget",
              "q_pack_images", "q_dedup_against", "q_linear_score",
-             "q_pipeline", "q_lang_multi", "q_main_text"]
+             "q_pipeline", "q_lang_multi", "q_main_text",
+             "q_wat_records"]
     qs = E.queries()
     for name in names:
         t0 = time.monotonic()

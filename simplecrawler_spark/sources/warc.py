@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["warc_record_expr", "parse_warc_text"]
+__all__ = ["warc_record_expr", "parse_warc_text", "wat_record_expr"]
 
 _MARKER = "WARC/1.0\n"
 
@@ -97,3 +97,22 @@ def parse_warc_text(archives: DataFrame, content_col: str = "content",
         F.when(clen.isNotNull(), F.substr(body, F.lit(1), clen))
         .alias("payload"),
     )
+
+
+def wat_record_expr(url: Column, status: Column, mime: Column,
+                    links: Column) -> Column:
+    """Common-Crawl-WAT-style metadata record for one fetched page:
+    the queryable ENVELOPE of the archive (WARC carries payloads;
+    WAT carries per-record metadata + the extracted outlinks, and is
+    what link-graph / seed-mining jobs read so they never touch
+    payload bytes). One compact JSON string per page —
+    {"url":…,"status":…,"mime":…,"n_links":…,"links":[…]} — via
+    pure-JVM to_json; Spark's and DuckDB's compact JSON renderings
+    are byte-identical for this shape, so q_wat compares md5s of the
+    records themselves."""
+    return F.to_json(F.struct(
+        url.alias("url"),
+        status.cast("int").alias("status"),
+        mime.alias("mime"),
+        F.size(links).cast("int").alias("n_links"),
+        links.alias("links")))

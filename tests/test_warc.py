@@ -72,3 +72,20 @@ def test_warc_parse_plan_is_narrow_jvm(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+def test_wat_record_expr(spark):
+    """The WAT envelope is a compact JSON string with pinned field
+    order and array rendering; n_links derives from the links
+    column."""
+    from simplecrawler_spark.sources.warc import wat_record_expr
+
+    df = spark.createDataFrame(
+        [("http://a/b", 200, "text/html", ["http://c/", "http://d/"])],
+        "url string, status int, mime string, links array<string>")
+    rec = df.select(wat_record_expr(
+        F.col("url"), F.col("status"), F.col("mime"),
+        F.col("links")).alias("j")).collect()[0].j
+    assert rec == ('{"url":"http://a/b","status":200,'
+                   '"mime":"text/html","n_links":2,'
+                   '"links":["http://c/","http://d/"]}')
