@@ -1144,6 +1144,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "file_id", "record_no", "warc_type", "url",
             "content_length", F.md5("payload").alias("payload_md5"))
 
+    def q_warc_bytes(spark, sf):
+        """Byte-mode WARC reader (sources/warc.py parse_warc_bytes):
+        archives are BINARY, Content-Length counts OCTETS, and every
+        9th payload embeds a decoy 'WARC/1.0' version line — the two
+        cases text-mode marker splitting cannot represent. Every
+        payload gets a multi-byte suffix (' — café №<id>') so octet
+        length != char length on every row; the oracle recomposes the
+        expected record table directly from documents
+        (expected-composition discipline, q_wet) via
+        octet_length(encode(...)), with DuckDB's md5-of-UTF-8 equal
+        to Spark's md5 over the carved binary payload."""
+        from simplecrawler_spark.sources.warc import (
+            parse_warc_bytes, warc_record_bytes_expr,
+        )
+
+        docs = _t(spark, sf, "documents")
+        payload = F.concat(
+            F.col("text"), F.lit(" — café №"),
+            F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 9 == 0,
+                   F.lit("\nWARC/1.0\nWARC-Type: decoy\n\n"
+                         "not a record"))
+            .otherwise(F.lit("")))
+        rec = warc_record_bytes_expr(
+            F.lit("response"),
+            F.concat(F.lit("http://site/"),
+                     F.col("doc_id").cast("string")),
+            F.lit("2026-01-01T00:00:00Z"), F.encode(payload, "UTF-8"))
+        arch = (docs.select(F.col("source").alias("file_id"), "doc_id",
+                            rec.alias("r"))
+                .groupBy("file_id")
+                .agg(F.aggregate(F.transform(F.array_sort(
+                    F.collect_list(F.struct("doc_id", "r"))),
+                    lambda s: s.r), F.lit(b""),
+                    lambda acc, x: F.concat(acc, x)).alias("content")))
+        out = parse_warc_bytes(arch)
+        return out.select(
+            "file_id", "record_no", "warc_type", "url",
+            "content_length", F.md5("payload").alias("payload_md5"))
+
     def q_wet(spark, sf):
         """WET-style visible-text extraction (operators/parse.py
         extract_visible_text): each doc's text is wrapped in a full
@@ -1569,6 +1609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_boilerplate": q_boilerplate,
         "q_epochs": q_epochs,
         "q_warc": q_warc,
+        "q_warc_bytes": q_warc_bytes,
         "q_wet": q_wet,
         "q_bpe_pairs": q_bpe_pairs,
         "q_gopher": q_gopher,
@@ -3152,6 +3193,32 @@ def oracle_sql() -> dict[str, str]:
                        '(?im)^Content-Length:\\s*(\\d+)\\s*$', 1)
                        AS BIGINT))) AS payload_md5
             FROM x
+        """,
+        # Byte-mode WARC: the oracle recomposes the EXPECTED record
+        # table directly (the reader's carve is byte-imperative, the
+        # residue is relational) — octet Content-Length via
+        # octet_length(encode(...)), payload md5 over UTF-8 bytes
+        "q_warc_bytes": """
+            WITH p AS (
+              SELECT source AS file_id, doc_id,
+                     text || ' — café №' || doc_id::VARCHAR ||
+                     CASE WHEN doc_id % 9 = 0
+                          THEN chr(10) || 'WARC/1.0' || chr(10) ||
+                               'WARC-Type: decoy' || chr(10) ||
+                               chr(10) || 'not a record'
+                          ELSE '' END AS payload
+              FROM documents
+            )
+            SELECT file_id,
+                   (row_number() OVER (PARTITION BY file_id
+                                       ORDER BY doc_id)
+                    - 1)::BIGINT AS record_no,
+                   'response' AS warc_type,
+                   'http://site/' || doc_id::VARCHAR AS url,
+                   octet_length(encode(payload))::BIGINT
+                     AS content_length,
+                   md5(payload) AS payload_md5
+            FROM p
         """,
         # WET extraction: the oracle composes the EXPECTED visible
         # text directly — title block, unescaped heading,
