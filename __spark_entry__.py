@@ -1251,6 +1251,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return gopher_rules(
             docs.select("doc_id", text2.alias("text")), min_words=10)
 
+    def q_gopher_rep(spark, sf):
+        """Gopher repetition rules (operators/quality.py
+        gopher_repetition — the line/paragraph half of Rae et al.
+        Table A1): synthesised multi-line, multi-paragraph docs with
+        planted repetition — every 4th doc repeats a line, every 5th
+        repeats a whole paragraph, every 7th repeats the lead
+        paragraph twice more. Spark counts duplicates per row by
+        sorted adjacency; the oracle recomputes them relationally
+        (per-unit GROUP BY: dup = sum(c-1), dup chars =
+        sum((c-1)*len)) — same totals, and every flag is an exact
+        int64 cross-multiplication."""
+        from simplecrawler_spark.operators.quality import (
+            gopher_repetition,
+        )
+
+        docs = _t(spark, sf, "documents")
+        d = F.col("doc_id")
+        l1 = F.concat(F.lit("Intro line "), d.cast("string"))
+        l2 = F.substring(F.col("text"), 1, 60)
+        para1 = F.concat(l1, F.lit("\n"), l2)
+        para2 = F.concat(F.lit("Body "),
+                         F.substring(F.col("text"), 5, 40))
+        text2 = F.concat(
+            para1, F.lit("\n\n"), para2,
+            F.when(d % 4 == 0, F.concat(F.lit("\n"), l2))
+            .otherwise(F.lit("")),
+            F.when(d % 5 == 0, F.concat(F.lit("\n\n"), para2))
+            .otherwise(F.lit("")),
+            F.when(d % 7 == 0,
+                   F.concat(F.lit("\n\n"), para1, F.lit("\n\n"),
+                            para1))
+            .otherwise(F.lit("")))
+        return gopher_repetition(
+            docs.select("doc_id", text2.alias("text")))
+
     def q_c4(spark, sf):
         """C4 line+doc cleaning rules (operators/quality.py
         c4_line_rules): synthesised multi-line docs exercise the
@@ -1613,6 +1648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_wet": q_wet,
         "q_bpe_pairs": q_bpe_pairs,
         "q_gopher": q_gopher,
+        "q_gopher_rep": q_gopher_rep,
         "q_c4": q_c4,
         "q_rrf": q_rrf,
         "q_corpus_stats": q_corpus_stats,
@@ -3345,6 +3381,91 @@ def oracle_sql() -> dict[str, str]:
                     AND (5 * n_alpha >= 4 * n_words)
                     AND (n_stop >= 2)) AS keep
             FROM s
+        """,
+        # Gopher repetition: same text synthesis; dup counting done
+        # relationally (GROUP BY unit: dup = sum(c-1), dup chars =
+        # sum((c-1)*len)) vs Spark's per-row sorted adjacency — same
+        # totals; flags are the same int64 cross-multiplications
+        "q_gopher_rep": """
+            WITH t AS (
+              SELECT doc_id,
+                     'Intro line ' || doc_id::VARCHAR || chr(10)
+                       || substring(text, 1, 60)
+                     || chr(10) || chr(10)
+                     || 'Body ' || substring(text, 5, 40)
+                     || CASE WHEN doc_id % 4 = 0
+                             THEN chr(10) || substring(text, 1, 60)
+                             ELSE '' END
+                     || CASE WHEN doc_id % 5 = 0
+                             THEN chr(10) || chr(10) || 'Body '
+                                  || substring(text, 5, 40)
+                             ELSE '' END
+                     || CASE WHEN doc_id % 7 = 0
+                             THEN chr(10) || chr(10) || 'Intro line '
+                                  || doc_id::VARCHAR || chr(10)
+                                  || substring(text, 1, 60)
+                                  || chr(10) || chr(10)
+                                  || 'Intro line ' || doc_id::VARCHAR
+                                  || chr(10) || substring(text, 1, 60)
+                             ELSE '' END AS text
+              FROM documents
+            ), lu AS (
+              SELECT doc_id, unnest(list_filter(list_transform(
+                       string_split(text, chr(10)), x -> trim(x)),
+                       x -> x <> '')) AS u
+              FROM t
+            ), lg AS (
+              SELECT doc_id, u, count(*) AS c, len(u) AS l
+              FROM lu GROUP BY doc_id, u
+            ), la AS (
+              SELECT doc_id, sum(c)::BIGINT AS n,
+                     sum(c - 1)::BIGINT AS dup,
+                     sum(c * l)::BIGINT AS chars,
+                     sum((c - 1) * l)::BIGINT AS dchars
+              FROM lg GROUP BY doc_id
+            ), pu AS (
+              SELECT doc_id, unnest(list_filter(list_transform(
+                       string_split_regex(text, '\\n{2,}'),
+                       x -> trim(x)), x -> x <> '')) AS u
+              FROM t
+            ), pg AS (
+              SELECT doc_id, u, count(*) AS c, len(u) AS l
+              FROM pu GROUP BY doc_id, u
+            ), pa AS (
+              SELECT doc_id, sum(c)::BIGINT AS n,
+                     sum(c - 1)::BIGINT AS dup,
+                     sum(c * l)::BIGINT AS chars,
+                     sum((c - 1) * l)::BIGINT AS dchars
+              FROM pg GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   coalesce(la.n, 0)::BIGINT AS n_lines,
+                   coalesce(la.dup, 0)::BIGINT AS dup_lines,
+                   coalesce(la.chars, 0)::BIGINT AS line_chars,
+                   coalesce(la.dchars, 0)::BIGINT AS dup_line_chars,
+                   coalesce(pa.n, 0)::BIGINT AS n_paras,
+                   coalesce(pa.dup, 0)::BIGINT AS dup_paras,
+                   coalesce(pa.chars, 0)::BIGINT AS para_chars,
+                   coalesce(pa.dchars, 0)::BIGINT AS dup_para_chars,
+                   (10 * coalesce(la.dup, 0)
+                    <= 3 * coalesce(la.n, 0)) AS line_dup_ok,
+                   (5 * coalesce(la.dchars, 0)
+                    <= coalesce(la.chars, 0)) AS line_char_ok,
+                   (10 * coalesce(pa.dup, 0)
+                    <= 3 * coalesce(pa.n, 0)) AS para_dup_ok,
+                   (5 * coalesce(pa.dchars, 0)
+                    <= coalesce(pa.chars, 0)) AS para_char_ok,
+                   ((10 * coalesce(la.dup, 0)
+                     <= 3 * coalesce(la.n, 0))
+                    AND (5 * coalesce(la.dchars, 0)
+                         <= coalesce(la.chars, 0))
+                    AND (10 * coalesce(pa.dup, 0)
+                         <= 3 * coalesce(pa.n, 0))
+                    AND (5 * coalesce(pa.dchars, 0)
+                         <= coalesce(pa.chars, 0))) AS keep
+            FROM t
+            LEFT JOIN la ON t.doc_id = la.doc_id
+            LEFT JOIN pa ON t.doc_id = pa.doc_id
         """,
         # C4 rules: same line synthesis, same terminal-punct +
         # min-words + javascript line gate, same doc-level drops

@@ -36,7 +36,8 @@ from simplecrawler_spark.functions.text import tokens_expr
 __all__ = ["unigram_logprob", "quality_buckets", "strip_boilerplate",
            "hashed_linear_score",
            "corpus_stats", "corpus_pipeline_flags",
-           "gopher_rules", "c4_line_rules", "GOPHER_STOPWORDS"]
+           "gopher_rules", "gopher_repetition", "c4_line_rules",
+           "GOPHER_STOPWORDS"]
 
 
 def unigram_logprob(docs: DataFrame, text_col: str = "text",
@@ -256,7 +257,10 @@ def gopher_rules(docs: DataFrame, text_col: str = "text",
               / F.lit(3)).cast("long")
     lines = F.split(text, "\n")
     n_lines = F.size(lines).cast("long")
-    trimmed = F.transform(lines, F.trim)
+    # NB: not F.transform(lines, F.trim) — trim has an optional 2nd
+    # parameter, so transform would pass the element INDEX to it and
+    # silently skip trimming
+    trimmed = F.transform(lines, lambda u: F.trim(u))
     n_bullet = F.size(F.filter(
         trimmed, lambda l: l.startswith("- ") | l.startswith("* ")
         | l.startswith("•"))).cast("long")
@@ -283,6 +287,77 @@ def gopher_rules(docs: DataFrame, text_col: str = "text",
         symbol_ok.alias("symbol_ok"), bullet_ok.alias("bullet_ok"),
         ellipsis_ok.alias("ellipsis_ok"), alpha_ok.alias("alpha_ok"),
         stopword_ok.alias("stopword_ok"), keep.alias("keep"))
+
+
+def gopher_repetition(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      max_dup: tuple[int, int] = (3, 10),
+                      max_dup_chars: tuple[int, int] = (1, 5)) -> DataFrame:
+    """Gopher repetition rules (Rae et al. 2021 Table A1 — the
+    line/paragraph half; the n-gram half is functions/text.py
+    repetition_keep_expr): per-doc duplicate-LINE and
+    duplicate-PARAGRAPH fractions, by count and by characters.
+
+      line_dup_ok  — duplicate lines      <= 30% of lines
+      line_char_ok — chars in dup lines   <= 20% of line chars
+      para_dup_ok  — duplicate paragraphs <= 30% of paragraphs
+      para_char_ok — chars in dup paras   <= 20% of para chars
+      keep         — all four
+
+    'Duplicate' = every occurrence beyond the first of an identical
+    trimmed unit (lines split on newline, paragraphs on blank lines).
+    Thresholds are rational (num, den) pairs and every flag is an
+    exact int64 cross-multiplication (den*dup <= num*n) — the repo's
+    cross-engine discipline. Dup counting is per-row: sort the unit
+    array, then count/measure items equal to their predecessor via a
+    struct-accumulator fold — no shuffle, no Python, whole-stage
+    codegen, a gate at scan grain like gopher_rules. (Reference scope
+    note: the reference crawler has no corpus filters — this family
+    is the training-pipeline surface SURVEY §6 mandates.)"""
+    dn, dd = max_dup
+    cn, cd = max_dup_chars
+
+    def dup_stats(units):
+        s = F.array_sort(units)
+        n = F.size(s).cast("long")
+        chars = F.aggregate(s, F.lit(0).cast("long"),
+                            lambda a, x: a + F.length(x))
+        # units are non-empty strings, so prev='' never matches the
+        # first element
+        acc0 = F.struct(F.lit("").alias("prev"),
+                        F.lit(0).cast("long").alias("dup"),
+                        F.lit(0).cast("long").alias("dchars"))
+        z = F.aggregate(s, acc0, lambda a, x: F.struct(
+            x.alias("prev"),
+            (a["dup"] + F.when(x == a["prev"], F.lit(1).cast("long"))
+             .otherwise(F.lit(0).cast("long"))).alias("dup"),
+            (a["dchars"] + F.when(x == a["prev"],
+                                  F.length(x).cast("long"))
+             .otherwise(F.lit(0).cast("long"))).alias("dchars")))
+        return n, z["dup"], chars, z["dchars"]
+
+    text = F.col(text_col)
+    units = lambda pat: F.filter(  # noqa: E731
+        F.transform(F.split(text, pat), lambda u: F.trim(u)),
+        lambda u: u != F.lit(""))
+    ln, ldup, lchars, ldchars = dup_stats(units("\n"))
+    pn, pdup, pchars, pdchars = dup_stats(units("\n{2,}"))
+
+    line_dup_ok = dd * ldup <= dn * ln
+    line_char_ok = cd * ldchars <= cn * lchars
+    para_dup_ok = dd * pdup <= dn * pn
+    para_char_ok = cd * pdchars <= cn * pchars
+    keep = line_dup_ok & line_char_ok & para_dup_ok & para_char_ok
+    return docs.select(
+        F.col(id_col),
+        ln.alias("n_lines"), ldup.alias("dup_lines"),
+        lchars.alias("line_chars"), ldchars.alias("dup_line_chars"),
+        pn.alias("n_paras"), pdup.alias("dup_paras"),
+        pchars.alias("para_chars"), pdchars.alias("dup_para_chars"),
+        line_dup_ok.alias("line_dup_ok"),
+        line_char_ok.alias("line_char_ok"),
+        para_dup_ok.alias("para_dup_ok"),
+        para_char_ok.alias("para_char_ok"), keep.alias("keep"))
 
 
 def c4_line_rules(docs: DataFrame, text_col: str = "text",

@@ -1007,6 +1007,68 @@ def test_gopher_rules_each_flag(spark):
         assert not got[k].keep
 
 
+def test_gopher_rules_trims_lines_before_bullet_check(spark):
+    """Bullets behind leading whitespace still count as bullets
+    (regression: F.transform(lines, F.trim) passed the element INDEX
+    to trim's optional 2nd parameter and silently skipped
+    trimming)."""
+    from simplecrawler_spark.operators.quality import gopher_rules
+
+    text = "\n".join(["  - indented bullet line"] * 10)
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    assert not gopher_rules(df, min_words=1).collect()[0].bullet_ok
+
+
+def test_gopher_repetition_counts(spark):
+    """Dup counting by sorted adjacency: exact dup/char numerators
+    per doc, trim applied before comparison, empty docs keep."""
+    from simplecrawler_spark.operators.quality import gopher_repetition
+
+    rows = [
+        (0, "a\nb\nc\n\npara two here"),           # no dups
+        (1, "dup\ndup\ndup\nx\n\npara\n\npara"),   # line + para dups
+        (2, ""),                                   # degenerate
+        (3, "aa\n  aa  \nbb"),                     # dup via trim
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in gopher_repetition(df).collect()}
+    assert got[0].keep and got[0].dup_lines == 0 and got[0].n_paras == 2
+    r = got[1]
+    assert (r.n_lines, r.dup_lines, r.dup_line_chars) == (6, 3, 10)
+    assert (r.n_paras, r.dup_paras, r.dup_para_chars) == (3, 1, 4)
+    assert not r.line_dup_ok and not r.keep
+    assert got[2].keep and got[2].n_lines == 0     # 0 <= 0 holds
+    r3 = got[3]
+    assert (r3.n_lines, r3.dup_lines, r3.line_chars,
+            r3.dup_line_chars) == (3, 1, 6, 2)
+
+
+def test_gopher_repetition_threshold_boundary(spark):
+    """30% dup lines is inclusive-keep (10*dup <= 3*n): 3 dups over
+    10 lines passes, 4 over 10 fails — exact rational comparison, no
+    float epsilon."""
+    from simplecrawler_spark.operators.quality import gopher_repetition
+
+    ten_with = lambda d: "\n".join(  # noqa: E731
+        [f"line {i}" for i in range(10 - d)] + ["same"] * d)
+    df = spark.createDataFrame(
+        [(0, ten_with(4)), (1, ten_with(5))],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in gopher_repetition(df).collect()}
+    assert got[0].dup_lines == 3 and got[0].line_dup_ok
+    assert got[1].dup_lines == 4 and not got[1].line_dup_ok
+
+
+def test_gopher_repetition_plan_is_narrow(spark):
+    from simplecrawler_spark.operators.quality import gopher_repetition
+
+    df = spark.createDataFrame([(0, "a\nb")], "doc_id long, text string")
+    plan = (gopher_repetition(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
 def test_c4_line_rules(spark):
     from simplecrawler_spark.operators.quality import c4_line_rules
 
