@@ -1342,6 +1342,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         fused = rrf_fuse([ranking(""), ranking("b|")], k=60)
         return fused.select("doc_id", "rrf_scaled", "n_lists")
 
+    def q_recall_at_k(spark, sf):
+        """ANN recall evaluation (operators/retrieval.py
+        recall_at_k): four queries over a 40-doc pool, exact and
+        approximate top-15 lists drawn by deterministic md5 ranking
+        (q_rrf discipline); query 0's approximate list IS the exact
+        list (recall must be exactly 1e6 ppm), the others overlap
+        partially. recall_ppm is int64 DIV — no float crosses
+        engines; the semi-join hit count can't double-count."""
+        from pyspark.sql import Window
+
+        from simplecrawler_spark.operators.retrieval import (
+            recall_at_k,
+        )
+
+        docs = _t(spark, sf, "documents").where(F.col("doc_id") < 40)
+        qs = spark.range(4).select(
+            F.col("id").cast("long").alias("query_id"))
+        pool = docs.select("doc_id").crossJoin(qs)
+
+        def ranking(tag_expr):
+            key = F.md5(F.concat(
+                tag_expr, F.lit("|"),
+                F.col("query_id").cast("string"), F.lit("|"),
+                F.col("doc_id").cast("string")))
+            w = Window.partitionBy("query_id").orderBy(
+                key.asc(), F.col("doc_id").asc())
+            return (pool.withColumn("rank", F.row_number().over(w))
+                    .where(F.col("rank") <= 15)
+                    .select("query_id", "doc_id"))
+
+        exact = ranking(F.lit("e"))
+        approx = ranking(
+            F.when(F.col("query_id") == 0, F.lit("e"))
+            .otherwise(F.lit("a")))
+        return recall_at_k(approx, exact, query_col="query_id",
+                           id_col="doc_id")
+
     def q_corpus_stats(spark, sf):
         """Per-source dataset-card statistics (operators/quality.py
         corpus_stats): doc/token/char volume, exact distinct
@@ -1651,6 +1688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_gopher_rep": q_gopher_rep,
         "q_c4": q_c4,
         "q_rrf": q_rrf,
+        "q_recall_at_k": q_recall_at_k,
         "q_corpus_stats": q_corpus_stats,
         "q_meta_robots": q_meta_robots,
         "q_alloc_budget": q_alloc_budget,
@@ -3513,6 +3551,48 @@ def oracle_sql() -> dict[str, str]:
         # int64 terms (integer division == double floor here: no
         # divisor in 61..80 puts the exact quotient at a double
         # boundary), same combinable sum
+        # recall@k: same md5-ranked top-15 synthesis; the hit count
+        # via inner join on unique (query, doc) pairs == Spark's
+        # semi join; recall_ppm via DuckDB's // == Spark's DIV
+        "q_recall_at_k": """
+            WITH pool AS (
+              SELECT d.doc_id, q.query_id
+              FROM (SELECT doc_id FROM documents WHERE doc_id < 40) d
+              CROSS JOIN (SELECT unnest([0, 1, 2, 3])::BIGINT
+                          AS query_id) q
+            ), e AS (
+              SELECT query_id, doc_id FROM (
+                SELECT query_id, doc_id,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY md5('e' || '|'
+                           || query_id::VARCHAR || '|'
+                           || doc_id::VARCHAR), doc_id) AS r
+                FROM pool) WHERE r <= 15
+            ), a AS (
+              SELECT query_id, doc_id FROM (
+                SELECT query_id, doc_id,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY md5(
+                           CASE WHEN query_id = 0 THEN 'e'
+                                ELSE 'a' END || '|'
+                           || query_id::VARCHAR || '|'
+                           || doc_id::VARCHAR), doc_id) AS r
+                FROM pool) WHERE r <= 15
+            ), h AS (
+              SELECT e.query_id, count(*)::BIGINT AS n_hits
+              FROM e JOIN a ON e.query_id = a.query_id
+                           AND e.doc_id = a.doc_id
+              GROUP BY e.query_id
+            ), b AS (
+              SELECT query_id, count(*)::BIGINT AS n_exact
+              FROM e GROUP BY query_id
+            )
+            SELECT b.query_id, b.n_exact,
+                   coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+                   ((coalesce(h.n_hits, 0) * 1000000)
+                    // b.n_exact)::BIGINT AS recall_ppm
+            FROM b LEFT JOIN h ON b.query_id = h.query_id
+        """,
         "q_rrf": """
             WITH p AS (
               SELECT doc_id FROM documents WHERE doc_id < 30

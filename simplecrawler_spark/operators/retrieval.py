@@ -32,7 +32,8 @@ from pyspark.sql import functions as F
 
 from simplecrawler_spark.functions.text import tokens_expr
 
-__all__ = ["ngram_topk", "bm25_score", "stratified_sample", "rrf_fuse"]
+__all__ = ["ngram_topk", "bm25_score", "stratified_sample", "rrf_fuse",
+           "recall_at_k"]
 
 
 def ngrams_expr(text, n: int = 2):
@@ -206,3 +207,38 @@ def rrf_fuse(rankings: list[DataFrame], k: int = 60,
     return (u.groupBy(id_col)
             .agg(F.sum("_term").alias("rrf_scaled"),
                  F.count("*").alias("n_lists")))
+
+
+def recall_at_k(approx: DataFrame, exact: DataFrame,
+                query_col: str = "query_id",
+                id_col: str = "id") -> DataFrame:
+    """ANN quality evaluation: per-query recall of an approximate
+    top-k table against the exact (brute-force) top-k — the metric
+    every IVF/LSH/PQ parameter sweep optimises (nprobe, bands,
+    code size vs recall). Returns (query_col, n_exact, n_hits,
+    recall_ppm) with recall_ppm = floor(1e6·hits/n_exact) computed by
+    int64 DIV — no float crosses engines (repo discipline).
+
+    Queries present only in ``exact`` report 0 hits; duplicate ids in
+    ``approx`` can't double-count (the membership probe is a
+    LEFT SEMI join, which never multiplies left rows).
+
+    Scale shape: one (query, id)-keyed semi join + one combinable
+    count per side on the query grain — fixed-width keys only, no
+    payloads, no windows, no Python. Top-k tables are bounded (k rows
+    per query), so even 10^9 queries shuffle ≈ k·|queries| keys.
+    """
+    e = exact.select(query_col, id_col)
+    hits = (e.join(approx.select(query_col, id_col),
+                   [query_col, id_col], "left_semi")
+            .groupBy(query_col)
+            .agg(F.count("*").cast("long").alias("n_hits")))
+    base = (e.groupBy(query_col)
+            .agg(F.count("*").cast("long").alias("n_exact")))
+    return (base.join(hits, query_col, "left")
+            .select(F.col(query_col), F.col("n_exact"),
+                    F.coalesce(F.col("n_hits"), F.lit(0))
+                    .cast("long").alias("n_hits"))
+            .withColumn("recall_ppm",
+                        F.expr("CAST((n_hits * 1000000) DIV n_exact"
+                               " AS BIGINT)")))

@@ -227,3 +227,81 @@ def test_rrf_single_combinable_shuffle(spark):
     assert plan.count("Exchange") <= 2  # one shuffle (+AQE read)
     assert "Python" not in plan
     assert "partial" in plan.lower()
+
+
+def test_recall_at_k_exact_math(spark):
+    """Hand-checkable hits: q0 perfect (1e6 ppm), q1 partial with a
+    duplicate approx id that must not double-count, q2 zero-hit and
+    missing from approx entirely."""
+    from simplecrawler_spark.operators.retrieval import recall_at_k
+
+    exact = spark.createDataFrame(
+        [(0, 10), (0, 11), (1, 20), (1, 21), (1, 22), (2, 30)],
+        "query_id long, id long")
+    approx = spark.createDataFrame(
+        [(0, 10), (0, 11), (1, 20), (1, 20), (1, 99)],
+        "query_id long, id long")
+    got = {r.query_id: r
+           for r in recall_at_k(approx, exact).collect()}
+    assert (got[0].n_hits, got[0].n_exact,
+            got[0].recall_ppm) == (2, 2, 1_000_000)
+    assert (got[1].n_hits, got[1].n_exact,
+            got[1].recall_ppm) == (1, 3, 333_333)
+    assert (got[2].n_hits, got[2].recall_ppm) == (0, 0)
+
+
+def test_recall_at_k_measures_ivf_probe(spark):
+    """End-to-end ANN eval: IVF-probed top-k vs brute-force top-k
+    through recall_at_k; full-probe (nprobe = n_cells) recall must be
+    exactly 1e6 ppm per query."""
+    from simplecrawler_spark.operators.retrieval import recall_at_k
+    from simplecrawler_spark.operators.similarity import (
+        ann_ivf_topk_join, ivf_assign, ivf_centroids,
+    )
+
+    import numpy as np
+    rng = np.random.RandomState(7)
+    emb = spark.createDataFrame(
+        [(i, rng.randn(8).tolist()) for i in range(120)],
+        "id long, embedding array<double>")
+    cents = ivf_centroids(emb, n_cells=4, id_col="id")
+    assigned = ivf_assign(emb, cents)
+    queries = spark.createDataFrame(
+        [(q, rng.randn(8).tolist()) for q in range(3)],
+        "query_id long, embedding array<double>")
+    approx = ann_ivf_topk_join(emb, queries, k=5, n_cells=4, nprobe=4,
+                               id_col="id", centroids=cents,
+                               assigned=assigned)
+    # brute force: score every (query, id) pair, window top-5
+    from pyspark.sql import Window
+
+    from simplecrawler_spark.operators.similarity import (
+        cosine_cols_expr,
+    )
+    pairs = (queries.select("query_id",
+                            F.col("embedding").alias("qv"))
+             .crossJoin(emb.select("id",
+                                   F.col("embedding").alias("dv"))))
+    scored = pairs.select(
+        "query_id", "id",
+        cosine_cols_expr(F.col("qv"), F.col("dv")).alias("cos"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("id").asc())
+    exact = (scored.withColumn("r", F.row_number().over(w))
+             .where(F.col("r") <= 5).select("query_id", "id"))
+    rec = recall_at_k(approx.select("query_id",
+                                    F.col("id").alias("id")),
+                      exact)
+    for r in rec.collect():
+        assert r.recall_ppm == 1_000_000, r
+
+
+def test_recall_at_k_plan_no_python(spark):
+    from simplecrawler_spark.operators.retrieval import recall_at_k
+
+    a = spark.createDataFrame([(0, 1)], "query_id long, id long")
+    e = spark.createDataFrame([(0, 1)], "query_id long, id long")
+    plan = (recall_at_k(a, e)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
