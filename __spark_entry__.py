@@ -51,6 +51,9 @@ from simplecrawler_spark.sources.fixtures import graph_from_edges
 N_BFS_NODES = 500
 _EMB_DIM = 64       # embeddings.parquet dim at every sf (TESTDATA.md)
 _ANN_PLANES = 6
+# q_mojibake's oracle repair chain — emitted from the same
+# MOJIBAKE_PAIRS table the Spark expression uses
+_MOJIBAKE_SQL = X.mojibake_sql("text2")
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1418,6 +1421,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                          flags["noindex"].alias("noindex"),
                          flags["nofollow"].alias("nofollow"))
 
+    def q_mojibake(spark, sf):
+        """Mojibake repair (functions/text.py fix_mojibake_expr):
+        every even doc gains the classic UTF-8-read-as-cp1252
+        artifacts (CafÃ©, â€œdonâ€™t, Ã±oÃ±o, Â£) — repaired text
+        md5-compared against the oracle running the IDENTICAL ordered
+        replace chain (mojibake_sql emits it, so the two engines
+        can't drift); odd docs pin the no-op path (had_mojibake
+        false, text unchanged)."""
+        from simplecrawler_spark.functions.text import (
+            fix_mojibake_expr,
+        )
+
+        docs = _t(spark, sf, "documents")
+        text2 = F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 2 == 0,
+                   F.lit(" CafÃ© â€œdonâ€™t â€¦ Ã±oÃ±o Â£5"))
+            .otherwise(F.lit(" clean tail")))
+        fixed = fix_mojibake_expr(text2)
+        return docs.select(
+            "doc_id", F.md5(fixed).alias("fixed_md5"),
+            (fixed != text2).alias("had_mojibake"))
+
+    def q_charset_meta(spark, sf):
+        """Declared charset + language (operators/parse.py
+        html_charset_expr / html_lang_expr): fixtures cover the HTML5
+        meta-charset form (quoted), the unquoted/uppercase form, the
+        http-equiv Content-Type parameter form, a lang-only page
+        (uppercase attr + value), and a bare page (both NULL); lang
+        reduces to the primary subtag ('en-US' → 'en'). Same regexes
+        both engines."""
+        from simplecrawler_spark.operators.parse import (
+            html_charset_expr, html_lang_expr,
+        )
+
+        ev = _t(spark, sf, "events")
+        m = F.col("event_id") % 5
+        body = F.concat(
+            F.when(m == 0, F.lit('<html lang="en-US"><head>'
+                                 '<meta charset="utf-8"></head>'))
+            .when(m == 1, F.lit('<html><head>'
+                                '<meta charset=ISO-8859-1 ></head>'))
+            .when(m == 2, F.lit('<html lang=fr><head><meta '
+                                'http-equiv="Content-Type" content='
+                                '"text/html; charset=windows-1252">'
+                                '</head>'))
+            .when(m == 3, F.lit('<html LANG=DE><head></head>'))
+            .otherwise(F.lit("<html><head></head>")),
+            F.lit("<body>x</body></html>"))
+        # '-' sentinel: the driver's rowset sort can't order NULLs
+        return ev.select(
+            "event_id",
+            F.coalesce(html_charset_expr(body),
+                       F.lit("-")).alias("charset"),
+            F.coalesce(html_lang_expr(body), F.lit("-")).alias("lang"))
+
     def q_alloc_budget(spark, sf):
         """Largest-remainder crawl-budget apportionment
         (operators/politeness.py allocate_budget): 1000 fetch units
@@ -1691,6 +1750,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_recall_at_k": q_recall_at_k,
         "q_corpus_stats": q_corpus_stats,
         "q_meta_robots": q_meta_robots,
+        "q_mojibake": q_mojibake,
+        "q_charset_meta": q_charset_meta,
         "q_alloc_budget": q_alloc_budget,
         "q_pack_images": q_pack_images,
         "q_dedup_against": q_dedup_against,
@@ -3687,6 +3748,53 @@ def oracle_sql() -> dict[str, str]:
         """,
         # budget apportionment: same int64 div/mod quotas, same
         # largest-remainder rank and tie-break
+        # Mojibake: the oracle runs the IDENTICAL ordered replace
+        # chain (emitted by functions/text.py mojibake_sql) over the
+        # same injected text — repairs byte-equal by construction
+        "q_mojibake": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     text || CASE WHEN doc_id % 2 = 0
+                       THEN ' CafÃ© â€œdonâ€™t â€¦ Ã±oÃ±o Â£5'
+                       ELSE ' clean tail' END AS text2
+              FROM documents
+            )
+            SELECT doc_id,
+                   md5({_MOJIBAKE_SQL}) AS fixed_md5,
+                   ({_MOJIBAKE_SQL} <> text2) AS had_mojibake
+            FROM t
+        """,
+        # Declared charset/lang: same case-insensitive regexes, same
+        # lowercase + primary-subtag normalisation
+        "q_charset_meta": """
+            WITH b AS (
+              SELECT event_id,
+                     CASE event_id % 5
+                       WHEN 0 THEN '<html lang="en-US"><head>'
+                         || '<meta charset="utf-8"></head>'
+                       WHEN 1 THEN '<html><head>'
+                         || '<meta charset=ISO-8859-1 ></head>'
+                       WHEN 2 THEN '<html lang=fr><head><meta '
+                         || 'http-equiv="Content-Type" content='
+                         || '"text/html; charset=windows-1252">'
+                         || '</head>'
+                       WHEN 3 THEN '<html LANG=DE><head></head>'
+                       ELSE '<html><head></head>' END
+                     || '<body>x</body></html>' AS body
+              FROM events
+            )
+            SELECT event_id,
+                   coalesce(nullif(lower(regexp_extract(body,
+                     '(?is)<meta[^>]*charset\\s*=\\s*["'']?\\s*'
+                     || '([A-Za-z0-9_\\-]+)', 1)), ''), '-')
+                     AS charset,
+                   coalesce(nullif(string_split(lower(regexp_extract(
+                     body,
+                     '(?is)<html[^>]*\\slang\\s*=\\s*["'']?'
+                     || '([A-Za-z\\-]+)', 1)), '-')[1], ''), '-')
+                     AS lang
+            FROM b
+        """,
         "q_alloc_budget": """
             WITH h AS (
               SELECT 'h' || (event_id % 37)::VARCHAR AS host,

@@ -357,3 +357,48 @@ def lang_id_multi_expr(text: Column, threshold_num: int = 3,
         (n > 0) & (F.lit(threshold_den) * hits
                    >= F.lit(threshold_num) * n),
         best.getField("lang")).otherwise(F.lit("other"))
+
+
+# UTF-8-decoded-as-Windows-1252 artifacts, the dominant mojibake
+# family in web crawls (ftfy's core case). Ordered list, applied in
+# sequence — every source string is 2-3 chars starting 'â'/'Ã'/'Â'
+# and none is a prefix of a later one, so application order between
+# distinct keys can't interact. Conservative by design: only
+# sequences that are overwhelmingly artifacts (the literal text
+# 'â€™' is ~never intentional), never lone 'Ã'/'Â'.
+MOJIBAKE_PAIRS: list[tuple[str, str]] = [
+    ("â€™", "’"), ("â€˜", "‘"),   # curly quotes
+    ("â€œ", "“"),                       # left double quote
+    ("â€¦", "…"), ("â€¢", "•"),   # ellipsis, bullet
+    ("Ã©", "é"), ("Ã¨", "è"), ("Ã¡", "á"), ("Ã³", "ó"),
+    ("Ãº", "ú"), ("Ã±", "ñ"), ("Ã¼", "ü"), ("Ã¶", "ö"),
+    ("Ã¤", "ä"), ("Ã§", "ç"),
+    ("Ã ", "à"),  # 'Ã' + space: à's A0 byte transcoded to space
+    ("Â°", "°"), ("Â£", "£"), ("Â·", "·"),
+]
+
+
+def fix_mojibake_expr(text: Column) -> Column:
+    """Repair the common UTF-8-read-as-cp1252 double-encoding
+    artifacts ('CafÃ©' → 'Café', 'donâ€™t' → 'don’t') — the encoding
+    hygiene pass a web corpus runs after charset-decode and before
+    any text filter (mojibake inflates OOV rates, breaks stopword
+    hits, and poisons n-gram dedup keys). A fixed replace chain over
+    MOJIBAKE_PAIRS — pure JVM string ops, no regex backtracking, no
+    shuffle, no Python; the identical literal chain runs in the
+    DuckDB oracle so repairs are byte-equal cross-engine."""
+    out = text
+    for bad, good in MOJIBAKE_PAIRS:
+        out = F.replace(out, F.lit(bad), F.lit(good))
+    return out
+
+
+def mojibake_sql(col: str = "text") -> str:
+    """The DuckDB twin of fix_mojibake_expr: the same ordered
+    replace() chain as a SQL expression string."""
+    expr = col
+    for bad, good in MOJIBAKE_PAIRS:
+        b = bad.replace("'", "''")
+        g = good.replace("'", "''")
+        expr = f"replace({expr}, '{b}', '{g}')"
+    return expr

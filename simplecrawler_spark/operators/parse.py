@@ -608,6 +608,39 @@ def meta_robots_expr(body) -> dict:
     return {"noindex": noindex, "nofollow": nofollow}
 
 
+_CHARSET_RE = r"""(?is)<meta[^>]*charset\s*=\s*["']?\s*([A-Za-z0-9_\-]+)"""
+_HTML_LANG_RE = r"""(?is)<html[^>]*\slang\s*=\s*["']?([A-Za-z\-]+)"""
+
+
+def html_charset_expr(body):
+    """Declared character set of a page: matches both
+    ``<meta charset=utf-8>`` (HTML5) and the HTTP-equiv form
+    ``<meta http-equiv="Content-Type" content="text/html;
+    charset=iso-8859-1">`` — one case-insensitive regex (the
+    ``charset=`` attribute/parameter is the common token), lowercased,
+    NULL when undeclared. The pre-decode gate for archive payloads:
+    at 100 TB you route bytes to the right decoder BEFORE any text
+    operator runs, exactly like sniff_format_expr gates image codecs.
+    Pure JVM regex, fused into the fetch projection."""
+    if isinstance(body, str):
+        body = F.col(body)
+    return F.nullif(F.lower(F.regexp_extract(body, _CHARSET_RE, 1)),
+                    F.lit(""))
+
+
+def html_lang_expr(body):
+    """Declared document language from ``<html lang="...">`` —
+    the author-asserted signal that corpus pipelines cross-check
+    against content-based language ID (lang_id_expr /
+    lang_id_multi_expr); a mismatch is itself a quality feature.
+    Returns the lowercased primary subtag ('en-US' → 'en'), NULL when
+    undeclared. Pure JVM regex."""
+    if isinstance(body, str):
+        body = F.col(body)
+    tag = F.lower(F.regexp_extract(body, _HTML_LANG_RE, 1))
+    return F.nullif(F.split(tag, "-")[0], F.lit(""))
+
+
 # --- WET-style visible-text extraction -------------------------------------
 
 # tags whose TEXT CONTENT is invisible (script/style are CDATA to

@@ -377,3 +377,43 @@ def test_extract_main_text_udf(spark):
            .collect()}
     assert got[1] == "a long enough plain prose block here."
     assert got[2] is None
+
+
+def test_html_charset_expr_forms(spark):
+    """HTML5 meta-charset (quoted + unquoted + uppercase) and the
+    http-equiv Content-Type parameter form all extract; absent
+    charset is NULL."""
+    from simplecrawler_spark.operators.parse import html_charset_expr
+
+    rows = [
+        (0, '<meta charset="utf-8">'),
+        (1, "<meta charset=ISO-8859-1 >"),
+        (2, '<meta http-equiv="Content-Type" '
+            'content="text/html; charset=windows-1252">'),
+        (3, "<META CHARSET='UTF-8'>"),
+        (4, "<html><head></head></html>"),
+    ]
+    df = spark.createDataFrame(rows, "i long, body string")
+    got = {r.i: r.c for r in df.select(
+        "i", html_charset_expr("body").alias("c")).collect()}
+    assert got[0] == "utf-8"
+    assert got[1] == "iso-8859-1"
+    assert got[2] == "windows-1252"
+    assert got[3] == "utf-8"
+    assert got[4] is None
+
+
+def test_html_lang_expr_primary_subtag(spark):
+    from simplecrawler_spark.operators.parse import html_lang_expr
+
+    rows = [
+        (0, '<html lang="en-US"><body>x</body></html>'),
+        (1, "<html LANG=DE><body>x</body></html>"),
+        (2, "<html><body>x</body></html>"),
+        (3, '<html dir="ltr" lang=fr-CA><body>x</body></html>'),
+    ]
+    df = spark.createDataFrame(rows, "i long, body string")
+    got = {r.i: r.g for r in df.select(
+        "i", html_lang_expr("body").alias("g")).collect()}
+    assert got[0] == "en" and got[1] == "de"
+    assert got[2] is None and got[3] == "fr"

@@ -1253,3 +1253,36 @@ def test_lang_id_multi(spark):
     assert got[2] == "fr" and got[3] == "de"
     assert got[4] == "other" and got[5] == "other"
     assert got[6] == "es"  # exact tie, deterministic code-order break
+
+
+def test_fix_mojibake_repairs_and_is_noop_on_clean(spark):
+    """The cp1252 artifact chain repairs curly quotes, accents and
+    currency marks; clean text (including real accented text) passes
+    through untouched."""
+    from simplecrawler_spark.functions.text import fix_mojibake_expr
+
+    rows = [
+        (0, "donâ€™t say â€œCafÃ©â€¦ Ã±oÃ±o Â£5"),
+        (1, "already clean: don’t “Café… ñoño £5"),
+    ]
+    df = spark.createDataFrame(rows, "i long, text string")
+    got = {r.i: r.t for r in df.select(
+        "i", fix_mojibake_expr(F.col("text")).alias("t")).collect()}
+    assert got[0] == "don’t say “Café… ñoño £5"
+    assert got[1] == rows[1][1]
+
+
+def test_mojibake_sql_mirrors_pairs():
+    """The emitted SQL chain contains every pair once, in order."""
+    from simplecrawler_spark.functions.text import (
+        MOJIBAKE_PAIRS, mojibake_sql,
+    )
+
+    sql = mojibake_sql("t")
+    pos = -1
+    for bad, _ in MOJIBAKE_PAIRS:
+        # later pairs wrap earlier ones, so order in the string is
+        # outermost-last: each bad literal appears exactly once
+        assert sql.count(f"'{bad}'") == 1
+        pos = sql.find(f"'{bad}'")
+        assert pos != -1
