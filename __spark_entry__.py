@@ -639,6 +639,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.floor(F.col("logprob") * 1000000).cast("long")
             .alias("lp_scaled"))
 
+    def q_bigram_logprob(spark, sf):
+        """Interpolated bigram LM scoring (operators/quality.py
+        bigram_logprob, λ=0.75 α=1): mean ln of the
+        bigram/unigram-interpolated probability per document, model
+        estimated from the corpus itself. The per-bigram ln runs once
+        per distinct (doc, bigram) with a PINNED expression shape
+        (identical parenthesisation in the oracle), floor-scales to
+        int64, and the doc sum is long arithmetic — the
+        q_unigram_logprob discipline one order up."""
+        from simplecrawler_spark.operators.quality import (
+            bigram_logprob,
+        )
+
+        docs = _t(spark, sf, "documents")
+        s = bigram_logprob(docs, ln_scale=10**9)
+        return s.select(
+            "doc_id", "n_bigrams",
+            F.floor(F.col("logprob") * 1000000).cast("long")
+            .alias("lp_scaled"))
+
     def q_pagerank(spark, sf):
         """Integer-mass PageRank (operators/graph.py) over a
         deterministic 40-vertex edge set derived from orders; 3
@@ -1715,6 +1735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_caption_gate": q_caption_gate,
         "q_image_dedup_cluster": q_image_dedup_cluster,
         "q_unigram_logprob": q_unigram_logprob,
+        "q_bigram_logprob": q_bigram_logprob,
         "q_pagerank": q_pagerank,
         "q_hits": q_hits,
         "q_url_traps": q_url_traps,
@@ -2639,6 +2660,50 @@ def oracle_sql() -> dict[str, str]:
                      AS lp_scaled
             FROM tf JOIN vocab USING (tok), tot
             GROUP BY doc_id, n_total, v_size
+        """,
+        # bigram LM: same tokenisation, same bigram assembly, same
+        # PINNED interpolation shape inside ln (identical
+        # parenthesisation → identical IEEE doubles), same
+        # floor-scale + long doc sum as q_unigram_logprob
+        "q_bigram_logprob": f"""
+            WITH t AS (
+              SELECT doc_id, {_ORACLE_TOKS} AS toks FROM documents
+            ), b AS (
+              SELECT doc_id, unnest(list_transform(
+                       range(1, len(toks)),
+                       i -> toks[i] || ' ' || toks[i+1])) AS bg
+              FROM t
+            ), tf AS (
+              SELECT doc_id, bg, count(*) AS tf FROM b GROUP BY 1, 2
+            ), c2 AS (
+              SELECT bg, sum(tf) AS c2 FROM tf GROUP BY bg
+            ), u AS (
+              SELECT unnest(toks) AS tok FROM t
+            ), c1 AS (
+              SELECT tok, count(*) AS c1 FROM u GROUP BY tok
+            ), tot AS (
+              SELECT sum(c1)::DOUBLE AS n_total,
+                     count(*)::DOUBLE AS v_size
+              FROM c1
+            ), j AS (
+              SELECT tf.doc_id, tf.tf,
+                     floor(ln(
+                       0.75 * (c2.c2::DOUBLE + 1.0)
+                         / (p.c1::DOUBLE + 1.0 * tot.v_size)
+                       + 0.25 * (c.c1::DOUBLE + 1.0)
+                         / (tot.n_total + 1.0 * tot.v_size))
+                       * 1000000000)::BIGINT AS lns
+              FROM tf
+              JOIN c2 USING (bg)
+              JOIN c1 p ON p.tok = string_split(tf.bg, ' ')[1]
+              JOIN c1 c ON c.tok = string_split(tf.bg, ' ')[2]
+              CROSS JOIN tot
+            )
+            SELECT doc_id, sum(tf)::BIGINT AS n_bigrams,
+                   floor((sum(tf * lns) / sum(tf))
+                         / 1000000000.0 * 1000000)::BIGINT
+                     AS lp_scaled
+            FROM j GROUP BY doc_id
         """,
         "q_pagerank": _pagerank_oracle(),
         "q_hits": _hits_oracle(),

@@ -31,9 +31,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from simplecrawler_spark.functions.text import tokens_expr
+from simplecrawler_spark.functions.text import _bigrams_expr, tokens_expr
 
-__all__ = ["unigram_logprob", "quality_buckets", "strip_boilerplate",
+__all__ = ["unigram_logprob", "bigram_logprob", "quality_buckets",
+           "strip_boilerplate",
            "hashed_linear_score",
            "corpus_stats", "corpus_pipeline_flags",
            "gopher_rules", "gopher_repetition", "c4_line_rules",
@@ -103,6 +104,89 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text",
         scored = scored.withColumn(
             "logprob", F.col("logprob") / F.lit(ln_scale))
     return scored
+
+
+def bigram_logprob(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", alpha: float = 1.0,
+                   lam: float = 0.75,
+                   model_docs: DataFrame | None = None,
+                   ln_scale: int | None = None) -> DataFrame:
+    """Per-document mean INTERPOLATED-BIGRAM log-probability — the
+    KenLM-style perplexity filter one order above unigram_logprob
+    (CCNet scores with a 5-gram KenLM; the distributed
+    estimate-then-score shape is identical at any order, and order 2
+    keeps the cross-engine oracle exact):
+
+        P(w|v) = λ·(c2(v,w)+α)/(c1(v)+α·V)
+               + (1−λ)·(c1(w)+α)/(N+α·V)
+        score  = (1/m)·Σ ln P(w_i|w_{i-1}) over the doc's m bigrams
+
+    ``model_docs`` defaults to the scored corpus; unknown
+    bigrams/tokens fall to the α-smoothed floors. Docs with < 2
+    tokens are omitted (no bigram probability is defined). Returns
+    (id_col, n_bigrams, logprob).
+
+    ``ln_scale`` arms the portable mode (unigram_logprob
+    discipline): ln P is computed once per joined row as an IEEE
+    double with a PINNED expression shape — the oracle writes the
+    same parenthesisation, so both engines hit identical doubles —
+    then floor-scaled to int64, and the per-doc sum runs in long
+    arithmetic (order-independent across partial aggs).
+
+    Scale shape: model counts are two map-side-combinable aggs on
+    token keys; scoring is three equi-joins on fixed-width token
+    strings (bigram, prev token, cur token) + one combinable per-doc
+    sum; the (N, V) totals ride in as a broadcast single row. No
+    Python, no windows, no text past tokenisation.
+    """
+    bg = _bigrams_expr(tokens_expr(F.col(text_col)))
+    doc_bg = docs.select(F.col(id_col), F.explode(bg).alias("bg"))
+    tf = doc_bg.groupBy(id_col, "bg").agg(F.count("*").alias("tf"))
+
+    model = docs if model_docs is None else model_docs
+    m_toks = model.select(
+        F.explode(tokens_expr(F.col(text_col))).alias("tok"))
+    c1 = m_toks.groupBy("tok").agg(F.count("*").alias("c1"))
+    m_bg = model.select(F.explode(
+        _bigrams_expr(tokens_expr(F.col(text_col)))).alias("bg"))
+    c2 = m_bg.groupBy("bg").agg(F.count("*").alias("c2"))
+    totals = c1.agg(F.sum("c1").cast("double").alias("n_total"),
+                    F.count("*").cast("double").alias("v_size"))
+
+    prev = F.split(F.col("bg"), " ")[0]
+    cur = F.split(F.col("bg"), " ")[1]
+    joined = (
+        tf.join(c2, "bg", "left")
+        .select(id_col, "bg", "tf",
+                F.coalesce("c2", F.lit(0)).cast("double").alias("c2d"),
+                prev.alias("_prev"), cur.alias("_cur"))
+        .join(c1.select(F.col("tok").alias("_prev"),
+                        F.col("c1").alias("c1p")), "_prev", "left")
+        .join(c1.select(F.col("tok").alias("_cur"),
+                        F.col("c1").alias("c1c")), "_cur", "left")
+        .crossJoin(F.broadcast(totals)))
+    c1p = F.coalesce("c1p", F.lit(0)).cast("double")
+    c1c = F.coalesce("c1c", F.lit(0)).cast("double")
+    # pinned shape: lam*(c2+α)/(c1p+α·V) + (1-lam)*(c1c+α)/(N+α·V)
+    # — left-associative mul-then-div in BOTH engines
+    p = (F.lit(lam) * (F.col("c2d") + F.lit(alpha))
+         / (c1p + F.lit(alpha) * F.col("v_size"))
+         + F.lit(1.0 - lam) * (c1c + F.lit(alpha))
+         / (F.col("n_total") + F.lit(alpha) * F.col("v_size")))
+    ln_p = F.log(p)
+    if ln_scale is not None:
+        ln_p = F.floor(ln_p * F.lit(ln_scale))
+    out = (joined.select(id_col, "tf", ln_p.alias("ln_p"))
+           .groupBy(id_col)
+           .agg(F.sum("tf").alias("n_bigrams"),
+                F.sum(F.col("tf") * F.col("ln_p")).alias("sum_ln"))
+           .select(id_col, "n_bigrams",
+                   (F.col("sum_ln") / F.col("n_bigrams"))
+                   .alias("logprob")))
+    if ln_scale is not None:
+        out = out.withColumn("logprob",
+                             F.col("logprob") / F.lit(ln_scale))
+    return out
 
 
 def quality_buckets(docs: DataFrame, n_buckets: int = 3,

@@ -1286,3 +1286,50 @@ def test_mojibake_sql_mirrors_pairs():
         assert sql.count(f"'{bad}'") == 1
         pos = sql.find(f"'{bad}'")
         assert pos != -1
+
+
+def test_bigram_logprob_hand_values(spark):
+    """Tiny corpus where the interpolated probabilities are
+    hand-computable: model c1={a:3,b:3,c:1} N=7 V=3,
+    c2={'a b':3,'b a':1}; P(a b)=0.6, P(b a)=0.35. One-token docs
+    are omitted."""
+    import math
+
+    from simplecrawler_spark.operators.quality import bigram_logprob
+
+    df = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b"), (2, "c")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in bigram_logprob(df).collect()}
+    assert set(got) == {0, 1}
+    assert got[0].n_bigrams == 3 and got[1].n_bigrams == 1
+    want0 = (2 * math.log(0.6) + math.log(0.35)) / 3
+    assert got[0].logprob == pytest.approx(want0, rel=1e-12)
+    assert got[1].logprob == pytest.approx(math.log(0.6), rel=1e-12)
+
+
+def test_bigram_logprob_unknown_tokens_floor(spark):
+    """Scoring against a SEPARATE reference model: fully-unknown
+    bigrams fall to the α-smoothed floors (model a,b: N=2 V=2 →
+    P = 0.75·1/2 + 0.25·1/4 = 0.4375)."""
+    import math
+
+    from simplecrawler_spark.operators.quality import bigram_logprob
+
+    model = spark.createDataFrame([(0, "a b")],
+                                  "doc_id long, text string")
+    df = spark.createDataFrame([(7, "z z")],
+                               "doc_id long, text string")
+    r = bigram_logprob(df, model_docs=model).collect()[0]
+    assert r.n_bigrams == 1
+    assert r.logprob == pytest.approx(math.log(0.4375), rel=1e-12)
+
+
+def test_bigram_logprob_plan_no_python(spark):
+    from simplecrawler_spark.operators.quality import bigram_logprob
+
+    df = spark.createDataFrame([(0, "a b c")],
+                               "doc_id long, text string")
+    plan = (bigram_logprob(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Python" not in plan
