@@ -1402,6 +1402,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return recall_at_k(approx, exact, query_col="query_id",
                            id_col="doc_id")
 
+    def q_temperature(spark, sf):
+        """Temperature mixture shares (operators/packing.py
+        temperature_weights, τ=0.7 — the XLM-R multilingual sampling
+        rule): one pow per source floored to int64, shares by integer
+        DIV — the only float op is pow over a handful of source
+        counts."""
+        from simplecrawler_spark.operators.packing import (
+            temperature_weights,
+        )
+
+        return temperature_weights(_t(spark, sf, "documents"),
+                                   tau=0.7)
+
+    def q_ndcg(spark, sf):
+        """Rank-aware retrieval eval (operators/retrieval.py
+        ndcg_at_k): md5-ranked top-10 per query over a 30-doc pool,
+        graded relevance (doc+query) % 4; each discount term is
+        floor(scale·rel/log2(rank+1)) in int64 and DCG/IDCG/ndcg_ppm
+        are exact long arithmetic — the recall_at_k discipline with
+        position weighting."""
+        from pyspark.sql import Window
+
+        from simplecrawler_spark.operators.retrieval import ndcg_at_k
+
+        docs = _t(spark, sf, "documents").where(F.col("doc_id") < 30)
+        qs = spark.range(4).select(
+            F.col("id").cast("long").alias("query_id"))
+        pool = docs.select("doc_id").crossJoin(qs)
+        key = F.md5(F.concat(
+            F.lit("r|"), F.col("query_id").cast("string"),
+            F.lit("|"), F.col("doc_id").cast("string")))
+        w = Window.partitionBy("query_id").orderBy(
+            key.asc(), F.col("doc_id").asc())
+        ranked = (pool.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= 10)
+                  .select("query_id", F.col("doc_id").alias("id"),
+                          "rank"))
+        rels = pool.select(
+            "query_id", F.col("doc_id").alias("id"),
+            ((F.col("doc_id") + F.col("query_id")) % 4)
+            .cast("long").alias("rel"))
+        return ndcg_at_k(ranked, rels, k=10)
+
     def q_corpus_stats(spark, sf):
         """Per-source dataset-card statistics (operators/quality.py
         corpus_stats): doc/token/char volume, exact distinct
@@ -1769,6 +1812,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_c4": q_c4,
         "q_rrf": q_rrf,
         "q_recall_at_k": q_recall_at_k,
+        "q_ndcg": q_ndcg,
+        "q_temperature": q_temperature,
         "q_corpus_stats": q_corpus_stats,
         "q_meta_robots": q_meta_robots,
         "q_mojibake": q_mojibake,
@@ -3677,6 +3722,74 @@ def oracle_sql() -> dict[str, str]:
         # int64 terms (integer division == double floor here: no
         # divisor in 61..80 puts the exact quotient at a double
         # boundary), same combinable sum
+        # temperature shares: same pow+floor per source, same DIV
+        "q_temperature": """
+            WITH c AS (
+              SELECT source, count(*)::BIGINT AS n_docs
+              FROM documents GROUP BY source
+            ), w AS (
+              SELECT source, n_docs,
+                     floor(pow(n_docs::DOUBLE, 0.7)
+                           * 1000000)::BIGINT AS w_scaled
+              FROM c
+            ), t AS (
+              SELECT sum(w_scaled)::BIGINT AS wsum FROM w
+            )
+            SELECT source, n_docs, w_scaled,
+                   ((w_scaled * 1000000) // t.wsum)::BIGINT AS p_ppm
+            FROM w CROSS JOIN t
+        """,
+        # nDCG: same ranking/relevance synthesis; identical
+        # floor(scale·rel/log2(rank+1)) terms, long sums, DIV ratio
+        "q_ndcg": """
+            WITH pool AS (
+              SELECT d.doc_id, q.query_id
+              FROM (SELECT doc_id FROM documents WHERE doc_id < 30) d
+              CROSS JOIN (SELECT unnest([0, 1, 2, 3])::BIGINT
+                          AS query_id) q
+            ), ranked AS (
+              SELECT query_id, doc_id AS id, r AS rank FROM (
+                SELECT query_id, doc_id,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY md5('r|' || query_id::VARCHAR
+                           || '|' || doc_id::VARCHAR), doc_id) AS r
+                FROM pool) WHERE r <= 10
+            ), rels AS (
+              SELECT query_id, doc_id AS id,
+                     ((doc_id + query_id) % 4)::BIGINT AS rel
+              FROM pool
+            ), d AS (
+              SELECT ranked.query_id,
+                     sum(floor(1000000000
+                               * coalesce(rels.rel, 0)::DOUBLE
+                               / log2(ranked.rank::DOUBLE + 1.0))
+                         ::BIGINT)::BIGINT AS dcg_scaled
+              FROM ranked LEFT JOIN rels
+                ON ranked.query_id = rels.query_id
+               AND ranked.id = rels.id
+              GROUP BY ranked.query_id
+            ), ideal AS (
+              SELECT query_id,
+                     floor(1000000000 * rel::DOUBLE
+                           / log2(ir::DOUBLE + 1.0))::BIGINT AS t
+              FROM (
+                SELECT query_id, rel,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY rel DESC, id ASC) AS ir
+                FROM rels) WHERE ir <= 10
+            ), i AS (
+              SELECT query_id, sum(t)::BIGINT AS idcg_scaled
+              FROM ideal GROUP BY query_id
+            )
+            SELECT i.query_id,
+                   coalesce(d.dcg_scaled, 0)::BIGINT AS dcg_scaled,
+                   i.idcg_scaled,
+                   CASE WHEN i.idcg_scaled > 0
+                        THEN ((coalesce(d.dcg_scaled, 0) * 1000000)
+                              // i.idcg_scaled)::BIGINT
+                        ELSE 0 END AS ndcg_ppm
+            FROM i LEFT JOIN d ON i.query_id = d.query_id
+        """,
         # recall@k: same md5-ranked top-15 synthesis; the hit count
         # via inner join on unique (query, doc) pairs == Spark's
         # semi join; recall_ppm via DuckDB's // == Spark's DIV

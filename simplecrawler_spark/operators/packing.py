@@ -44,6 +44,7 @@ from simplecrawler_spark.functions.text import (
 )
 
 __all__ = ["pack_sequences", "pack_weighted", "rebalance_mix",
+           "temperature_weights",
            "assemble_epochs"]
 
 
@@ -176,6 +177,38 @@ def rebalance_mix(docs: DataFrame, targets: dict[str, float],
     return (sized.join(F.broadcast(thresholds), source_col)
             .select(id_col, source_col,
                     (bucket < F.col("_thr")).alias("keep")))
+
+
+def temperature_weights(docs: DataFrame, tau: float = 0.7,
+                        source_col: str = "source",
+                        scale: int = 10 ** 6) -> DataFrame:
+    """Temperature-scaled mixture shares (the XLM-R / mT5
+    multilingual sampling rule): source s gets sampling share
+    p_s ∝ n_s^τ. τ=1 is the natural mixture, τ→0 uniform; τ≈0.7
+    boosts low-resource sources without letting the head drown them.
+    This computes the TARGET mixture that rebalance_mix /
+    assemble_epochs then materialise.
+
+    Returns (source_col, n_docs, w_scaled, p_ppm):
+      w_scaled = floor(n_docs^τ · scale) — the ONE float op per
+      source, floored to int64 immediately (cross-engine discipline);
+      p_ppm = w_scaled·1e6 DIV Σw_scaled — exact integer share.
+
+    Scale shape: one map-side-combinable count per source, a 1-row
+    broadcast total, a narrow projection. Source cardinality is tiny
+    (domains/languages), so this is free at any corpus size."""
+    if tau <= 0:
+        raise ValueError(f"tau must be positive, got {tau}")
+    counts = (docs.groupBy(source_col)
+              .agg(F.count("*").cast("long").alias("n_docs")))
+    w = F.floor(F.pow(F.col("n_docs").cast("double"),
+                      F.lit(float(tau))) * F.lit(scale)).cast("long")
+    ws = counts.withColumn("w_scaled", w)
+    tot = ws.agg(F.sum("w_scaled").alias("_wsum"))
+    return (ws.crossJoin(F.broadcast(tot))
+            .select(source_col, "n_docs", "w_scaled",
+                    F.expr("CAST((w_scaled * 1000000) DIV _wsum"
+                           " AS BIGINT)").alias("p_ppm")))
 
 
 def assemble_epochs(docs: DataFrame, weights: dict[str, float],

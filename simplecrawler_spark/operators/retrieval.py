@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from simplecrawler_spark.functions.text import tokens_expr
 
 __all__ = ["ngram_topk", "bm25_score", "stratified_sample", "rrf_fuse",
-           "recall_at_k"]
+           "recall_at_k", "ndcg_at_k"]
 
 
 def ngrams_expr(text, n: int = 2):
@@ -242,3 +242,62 @@ def recall_at_k(approx: DataFrame, exact: DataFrame,
             .withColumn("recall_ppm",
                         F.expr("CAST((n_hits * 1000000) DIV n_exact"
                                " AS BIGINT)")))
+
+
+def ndcg_at_k(ranked: DataFrame, rels: DataFrame, k: int = 10,
+              query_col: str = "query_id", id_col: str = "id",
+              rank_col: str = "rank", rel_col: str = "rel",
+              scale: int = 10 ** 9) -> DataFrame:
+    """Per-query nDCG@k — the rank-AWARE companion to recall_at_k
+    (recall says whether the right ids surfaced; nDCG says whether
+    they surfaced in the right ORDER, weighted by graded relevance).
+
+    ``ranked``: (query, id, rank 1..) — the system under evaluation.
+    ``rels``: (query, id, integer relevance ≥ 0) — the judgments.
+
+        DCG  = Σ_{rank<=k} floor(scale·rel / log2(rank+1))
+        IDCG = the same terms over the ideal (rel desc) ordering of
+               the query's judged ids, truncated at k
+        ndcg_ppm = DCG·1e6 DIV IDCG   (0 when IDCG = 0)
+
+    Each discount term is the ONE float op (log2 of a small integer),
+    floored to int64 immediately; sums and the final ratio are exact
+    long arithmetic — the rrf_fuse/recall_at_k discipline, so engines
+    can't drift on summation order. Unjudged ranked ids contribute 0.
+
+    Scale shape: one (query, id) equi-join of two bounded top-k
+    tables, one window over the judgments (per-query, ≤ judged ids),
+    two combinable sums on the query grain. No Python, no text."""
+    term = lambda rel, rank: F.floor(  # noqa: E731
+        F.lit(scale) * rel.cast("double")
+        / F.log2(rank.cast("double") + F.lit(1.0))).cast("long")
+
+    r = (ranked.where(F.col(rank_col) <= k)
+         .join(rels.select(query_col, id_col, rel_col),
+               [query_col, id_col], "left")
+         .select(F.col(query_col),
+                 term(F.coalesce(F.col(rel_col), F.lit(0)),
+                      F.col(rank_col)).alias("_t")))
+    dcg = r.groupBy(query_col).agg(F.sum("_t").alias("dcg_scaled"))
+
+    iw = Window.partitionBy(query_col).orderBy(
+        F.col(rel_col).desc(), F.col(id_col).asc())
+    ideal = (rels.withColumn("_ir", F.row_number().over(iw))
+             .where(F.col("_ir") <= k)
+             .select(F.col(query_col),
+                     term(F.col(rel_col), F.col("_ir")).alias("_t")))
+    idcg = ideal.groupBy(query_col).agg(
+        F.sum("_t").alias("idcg_scaled"))
+
+    return (idcg.join(dcg, query_col, "left")
+            .select(F.col(query_col),
+                    F.coalesce("dcg_scaled", F.lit(0)).cast("long")
+                    .alias("dcg_scaled"),
+                    F.col("idcg_scaled").cast("long")
+                    .alias("idcg_scaled"))
+            .withColumn(
+                "ndcg_ppm",
+                F.when(F.col("idcg_scaled") > 0,
+                       F.expr("CAST((dcg_scaled * 1000000) DIV"
+                              " idcg_scaled AS BIGINT)"))
+                .otherwise(F.lit(0).cast("long"))))

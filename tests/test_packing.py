@@ -204,3 +204,37 @@ def test_pack_weighted_bytes_budget(spark):
         docs, F.col("nbytes"), budget=10_000, weight_name="n_bytes",
         n_ranges=7).collect()))
     assert a == b  # n_ranges is parallelism only, never assignment
+
+
+def test_temperature_weights_hand_values(spark):
+    """τ=0.5 over counts {a:100, b:400}: weights 10·s and 20·s, so
+    shares are exactly 333333/666666 ppm; τ=1 reproduces the natural
+    mixture."""
+    from simplecrawler_spark.operators.packing import (
+        temperature_weights,
+    )
+
+    rows = ([(i, "a") for i in range(100)]
+            + [(1000 + i, "b") for i in range(400)])
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = {r.source: r
+           for r in temperature_weights(df, tau=0.5).collect()}
+    assert got["a"].w_scaled == 10_000_000
+    assert got["b"].w_scaled == 20_000_000
+    assert got["a"].p_ppm == 333_333 and got["b"].p_ppm == 666_666
+
+    nat = {r.source: r.p_ppm
+           for r in temperature_weights(df, tau=1.0).collect()}
+    assert nat["a"] == 200_000 and nat["b"] == 800_000
+
+
+def test_temperature_weights_validates(spark):
+    import pytest
+
+    from simplecrawler_spark.operators.packing import (
+        temperature_weights,
+    )
+
+    df = spark.createDataFrame([(0, "a")], "doc_id long, source string")
+    with pytest.raises(ValueError):
+        temperature_weights(df, tau=0.0)

@@ -305,3 +305,51 @@ def test_recall_at_k_plan_no_python(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "Python" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ndcg_perfect_and_degraded(spark):
+    """A ranking in ideal order scores exactly 1e6 ppm; swapping the
+    top two graded items scores less; a query with all-zero
+    relevance reports 0 (idcg = 0 guard)."""
+    from simplecrawler_spark.operators.retrieval import ndcg_at_k
+
+    rels = spark.createDataFrame(
+        [(0, 1, 3), (0, 2, 2), (0, 3, 0),
+         (1, 1, 3), (1, 2, 2), (1, 3, 0),
+         (2, 1, 0), (2, 2, 0)],
+        "query_id long, id long, rel long")
+    ranked = spark.createDataFrame(
+        [(0, 1, 1), (0, 2, 2), (0, 3, 3),      # ideal order
+         (1, 2, 1), (1, 1, 2), (1, 3, 3),      # top two swapped
+         (2, 1, 1), (2, 2, 2)],                # all-zero rel
+        "query_id long, id long, rank long")
+    got = {r.query_id: r
+           for r in ndcg_at_k(ranked, rels, k=10).collect()}
+    assert got[0].ndcg_ppm == 1_000_000
+    assert 0 < got[1].ndcg_ppm < 1_000_000
+    assert got[2].ndcg_ppm == 0 and got[2].idcg_scaled == 0
+    # hand value for the swap: dcg = 2/log2(2) + 3/log2(3), idcg =
+    # 3/log2(2) + 2/log2(3); terms floored at 1e9 scale
+    import math
+    t = lambda rel, rank: math.floor(  # noqa: E731
+        10**9 * rel / math.log2(rank + 1))
+    dcg = t(2, 1) + t(3, 2)
+    idcg = t(3, 1) + t(2, 2)
+    assert got[1].dcg_scaled == dcg
+    assert got[1].ndcg_ppm == (dcg * 1_000_000) // idcg
+
+
+def test_ndcg_unjudged_and_truncation(spark):
+    """Ranked ids without judgments contribute 0; ranks beyond k are
+    ignored."""
+    from simplecrawler_spark.operators.retrieval import ndcg_at_k
+
+    rels = spark.createDataFrame([(0, 1, 2)],
+                                 "query_id long, id long, rel long")
+    ranked = spark.createDataFrame(
+        [(0, 99, 1), (0, 1, 2), (0, 98, 3)],
+        "query_id long, id long, rank long")
+    r = ndcg_at_k(ranked, rels, k=2).collect()[0]
+    import math
+    assert r.dcg_scaled == math.floor(10**9 * 2 / math.log2(3))
+    assert r.idcg_scaled == 2 * 10**9
