@@ -386,6 +386,59 @@ def main():
                    and n_ops(plan, "TakeOrderedAndProject") >= 1
                    and n_ops(plan, "Sort") == 0, ""))
 
+    # 14o. Gopher repetition: per-row sorted-adjacency folds — a gate
+    # at scan grain, nothing crosses rows
+    plan = formatted(qs["q_gopher_rep"](spark, SF_DIR))
+    sections.append(("q_gopher_rep", plan))
+    checks.append(("gopher repetition no Exchange and no Python",
+                   n_ops(plan, "Exchange") == 0
+                   and n_python(plan) == 0, ""))
+
+    # 14n. bigram LM: token-keyed equi-joins + combinable aggs +
+    # broadcast totals, zero Python
+    plan = formatted(qs["q_bigram_logprob"](spark, SF_DIR))
+    sections.append(("q_bigram_logprob", plan))
+    checks.append(("bigram LM pure JVM, partial aggs, broadcast totals",
+                   n_python(plan) == 0
+                   and "partial" in plan.lower()
+                   and n_ops(plan, "BroadcastExchange") >= 1, ""))
+
+    # 14m. encoding hygiene: both are narrow single-pass projections
+    for qn in ("q_mojibake", "q_charset_meta"):
+        plan = formatted(qs[qn](spark, SF_DIR))
+        sections.append((qn, plan))
+        checks.append((f"{qn} no Exchange and no Python",
+                       n_ops(plan, "Exchange") == 0
+                       and n_python(plan) == 0, ""))
+
+    # 14l. retrieval eval: joins stay hash/broadcast (never
+    # cartesian), sums partial-aggregate, zero Python
+    for qn in ("q_recall_at_k", "q_ndcg"):
+        plan = formatted(qs[qn](spark, SF_DIR))
+        sections.append((qn, plan))
+        checks.append((f"{qn} no cartesian, partial agg, no Python",
+                       n_ops(plan, "CartesianProduct") == 0
+                       and "partial" in plan.lower()
+                       and n_python(plan) == 0, ""))
+
+    # 14k. temperature shares: one combinable count + broadcast total
+    plan = formatted(qs["q_temperature"](spark, SF_DIR))
+    sections.append(("q_temperature", plan))
+    checks.append(("temperature shares partial agg + broadcast total",
+                   "partial" in plan.lower()
+                   and n_python(plan) == 0
+                   and (n_ops(plan, "BroadcastExchange") >= 1
+                        or n_ops(plan, "BroadcastNestedLoopJoin") >= 1),
+                   ""))
+
+    # 14j. byte-mode WARC: exactly ONE Python stage — the
+    # record-boundary reader itself; everything downstream is JVM
+    plan = formatted(qs["q_warc_bytes"](spark, SF_DIR))
+    sections.append(("q_warc_bytes", plan))
+    checks.append(("warc byte reader exactly one Python stage",
+                   n_python(plan) == 1,
+                   f"python_ops={n_python(plan)}"))
+
     # 15. IVF probe is a partition-pruned scan: non-probed cell
     # directories never reach the file index
     import shutil
