@@ -163,7 +163,9 @@ def pipeline_benches(spark, sf_dir: str) -> dict[str, float]:
              "q_corpus_stats", "q_meta_robots", "q_alloc_budget",
              "q_pack_images", "q_dedup_against", "q_linear_score",
              "q_pipeline", "q_lang_multi", "q_main_text",
-             "q_wat_records"]
+             "q_wat_records", "q_warc_bytes", "q_gopher_rep",
+             "q_bigram_logprob", "q_mojibake", "q_charset_meta",
+             "q_recall_at_k", "q_ndcg", "q_temperature"]
     qs = E.queries()
     for name in names:
         t0 = time.monotonic()
