@@ -1484,6 +1484,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                          flags["noindex"].alias("noindex"),
                          flags["nofollow"].alias("nofollow"))
 
+    def q_rel_canonical(spark, sf):
+        """rel=canonical extraction + canonical grouping
+        (operators/parse.py rel_canonical_expr): pages declare
+        canonicals in three syntactic forms (rel-first quoted,
+        href-first with unquoted rel, single-quoted href) plus a
+        stylesheet-link distractor page with none; the corpus then
+        groups on coalesce(canonical, url) — the dedup key search
+        engines apply before any content hash. Same two regexes and
+        the same grouping in both engines."""
+        from simplecrawler_spark.operators.parse import (
+            rel_canonical_expr,
+        )
+
+        ev = _t(spark, sf, "events")
+        m = F.col("event_id") % 4
+        tgt = F.concat(F.lit("http://s/c"),
+                       (F.col("event_id") % 7).cast("string"))
+        link = (
+            F.when(m == 0, F.concat(
+                F.lit('<link rel="canonical" href="'), tgt,
+                F.lit('">')))
+            .when(m == 1, F.concat(
+                F.lit('<link href="'), tgt, F.lit('" rel=canonical>')))
+            .when(m == 2, F.concat(
+                F.lit("<link rel=canonical href='"), tgt,
+                F.lit("'>")))
+            .otherwise(F.lit('<link rel="stylesheet" '
+                             'href="/x.css">')))
+        body = F.concat(F.lit("<html><head>"), link,
+                        F.lit("</head><body>p</body></html>"))
+        url = F.concat(F.lit("http://s/p"),
+                       (F.col("event_id") % 50).cast("string"))
+        pages = ev.select(url.alias("url"),
+                          rel_canonical_expr(body).alias("canon"))
+        return (pages
+                .groupBy(F.coalesce("canon", "url").alias("canon_key"))
+                .agg(F.count("*").cast("long").alias("n_pages")))
+
     def q_mojibake(spark, sf):
         """Mojibake repair (functions/text.py fix_mojibake_expr):
         every even doc gains the classic UTF-8-read-as-cp1252
@@ -1816,6 +1854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_temperature": q_temperature,
         "q_corpus_stats": q_corpus_stats,
         "q_meta_robots": q_meta_robots,
+        "q_rel_canonical": q_rel_canonical,
         "q_mojibake": q_mojibake,
         "q_charset_meta": q_charset_meta,
         "q_alloc_budget": q_alloc_budget,
@@ -3926,6 +3965,44 @@ def oracle_sql() -> dict[str, str]:
         """,
         # budget apportionment: same int64 div/mod quotas, same
         # largest-remainder rank and tie-break
+        # rel=canonical: same two attribute-order regexes, same
+        # coalesce(canonical, url) grouping
+        "q_rel_canonical": """
+            WITH b AS (
+              SELECT event_id,
+                     'http://s/p' || (event_id % 50)::VARCHAR AS url,
+                     '<html><head>'
+                     || CASE event_id % 4
+                        WHEN 0 THEN '<link rel="canonical" href='
+                          || '"http://s/c' || (event_id % 7)::VARCHAR
+                          || '">'
+                        WHEN 1 THEN '<link href="http://s/c'
+                          || (event_id % 7)::VARCHAR
+                          || '" rel=canonical>'
+                        WHEN 2 THEN '<link rel=canonical href='
+                          || chr(39) || 'http://s/c'
+                          || (event_id % 7)::VARCHAR || chr(39) || '>'
+                        ELSE '<link rel="stylesheet" href="/x.css">'
+                        END
+                     || '</head><body>p</body></html>' AS body
+              FROM events
+            ), c AS (
+              SELECT url,
+                     coalesce(
+                       nullif(regexp_extract(body,
+                         '(?is)<link\\s[^>]*rel\\s*=\\s*["'']?'
+                         || 'canonical["'']?[^>]*href\\s*=\\s*'
+                         || '["'']([^"''>]+)', 1), ''),
+                       nullif(regexp_extract(body,
+                         '(?is)<link\\s[^>]*href\\s*=\\s*'
+                         || '["'']([^"''>]+)["''][^>]*rel\\s*=\\s*'
+                         || '["'']?canonical', 1), ''),
+                       url) AS canon_key
+              FROM b
+            )
+            SELECT canon_key, count(*)::BIGINT AS n_pages
+            FROM c GROUP BY canon_key
+        """,
         # Mojibake: the oracle runs the IDENTICAL ordered replace
         # chain (emitted by functions/text.py mojibake_sql) over the
         # same injected text — repairs byte-equal by construction

@@ -608,6 +608,33 @@ def meta_robots_expr(body) -> dict:
     return {"noindex": noindex, "nofollow": nofollow}
 
 
+_CANONICAL_HREF_FIRST = (r'(?is)<link\s[^>]*href\s*=\s*["\']([^"\'>]+)'
+                         r'["\'][^>]*rel\s*=\s*["\']?canonical')
+_CANONICAL_REL_FIRST = (r'(?is)<link\s[^>]*rel\s*=\s*["\']?canonical'
+                        r'["\']?[^>]*href\s*=\s*["\']([^"\'>]+)')
+
+
+def rel_canonical_expr(body):
+    """The page's self-declared canonical URL from
+    ``<link rel="canonical" href="...">`` — the dedup signal search
+    engines honour before any content hashing: two fetched URLs that
+    declare the same canonical are the SAME document, so a corpus
+    pipeline groups on coalesce(canonical, fetched_url) ahead of the
+    fingerprint families. Handles either attribute order and optional
+    quoting (the meta_robots_expr two-regex discipline); returns the
+    raw href (resolution against the fetch URL belongs to
+    functions/canonical.py resolve, like every other extracted link).
+    Pure JVM regex, fuse-able into the fetch projection."""
+    if isinstance(body, str):
+        body = F.col(body)
+    return F.nullif(F.coalesce(
+        F.nullif(F.regexp_extract(body, _CANONICAL_REL_FIRST, 1),
+                 F.lit("")),
+        F.nullif(F.regexp_extract(body, _CANONICAL_HREF_FIRST, 1),
+                 F.lit("")),
+        F.lit("")), F.lit(""))
+
+
 _CHARSET_RE = r"""(?is)<meta[^>]*charset\s*=\s*["']?\s*([A-Za-z0-9_\-]+)"""
 _HTML_LANG_RE = r"""(?is)<html[^>]*\slang\s*=\s*["']?([A-Za-z\-]+)"""
 

@@ -417,3 +417,31 @@ def test_html_lang_expr_primary_subtag(spark):
         "i", html_lang_expr("body").alias("g")).collect()}
     assert got[0] == "en" and got[1] == "de"
     assert got[2] is None and got[3] == "fr"
+
+
+def test_rel_canonical_expr_forms(spark):
+    """Both attribute orders, optional quoting, the stylesheet
+    distractor, and no-link pages; the FIRST canonical wins when a
+    page (wrongly) declares two."""
+    from simplecrawler_spark.operators.parse import rel_canonical_expr
+
+    rows = [
+        (0, '<link rel="canonical" href="http://c/a">'),
+        (1, '<link href="http://c/b" rel=canonical>'),
+        (2, "<link rel=canonical href='http://c/c'>"),
+        (3, '<link rel="stylesheet" href="/x.css">'),
+        (4, "<p>no links at all</p>"),
+        (5, '<link rel="canonical" href="http://c/first">'
+            '<link rel="canonical" href="http://c/second">'),
+        (6, '<link rel="stylesheet" href="/x.css">'
+            '<link rel="canonical" href="http://c/after">'),
+    ]
+    df = spark.createDataFrame(rows, "i long, body string")
+    got = {r.i: r.c for r in df.select(
+        "i", rel_canonical_expr("body").alias("c")).collect()}
+    assert got[0] == "http://c/a"
+    assert got[1] == "http://c/b"
+    assert got[2] == "http://c/c"
+    assert got[3] is None and got[4] is None
+    assert got[5] == "http://c/first"
+    assert got[6] == "http://c/after"
