@@ -1484,6 +1484,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                          flags["noindex"].alias("noindex"),
                          flags["nofollow"].alias("nofollow"))
 
+    def q_url_features(spark, sf):
+        """URL-shape quality features (operators/traps.py
+        url_quality_features): four URL shapes (dated post path, deep
+        path, parameterised item, bare root) across plain/www.blog/
+        shop hosts and .com/.co.uk endings — host, top-level label,
+        subdomain count, lengths, depth, parameter and digit counts,
+        all exact integers/lowercase strings recomputed with the same
+        regexes in SQL. (tld is the last host LABEL — naive, not
+        public-suffix; '.co.uk' yields 'uk' in both engines by
+        construction.)"""
+        from simplecrawler_spark.operators.traps import (
+            url_quality_features,
+        )
+
+        orders = _t(spark, sf, "orders")
+        m = F.col("o_orderkey") % 4
+        url = F.concat(
+            F.lit("http://"),
+            F.when(F.col("o_custkey") % 3 == 0, F.lit("www.blog."))
+            .when(F.col("o_custkey") % 3 == 1, F.lit("shop."))
+            .otherwise(F.lit("")),
+            F.lit("site"), (F.col("o_custkey") % 20).cast("string"),
+            F.when(m == 3, F.lit(".co.uk")).otherwise(F.lit(".com")),
+            F.when(m == 0, F.concat(
+                F.lit("/post/2024/"),
+                (F.col("o_orderkey") % 100).cast("string")))
+            .when(m == 1, F.lit("/a/b/c/d/e"))
+            .when(m == 2, F.concat(
+                F.lit("/item"),
+                (F.col("o_orderkey") % 1000).cast("string"),
+                F.lit("?id="), (F.col("o_custkey") % 50).cast("string"),
+                F.lit("&ref=rss")))
+            .otherwise(F.lit("/")))
+        feats = url_quality_features(url)
+        return orders.select(
+            "o_orderkey", url.alias("url"),
+            feats["host"].alias("host"), feats["tld"].alias("tld"),
+            feats["n_subdomains"].alias("n_subdomains"),
+            feats["url_len"].alias("url_len"),
+            feats["path_len"].alias("path_len"),
+            feats["path_depth"].alias("path_depth"),
+            feats["n_params"].alias("n_params"),
+            feats["n_digits"].alias("n_digits"))
+
     def q_rel_canonical(spark, sf):
         """rel=canonical extraction + canonical grouping
         (operators/parse.py rel_canonical_expr): pages declare
@@ -1854,6 +1898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_temperature": q_temperature,
         "q_corpus_stats": q_corpus_stats,
         "q_meta_robots": q_meta_robots,
+        "q_url_features": q_url_features,
         "q_rel_canonical": q_rel_canonical,
         "q_mojibake": q_mojibake,
         "q_charset_meta": q_charset_meta,
@@ -3965,6 +4010,58 @@ def oracle_sql() -> dict[str, str]:
         """,
         # budget apportionment: same int64 div/mod quotas, same
         # largest-remainder rank and tie-break
+        # URL features: same synthesis, same host/path/query regexes,
+        # same label/segment splits — every feature an exact integer
+        "q_url_features": """
+            WITH u AS (
+              SELECT o_orderkey,
+                     'http://'
+                     || CASE o_custkey % 3
+                        WHEN 0 THEN 'www.blog.'
+                        WHEN 1 THEN 'shop.' ELSE '' END
+                     || 'site' || (o_custkey % 20)::VARCHAR
+                     || CASE WHEN o_orderkey % 4 = 3
+                             THEN '.co.uk' ELSE '.com' END
+                     || CASE o_orderkey % 4
+                        WHEN 0 THEN '/post/2024/'
+                          || (o_orderkey % 100)::VARCHAR
+                        WHEN 1 THEN '/a/b/c/d/e'
+                        WHEN 2 THEN '/item'
+                          || (o_orderkey % 1000)::VARCHAR
+                          || '?id=' || (o_custkey % 50)::VARCHAR
+                          || '&ref=rss'
+                        ELSE '/' END AS url
+              FROM orders
+            ), f AS (
+              SELECT o_orderkey, url,
+                     lower(regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?'
+                       || '([^/?#:]*)', 1)) AS host,
+                     regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*'
+                       || '([^?#]*)', 1) AS path,
+                     regexp_extract(url, '\\?([^#]*)', 1) AS query
+              FROM u
+            )
+            SELECT o_orderkey, url,
+                   nullif(host, '') AS host,
+                   nullif(list_filter(string_split(host, '.'),
+                          x -> x <> '')[-1], '') AS tld,
+                   greatest(len(list_filter(string_split(host, '.'),
+                            x -> x <> '')) - 2, 0)::BIGINT
+                     AS n_subdomains,
+                   len(url)::BIGINT AS url_len,
+                   len(path)::BIGINT AS path_len,
+                   len(list_filter(string_split(path, '/'),
+                       x -> x <> ''))::BIGINT AS path_depth,
+                   (CASE WHEN query = '' THEN 0
+                         ELSE len(string_split(query, '&'))
+                    END)::BIGINT AS n_params,
+                   (len(url) - len(regexp_replace(url, '[0-9]', '',
+                                                  'g')))::BIGINT
+                     AS n_digits
+            FROM f
+        """,
         # rel=canonical: same two attribute-order regexes, same
         # coalesce(canonical, url) grouping
         "q_rel_canonical": """

@@ -40,7 +40,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["url_trap_flags", "host_suffixes_expr", "blocklist_gate",
+__all__ = ["url_trap_flags", "url_quality_features",
+           "host_suffixes_expr", "blocklist_gate",
            "SESSION_PARAM_RE", "DATE_SEG_RE"]
 
 # parameter NAMES that mint per-visitor URL spaces. Anchored at a
@@ -99,6 +100,39 @@ def url_trap_flags(url: Column, *, max_depth: int = 12,
 
 # scheme://[userinfo@]host — host stops at port/path/query/fragment
 _HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)"
+
+
+def url_quality_features(url: Column) -> dict[str, Column]:
+    """URL-shape quality features as named pure-JVM expressions — the
+    signals URL-level corpus classifiers use (FineWeb filters on URL
+    shape before fetching; hashed_linear_score consumes these the way
+    its token buckets consume text): host and top-level domain,
+    subdomain count, URL/path lengths, path depth, query-parameter
+    and digit counts. ALL exact integers or lowercase strings (no
+    ratios — consumers derive them with integer DIV so nothing float
+    crosses engines). One narrow projection over the url column, no
+    shuffle, no Python; attach with ``df.withColumns(...)`` or select
+    individual entries."""
+    host = F.lower(F.regexp_extract(url, _HOST_RE, 1))
+    path = F.regexp_extract(url, _PATH_RE, 1)
+    query = F.regexp_extract(url, _QUERY_RE, 1)
+    labels = F.filter(F.split(host, r"\."), lambda x: x != F.lit(""))
+    segs = F.filter(F.split(path, "/"), lambda x: x != F.lit(""))
+    return {
+        "host": F.nullif(host, F.lit("")),
+        "tld": F.nullif(F.element_at(labels, -1), F.lit("")),
+        "n_subdomains": F.greatest(F.size(labels) - 2, F.lit(0))
+        .cast("long"),
+        "url_len": F.length(url).cast("long"),
+        "path_len": F.length(path).cast("long"),
+        "path_depth": F.size(segs).cast("long"),
+        "n_params": (F.when(query == "", F.lit(0))
+                     .otherwise(F.size(F.split(query, "&"))))
+        .cast("long"),
+        "n_digits": (F.length(url)
+                     - F.length(F.regexp_replace(url, "[0-9]", "")))
+        .cast("long"),
+    }
 
 
 def host_suffixes_expr(url: Column) -> Column:

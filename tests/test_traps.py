@@ -172,3 +172,43 @@ def test_blocklist_gate_broadcasts_small_list(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_url_quality_features(spark):
+    """Every feature hand-checked on contrasting shapes; bare root
+    path has depth 0; tld is the last host label (naive)."""
+    from simplecrawler_spark.operators.traps import url_quality_features
+
+    rows = [
+        (0, "http://www.blog.site.com/post/2024/17?id=3&ref=rss"),
+        (1, "https://site9.co.uk/"),
+        (2, "http://u:p@shop.example.org:8080/a/b/c"),
+    ]
+    df = spark.createDataFrame(rows, "i long, url string")
+    feats = url_quality_features(F.col("url"))
+    got = {r.i: r for r in df.select(
+        "i", *[v.alias(k) for k, v in feats.items()]).collect()}
+    r = got[0]
+    assert r.host == "www.blog.site.com" and r.tld == "com"
+    assert r.n_subdomains == 2 and r.path_depth == 3
+    assert r.n_params == 2 and r.n_digits == 4 + 2 + 1  # 2024,17,3
+    assert r.path_len == len("/post/2024/17")
+    r = got[1]
+    assert r.host == "site9.co.uk" and r.tld == "uk"
+    assert r.n_subdomains == 1 and r.path_depth == 0
+    assert r.n_params == 0 and r.path_len == 1
+    r = got[2]
+    assert r.host == "shop.example.org"  # userinfo + port stripped
+    assert r.path_depth == 3 and r.n_digits == 4
+
+
+def test_url_quality_features_plan_narrow(spark):
+    from simplecrawler_spark.operators.traps import url_quality_features
+
+    df = spark.createDataFrame([(0, "http://a.com/x")],
+                               "i long, url string")
+    feats = url_quality_features(F.col("url"))
+    plan = (df.select(*[v.alias(k) for k, v in feats.items()])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+    assert "Python" not in plan
