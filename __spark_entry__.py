@@ -316,6 +316,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.floor(F.col("jaccard") * 1000000)
                         .cast("long").alias("jac_scaled"))
 
+    def q_containment(spark, sf):
+        """k-gram containment (operators/dedup.py ngram_containment):
+        the asymmetric companion to q_ngram_jaccard over the same
+        (d, d+1) candidate pairs — |A∩B| relative to EACH side
+        separately (quotation/inclusion detection); counts exact
+        int64, ratios by integer DIV in both engines."""
+        docs = _t(spark, sf, "documents")
+        pairs = (docs.where(F.col("doc_id") % 10 == 0)
+                 .select(F.col("doc_id").alias("id_a"),
+                         (F.col("doc_id") + 1).alias("id_b")))
+        return D.ngram_containment(pairs, docs)
+
     def q_substring_dedup(spark, sf):
         """Exact-substring dedup, fixed-window relaxation of Lee et
         al.'s suffix-array ExactSubstr (operators/dedup.py
@@ -1836,6 +1848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lsh_pairs": q_lsh_pairs,
         "q_dedup_components": q_dedup_components,
         "q_ngram_jaccard": q_ngram_jaccard,
+        "q_containment": q_containment,
         "q_substring_dedup": q_substring_dedup,
         "q_decontaminate": q_decontaminate,
         "q_simhash": q_simhash,
@@ -2255,6 +2268,33 @@ def oracle_sql() -> dict[str, str]:
               ))::BIGINT AS jac_scaled
             FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
             WHERE a.doc_id % 10 = 0
+        """,
+        # containment: same shingle sets, |A∩B| against each side's
+        # own size, ratios by DuckDB's // == Spark's DIV
+        "q_containment": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_distinct({sh.replace('toks', _ORACLE_TOKS)})
+                       AS sh
+              FROM documents
+            ), p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     len(list_filter(a.sh,
+                         x -> list_contains(b.sh, x)))::BIGINT
+                       AS n_common,
+                     len(a.sh)::BIGINT AS n_a,
+                     len(b.sh)::BIGINT AS n_b
+              FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+              WHERE a.doc_id % 10 = 0
+            )
+            SELECT id_a, id_b, n_common, n_a, n_b,
+                   CASE WHEN n_a > 0
+                        THEN ((n_common * 1000000) // n_a)::BIGINT
+                        ELSE 0 END AS containment_a_ppm,
+                   CASE WHEN n_b > 0
+                        THEN ((n_common * 1000000) // n_b)::BIGINT
+                        ELSE 0 END AS containment_b_ppm
+            FROM p
         """,
         # windows grouped by their exact 10-token text (the Spark side
         # groups by the portable 60-bit hash of the same string — the

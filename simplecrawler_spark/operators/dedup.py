@@ -307,6 +307,52 @@ def ngram_jaccard(pairs: DataFrame, docs: DataFrame,
         .otherwise(F.lit(0.0)).alias("jaccard"))
 
 
+def ngram_containment(pairs: DataFrame, docs: DataFrame,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      k: int = 3) -> DataFrame:
+    """Exact k-gram CONTAINMENT for candidate pairs — the asymmetric
+    companion to ngram_jaccard: |A∩B| / |A| and |A∩B| / |B|
+    separately. Jaccard misses quotation/inclusion (a paragraph
+    pasted into a long article has tiny Jaccard but containment ≈ 1
+    from the short side), which is exactly the doc-level screen the
+    exact-substring literature applies before span-level dedup.
+
+    Returns (id_a, id_b, n_common, n_a, n_b, containment_a_ppm,
+    containment_b_ppm) — counts exact int64, ratios by integer DIV
+    (nothing float crosses engines; 0 when a side has no shingles).
+
+    Same scale shape as ngram_jaccard: two id-keyed joins onto the
+    candidate pairs (candidates are LSH/band output — bounded), one
+    distinct-shingle array per doc, set ops in JVM HOFs."""
+    sh = docs.select(
+        F.col(id_col),
+        F.array_distinct(shingles_expr(F.col(text_col), k)).alias("sh"))
+    out = (
+        pairs.join(sh.select(F.col(id_col).alias("id_a"),
+                             F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"),
+                        F.col("sh").alias("sh_b")), "id_b")
+    )
+    return (out.select(
+        "id_a", "id_b",
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+        .alias("n_common"),
+        F.size("sh_a").cast("long").alias("n_a"),
+        F.size("sh_b").cast("long").alias("n_b"))
+        .withColumn(
+            "containment_a_ppm",
+            F.when(F.col("n_a") > 0,
+                   F.expr("CAST((n_common * 1000000) DIV n_a"
+                          " AS BIGINT)"))
+            .otherwise(F.lit(0).cast("long")))
+        .withColumn(
+            "containment_b_ppm",
+            F.when(F.col("n_b") > 0,
+                   F.expr("CAST((n_common * 1000000) DIV n_b"
+                          " AS BIGINT)"))
+            .otherwise(F.lit(0).cast("long"))))
+
+
 def _substring_occ_rolling(base: DataFrame, window: int,
                            id_col: str) -> DataFrame:
     """Karp–Rabin window keys in O(n) per doc (round-3 verdict item 3;

@@ -1333,3 +1333,35 @@ def test_bigram_logprob_plan_no_python(spark):
     plan = (bigram_logprob(df)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Python" not in plan
+
+
+def test_ngram_containment_quote_case(spark):
+    """The quotation case Jaccard misses: doc 2 pastes doc 1's short
+    text into a much longer article — containment from the short side
+    is 1e6 ppm while Jaccard stays low; disjoint docs score 0; a
+    too-short doc (no shingles) hits the zero guard."""
+    from simplecrawler_spark.operators.dedup import (
+        ngram_containment, ngram_jaccard,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    article = ("completely unrelated opening about spark plans " * 5
+               + quote + " and then a very long tail of other words "
+               * 5)
+    rows = [(1, quote), (2, article), (3, "totally different things"),
+            (4, "ab")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "id_a long, id_b long")
+    got = {(r.id_a, r.id_b): r
+           for r in ngram_containment(pairs, docs).collect()}
+    r = got[(1, 2)]
+    assert r.containment_a_ppm == 1_000_000   # fully contained
+    assert r.containment_b_ppm < 500_000
+    jac = {(r.id_a, r.id_b): r.jaccard
+           for r in ngram_jaccard(pairs, docs).collect()}
+    assert jac[(1, 2)] < 0.5                  # jaccard misses it
+    assert got[(1, 3)].n_common == 0
+    assert got[(1, 3)].containment_a_ppm == 0
+    r4 = got[(1, 4)]                          # 'ab' → no 3-shingles
+    assert r4.n_b == 0 and r4.containment_b_ppm == 0
