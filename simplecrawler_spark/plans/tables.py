@@ -218,6 +218,63 @@ class SnapshotStore:
     def is_empty(self, table: str) -> bool:
         return not self._paths(table) or self.read(table).isEmpty()
 
+    # -- maintenance (Iceberg expireSnapshots / removeOrphanFiles) ---------
+
+    def expire_snapshots(self, keep_last: int = 2) -> list[str]:
+        """Drop manifest files beyond the newest ``keep_last``
+        (Iceberg expireSnapshots analogue). Time-travel to expired
+        ids stops working; the CURRENT state and resume are
+        unaffected (they read only the latest manifest). Returns the
+        removed manifest paths.
+
+        A 10^10-URL crawl commits one snapshot per round; without
+        retention the manifest count — and vacuum's live-set scan —
+        grows without bound, so long crawls run
+        expire_snapshots + vacuum on a cadence exactly like an
+        Iceberg table."""
+        if keep_last < 1:
+            raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+        manifests = sorted(
+            glob.glob(os.path.join(self._snap_dir, "snap-*.json")))
+        drop = manifests[:-keep_last]
+        for p in drop:
+            os.remove(p)
+        return drop
+
+    def vacuum(self) -> list[str]:
+        """Delete data dirs that no RETAINED snapshot references —
+        orphans from overwrite repoints, expired snapshots, and
+        crashed append attempts (Iceberg removeOrphanFiles
+        analogue). Pending (uncommitted) appends are always kept.
+        Run AFTER expire_snapshots, never before: a dir must not
+        vanish while a retained manifest still lists it. Returns the
+        removed dirs.
+
+        Driver-side file ops, but bounded by the number of APPEND
+        DIRS (a handful per table per round), never by rows; on an
+        object store this becomes one batched list + delete per
+        table prefix."""
+        import shutil
+
+        live: set[str] = set()
+        for snap in self.snapshots():
+            for dirs in snap["tables"].values():
+                live.update(dirs)
+        with self._pending_lock:
+            for appends in self._pending.values():
+                live.update(a["path"] for a in appends)
+        # current in-memory state may be ahead of the last manifest
+        for dirs in self._committed.values():
+            live.update(dirs)
+        removed: list[str] = []
+        for table_dir in sorted(
+                glob.glob(os.path.join(self.root, "data", "*"))):
+            for d in sorted(glob.glob(os.path.join(table_dir, "*"))):
+                if d not in live:
+                    shutil.rmtree(d, ignore_errors=True)
+                    removed.append(d)
+        return removed
+
     # -- snapshot metadata --------------------------------------------------
 
     def _latest_manifest_path(self) -> str | None:

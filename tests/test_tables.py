@@ -50,3 +50,50 @@ def test_lineage_rowcounts(spark, tmp_path):
     assert rows == 10
     assert snap["metrics"] == {"fetched": 10.0}
     assert os.path.basename(manifest) == "snap-000001.json"
+
+
+def test_expire_and_vacuum(spark, tmp_path):
+    """Iceberg-style maintenance: expire drops old manifests (current
+    state + resume intact), vacuum then removes every data dir no
+    retained manifest references — overwrite leftovers and crashed
+    appends included — while pending appends survive."""
+    import glob
+    import os
+
+    import pytest
+
+    st = _store(spark, tmp_path)
+    for i in range(4):
+        st.append("seen", spark.createDataFrame(
+            [(i, f"http://a/{i}", 0, i)], schemas.SEEN))
+        st.commit_snapshot(i, {})
+    # overwrite repoints 'seen' at one fresh dir → 4 orphans-to-be
+    st.overwrite("seen", st.read("seen"))
+    st.commit_snapshot(4, {})
+    # a crashed append: dir on disk, never committed, not pending
+    # (fresh store instance below forgets it)
+    st.append("seen", spark.createDataFrame(
+        [(99, "http://z/", 0, 9)], schemas.SEEN))
+
+    st2 = _store(spark, tmp_path)       # reopen: pending forgotten
+    n_before = st2.read("seen").count()
+    assert n_before == 4
+    dropped = st2.expire_snapshots(keep_last=1)
+    assert len(dropped) == 4            # snaps 1-4 gone; 5 kept
+    with pytest.raises(FileNotFoundError):
+        st2.read_at("seen", 1)
+    # a pending append right now must NOT be vacuumed
+    st2.append("seen", spark.createDataFrame(
+        [(100, "http://p/", 0, 1)], schemas.SEEN))
+    removed = st2.vacuum()
+    # gone: the 4 pre-overwrite append dirs + the crashed append
+    assert len(removed) == 5
+    data_dirs = glob.glob(os.path.join(str(tmp_path),
+                                       "data", "seen", "*"))
+    # survivors: the overwrite dir (snap 5) + the pending dir
+    assert len(data_dirs) == 2
+    assert st2.read("seen").count() == n_before + 1
+    # resume after maintenance still works
+    st3 = _store(spark, tmp_path)
+    assert st3.read("seen").count() == n_before
+    assert st3.latest_round() == 4
