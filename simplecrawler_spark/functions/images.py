@@ -161,6 +161,27 @@ def phash64(pixels: np.ndarray) -> int:
     return val - (1 << 63) if val >= (1 << 63) else val
 
 
+def dhash64(pixels: np.ndarray) -> int:
+    """Difference hash: luma resampled to 9×8, each bit = left pixel
+    brighter than its right neighbour. The cheap gradient complement
+    to phash64 (no DCT): robust to uniform brightness/contrast shifts
+    — a gradient compares two pixels under the same transform — but
+    sensitive to crops where pHash is not, so image-dedup pipelines
+    band on BOTH and union the candidate pairs (same
+    fingerprint_near_dup blocking, just a second fingerprint
+    column). Same signed-64 packing as phash64."""
+    grey = pixels.astype(np.float64).mean(axis=2)
+    h, w = grey.shape
+    ri = (np.arange(8) * h) // 8
+    ci = (np.arange(9) * w) // 9
+    small = grey[np.ix_(ri, ci)]
+    bits = (small[:, :-1] > small[:, 1:]).flatten()
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    return val - (1 << 63) if val >= (1 << 63) else val
+
+
 # ---------------------------------------------------------------------------
 # Spark surface
 # ---------------------------------------------------------------------------

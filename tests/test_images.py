@@ -96,3 +96,42 @@ def test_sniff_format_expr_magic_numbers(spark):
         "id", sniff_format_expr(F.col("bytes")).alias("f")).collect()}
     for i, _, want in rows:
         assert got[i] == want, (i, got[i], want)
+
+
+def test_dhash_deterministic_brightness_invariant():
+    """dHash is gradient-based: a uniform brightness shift flips NO
+    bit (every comparison sees both pixels shifted equally); a
+    different image differs in many bits; perturbation noise stays
+    within a small radius."""
+    import numpy as np
+
+    px = I.synth_pixels(7)
+    h1 = I.dhash64(px)
+    assert h1 == I.dhash64(px.copy())
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")  # noqa: E731
+    # +20 brightness with no saturation (cap the base first so the
+    # shift can't compress any pairwise ordering)
+    base = np.minimum(px, 215)
+    brighter = (base.astype(np.int16) + 20).astype(np.uint8)
+    assert ham(I.dhash64(base), I.dhash64(brighter)) == 0
+    assert ham(h1, I.dhash64(I.synth_pixels(8))) > 10
+    noisy = I.perturb_pixels(px, 7)
+    assert ham(h1, I.dhash64(noisy)) <= 6
+
+
+def test_dhash_bands_with_fingerprint_near_dup(spark):
+    """The second fingerprint column rides the SAME banded blocking:
+    perturbed copies pair, distinct images don't."""
+    from simplecrawler_spark.operators.dedup import fingerprint_near_dup
+
+    rows = []
+    for k in range(6):
+        px = I.synth_pixels(k)
+        rows.append((2 * k, I.dhash64(px)))
+        rows.append((2 * k + 1, I.dhash64(I.perturb_pixels(px, k))))
+    df = spark.createDataFrame(rows, "doc_id long, fingerprint long")
+    pairs = {(r.id_a, r.id_b)
+             for r in fingerprint_near_dup(df, max_hamming=6).collect()}
+    for k in range(6):
+        assert (2 * k, 2 * k + 1) in pairs
+    assert all(b == a + 1 and a % 2 == 0 for a, b in pairs)
