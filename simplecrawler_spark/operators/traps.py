@@ -120,7 +120,10 @@ def url_quality_features(url: Column) -> dict[str, Column]:
     segs = F.filter(F.split(path, "/"), lambda x: x != F.lit(""))
     return {
         "host": F.nullif(host, F.lit("")),
-        "tld": F.nullif(F.element_at(labels, -1), F.lit("")),
+        # try_element_at: a malformed URL yields an empty label array,
+        # and ANSI-mode element_at(-1) would fail the whole stage
+        "tld": F.nullif(F.try_element_at(labels, F.lit(-1)),
+                        F.lit("")),
         "n_subdomains": F.greatest(F.size(labels) - 2, F.lit(0))
         .cast("long"),
         "url_len": F.length(url).cast("long"),

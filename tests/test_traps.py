@@ -212,3 +212,19 @@ def test_url_quality_features_plan_narrow(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+def test_url_quality_features_malformed_urls_null_not_fail(spark):
+    """Poison tolerance under ANSI mode: a schemeless string or an
+    empty host yields NULL host/tld and zero counts — never a stage
+    failure (element_at(-1) on an empty label array would throw)."""
+    from simplecrawler_spark.operators.traps import url_quality_features
+
+    df = spark.createDataFrame(
+        [(0, "not a url at all"), (1, "http:///nohost/a/b")],
+        "i long, url string")
+    feats = url_quality_features(F.col("url"))
+    got = {r.i: r for r in df.select(
+        "i", *[v.alias(k) for k, v in feats.items()]).collect()}
+    assert got[0].host is None and got[0].tld is None
+    assert got[1].host is None and got[1].path_depth == 3
