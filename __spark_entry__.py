@@ -1496,6 +1496,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                          flags["noindex"].alias("noindex"),
                          flags["nofollow"].alias("nofollow"))
 
+    def q_readability(spark, sf):
+        """Flesch–Kincaid readability (operators/quality.py
+        readability_scores): sentence/word/syllable counts are exact
+        integers (vowel-group heuristic, 1-per-word floor, min 1
+        sentence), the grade is the one float — pinned expression
+        shape, milli-scaled by floor in both engines."""
+        from simplecrawler_spark.operators.quality import (
+            readability_scores,
+        )
+
+        docs = _t(spark, sf, "documents")
+        return (readability_scores(docs)
+                .where(F.col("n_words") > 0))
+
     def q_url_features(spark, sf):
         """URL-shape quality features (operators/traps.py
         url_quality_features): four URL shapes (dated post path, deep
@@ -1911,6 +1925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_temperature": q_temperature,
         "q_corpus_stats": q_corpus_stats,
         "q_meta_robots": q_meta_robots,
+        "q_readability": q_readability,
         "q_url_features": q_url_features,
         "q_rel_canonical": q_rel_canonical,
         "q_mojibake": q_mojibake,
@@ -4050,6 +4065,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         # budget apportionment: same int64 div/mod quotas, same
         # largest-remainder rank and tie-break
+        # readability: same integer sentence/word/vowel-group counts,
+        # same pinned float shape milli-floored
+        "q_readability": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\\s+'),
+                                 x -> x <> '') AS words,
+                     list_filter(list_transform(
+                       string_split_regex(text, '[.!?]+'),
+                       x -> trim(x)), x -> x <> '') AS sents
+              FROM documents
+            ), c AS (
+              SELECT doc_id,
+                     len(words)::BIGINT AS n_words,
+                     greatest(len(sents), 1)::BIGINT AS n_sentences,
+                     list_sum(list_transform(words,
+                       x -> greatest(len(string_split_regex(lower(x),
+                         '[aeiouy]+')) - 1, 1)))::BIGINT
+                       AS n_syllables
+              FROM w
+            )
+            SELECT doc_id, n_words, n_sentences, n_syllables,
+                   floor((0.39 * (n_words::DOUBLE
+                                  / n_sentences::DOUBLE)
+                          + 11.8 * (n_syllables::DOUBLE
+                                    / n_words::DOUBLE)
+                          - 15.59) * 1000)::BIGINT AS fk_milli
+            FROM c WHERE n_words > 0
+        """,
         # URL features: same synthesis, same host/path/query regexes,
         # same label/segment splits — every feature an exact integer
         "q_url_features": """

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from simplecrawler_spark.functions.text import _bigrams_expr, tokens_expr
 
 __all__ = ["unigram_logprob", "bigram_logprob", "quality_buckets",
-           "strip_boilerplate",
+           "readability_scores", "strip_boilerplate",
            "hashed_linear_score",
            "corpus_stats", "corpus_pipeline_flags",
            "gopher_rules", "gopher_repetition", "c4_line_rules",
@@ -481,6 +481,49 @@ def c4_line_rules(docs: DataFrame, text_col: str = "text",
         n_kept.alias("n_kept"), has_brace.alias("has_brace"),
         has_lorem.alias("has_lorem"), keep.alias("keep"),
         F.array_join(kept, "\n").alias("text_clean"))
+
+
+def readability_scores(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Flesch–Kincaid readability — the classic signal educational-
+    value filters (FineWeb-edu style) combine with classifier scores:
+
+        grade = 0.39·(words/sentences) + 11.8·(syllables/words) − 15.59
+
+    Counting is EXACT integers in both engines: sentences = non-empty
+    [.!?]-delimited segments (min 1), syllables = vowel-group runs
+    ([aeiouy]+) per token with a 1-per-word floor (the standard
+    heuristic — no dictionary). The grade itself is the one float:
+    computed with a pinned expression shape and reported milli-scaled
+    (floor(grade·1000)) so the oracle comparison stays integral.
+
+    Returns (id_col, n_words, n_sentences, n_syllables, fk_milli).
+    One narrow projection — per-row HOFs, no shuffle, no Python."""
+    text = F.col(text_col)
+    words = F.filter(F.split(text, r"\s+"), lambda w: w != F.lit(""))
+    n_words = F.size(words).cast("long")
+    sents = F.filter(F.transform(F.split(text, "[.!?]+"),
+                                 lambda s: F.trim(s)),
+                     lambda s: s != F.lit(""))
+    n_sents = F.greatest(F.size(sents), F.lit(1)).cast("long")
+    syll = F.aggregate(
+        words, F.lit(0).cast("long"),
+        lambda acc, w: acc + F.greatest(
+            F.size(F.split(F.lower(w), "[aeiouy]+")) - 1, F.lit(1))
+        .cast("long"))
+    # pinned shape: 0.39*(w/s) + 11.8*(y/w) - 15.59, all doubles,
+    # identical parenthesisation in the oracle
+    grade = (F.lit(0.39) * (n_words.cast("double")
+                            / n_sents.cast("double"))
+             + F.lit(11.8) * (syll.cast("double")
+                              / n_words.cast("double"))
+             - F.lit(15.59))
+    return docs.select(
+        F.col(id_col), n_words.alias("n_words"),
+        n_sents.alias("n_sentences"), syll.alias("n_syllables"),
+        F.when(n_words > 0,
+               F.floor(grade * F.lit(1000)).cast("long"))
+        .otherwise(F.lit(None).cast("long")).alias("fk_milli"))
 
 
 def corpus_stats(docs: DataFrame, group_col: str = "source",

@@ -1365,3 +1365,42 @@ def test_ngram_containment_quote_case(spark):
     assert got[(1, 3)].containment_a_ppm == 0
     r4 = got[(1, 4)]                          # 'ab' → no 3-shingles
     assert r4.n_b == 0 and r4.containment_b_ppm == 0
+
+
+def test_readability_hand_values(spark):
+    """Hand-checkable counts: 'The cat sat. It ran away!' → 6 words,
+    2 sentences, syllables the(1)+cat(1)+sat(1)+it(1)+ran(1)+
+    away(2, a-wa-y → vowel groups 'a','a','y'... = 3? no: a|w|ay →
+    groups 'a','ay' = 2... plus trailing y counts in [aeiouy]) — the
+    assertion below is computed with the same heuristic, not a
+    dictionary. Empty doc reports NULL grade."""
+    from simplecrawler_spark.operators.quality import (
+        readability_scores,
+    )
+
+    rows = [(0, "The cat sat. It ran away!"),
+            (1, ""),
+            (2, "No terminal punctuation here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in readability_scores(df).collect()}
+    r = got[0]
+    assert r.n_words == 6 and r.n_sentences == 2
+    # heuristic syllables: the=1 cat=1 sat=1 it=1 ran=1 "away!"=2
+    # (a, ay — trailing '!' breaks nothing, 'y' folds into 'ay')
+    assert r.n_syllables == 7
+    grade = 0.39 * (6 / 2) + 11.8 * (7 / 6) - 15.59
+    import math
+    assert r.fk_milli == math.floor(grade * 1000)
+    assert got[1].n_words == 0 and got[1].fk_milli is None
+    assert got[2].n_sentences == 1   # min-1 floor without punctuation
+
+
+def test_readability_plan_is_narrow(spark):
+    from simplecrawler_spark.operators.quality import (
+        readability_scores,
+    )
+
+    df = spark.createDataFrame([(0, "a b.")], "doc_id long, text string")
+    plan = (readability_scores(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "Python" not in plan
