@@ -1496,6 +1496,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                          flags["noindex"].alias("noindex"),
                          flags["nofollow"].alias("nofollow"))
 
+    def q_diversity(spark, sf):
+        """Source-mixture diversity (operators/quality.py
+        source_diversity): Shannon entropy of the source distribution
+        with one floor-scaled ln per source, long sums, integer DIV —
+        h_scaled exactly reproducible; effective source count is the
+        one pinned-shape float, milli-floored."""
+        from simplecrawler_spark.operators.quality import (
+            source_diversity,
+        )
+
+        return source_diversity(_t(spark, sf, "documents"))
+
     def q_readability(spark, sf):
         """Flesch–Kincaid readability (operators/quality.py
         readability_scores): sentence/word/syllable counts are exact
@@ -1925,6 +1937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_temperature": q_temperature,
         "q_corpus_stats": q_corpus_stats,
         "q_meta_robots": q_meta_robots,
+        "q_diversity": q_diversity,
         "q_readability": q_readability,
         "q_url_features": q_url_features,
         "q_rel_canonical": q_rel_canonical,
@@ -4065,6 +4078,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         # budget apportionment: same int64 div/mod quotas, same
         # largest-remainder rank and tie-break
+        # diversity: same per-source ln floor-scale, long sums, DIV;
+        # exp is the one pinned-shape float
+        "q_diversity": """
+            WITH c AS (
+              SELECT source, count(*)::BIGINT AS n
+              FROM documents GROUP BY source
+            ), a AS (
+              SELECT count(*)::BIGINT AS n_sources,
+                     sum(n)::BIGINT AS n_docs,
+                     sum(n * floor(ln(n::DOUBLE)
+                                   * 1000000000)::BIGINT)::BIGINT
+                       AS s
+              FROM c
+            )
+            SELECT n_sources, n_docs,
+                   (floor(ln(n_docs::DOUBLE)
+                          * 1000000000)::BIGINT
+                    - (s // n_docs))::BIGINT AS h_scaled,
+                   floor(exp((floor(ln(n_docs::DOUBLE)
+                                    * 1000000000)::BIGINT
+                              - (s // n_docs))::DOUBLE
+                             / 1000000000.0) * 1000)::BIGINT
+                     AS effective_milli
+            FROM a
+        """,
         # readability: same integer sentence/word/vowel-group counts,
         # same pinned float shape milli-floored
         "q_readability": """

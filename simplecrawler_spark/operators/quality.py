@@ -34,7 +34,8 @@ from pyspark.sql import functions as F
 from simplecrawler_spark.functions.text import _bigrams_expr, tokens_expr
 
 __all__ = ["unigram_logprob", "bigram_logprob", "quality_buckets",
-           "readability_scores", "strip_boilerplate",
+           "readability_scores", "source_diversity",
+           "strip_boilerplate",
            "hashed_linear_score",
            "corpus_stats", "corpus_pipeline_flags",
            "gopher_rules", "gopher_repetition", "c4_line_rules",
@@ -569,6 +570,46 @@ def corpus_stats(docs: DataFrame, group_col: str = "source",
                  F.countDistinct("_fp").alias("n_unique"),
                  F.sum("_is_lang").alias("n_lang"),
                  F.sum("_is_q").alias("n_quality")))
+
+
+def source_diversity(docs: DataFrame, source_col: str = "source",
+                     ln_scale: int = 10 ** 9) -> DataFrame:
+    """Corpus-level mixture diversity — the dataset-card number next
+    to corpus_stats' per-source rows: Shannon entropy of the source
+    distribution and its exponential, the EFFECTIVE number of
+    sources (a corpus 99% one domain has many sources but effective
+    ≈ 1; mixture planning optimises this, temperature_weights moves
+    it).
+
+        H = ln N − (Σ n_s·ln n_s)/N        (nats)
+        effective = exp(H)
+
+    unigram_logprob discipline: one ln per source floor-scaled to
+    int64, the Σ runs in long arithmetic, the division is integer
+    DIV — H_scaled is exactly reproducible; exp is the one pinned-
+    shape float, milli-floored. Returns one row
+    (n_sources, n_docs, h_scaled, effective_milli).
+
+    Scale shape: one combinable count per source, one tiny agg over
+    source rows — free at any corpus size."""
+    counts = (docs.groupBy(source_col)
+              .agg(F.count("*").cast("long").alias("n")))
+    term = (F.col("n")
+            * F.floor(F.log(F.col("n").cast("double"))
+                      * F.lit(ln_scale)).cast("long"))
+    agg = counts.agg(
+        F.count("*").cast("long").alias("n_sources"),
+        F.sum("n").cast("long").alias("n_docs"),
+        F.sum(term).cast("long").alias("_s"))
+    h = (F.floor(F.log(F.col("n_docs").cast("double"))
+                 * F.lit(ln_scale)).cast("long")
+         - F.expr("CAST(_s DIV n_docs AS BIGINT)"))
+    return agg.select(
+        "n_sources", "n_docs", h.alias("h_scaled")).withColumn(
+        "effective_milli",
+        F.floor(F.exp(F.col("h_scaled").cast("double")
+                      / F.lit(float(ln_scale))) * F.lit(1000))
+        .cast("long"))
 
 
 def hashed_linear_score(docs: DataFrame, weights: DataFrame,

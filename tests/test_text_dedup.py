@@ -1404,3 +1404,29 @@ def test_readability_plan_is_narrow(spark):
     plan = (readability_scores(df)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_source_diversity_uniform_and_skewed(spark):
+    """Uniform 4-source corpus → effective ≈ 4.000; heavily skewed
+    corpus → effective far below the source count; single source →
+    entropy exactly 0, effective exactly 1.000."""
+    from simplecrawler_spark.operators.quality import source_diversity
+
+    uniform = spark.createDataFrame(
+        [(i, f"s{i % 4}") for i in range(400)],
+        "doc_id long, source string")
+    r = source_diversity(uniform).collect()[0]
+    assert r.n_sources == 4 and r.n_docs == 400
+    assert abs(r.effective_milli - 4000) <= 1   # ln floor-scale slack
+
+    skew = spark.createDataFrame(
+        [(i, "big" if i < 396 else f"tiny{i}") for i in range(400)],
+        "doc_id long, source string")
+    r2 = source_diversity(skew).collect()[0]
+    assert r2.n_sources == 5
+    assert r2.effective_milli < 1200            # ≈1 effective source
+
+    one = spark.createDataFrame([(0, "only"), (1, "only")],
+                                "doc_id long, source string")
+    r3 = source_diversity(one).collect()[0]
+    assert r3.h_scaled == 0 and r3.effective_milli == 1000
