@@ -173,6 +173,7 @@ def pipeline_benches(spark, sf_dir: str) -> dict[str, float]:
         t0 = time.monotonic()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.monotonic() - t0, 3)
+    timings["curation_pipeline"] = curation_pipeline_bench(spark, sf_dir)
     timings["substring_rolling"] = substring_rolling_bench(spark, sf_dir)
     timings["warc_wet_pipeline"] = warc_wet_bench(spark, sf_dir)
     timings["bpe_train_encode"] = bpe_bench(spark, sf_dir)
@@ -182,6 +183,32 @@ def pipeline_benches(spark, sf_dir: str) -> dict[str, float]:
     timings.update(expiry_bench(spark))
     timings["lsh_pairs_capped"] = lsh_capped_bench(spark)
     return timings
+
+
+def curation_pipeline_bench(spark, sf_dir: str) -> float:
+    """The full FineWeb-style curation chain as ONE composition:
+    per-stage ablation flags (lang/quality/Gopher/C4/exact-dup) →
+    keep filter → MinHash-LSH near-dup pairs over the survivors →
+    token-budget shard packing of the survivors. The end-to-end
+    number the per-operator entries compose into."""
+    from pyspark.sql import functions as F
+
+    from simplecrawler_spark.operators import dedup as D
+    from simplecrawler_spark.operators.packing import pack_sequences
+    from simplecrawler_spark.operators.quality import (
+        corpus_pipeline_flags,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    t0 = time.monotonic()
+    flags = corpus_pipeline_flags(docs)
+    kept = docs.join(flags.where(F.col("keep")).select("doc_id"),
+                     "doc_id")
+    (D.minhash_lsh_pairs(kept)
+     .write.format("noop").mode("overwrite").save())
+    (pack_sequences(kept)
+     .write.format("noop").mode("overwrite").save())
+    return round(time.monotonic() - t0, 3)
 
 
 def warc_wet_bench(spark, sf_dir: str) -> float:
@@ -488,6 +515,113 @@ def _stage_task_counts(event_dir: str) -> list[dict]:
                     "ms": (comp - sub) if sub and comp else None,
                 })
     return sorted(rows, key=lambda r: r["stage"])
+
+
+def run_textscale():
+    """Corpus-scale text bench (opt-in: bench.py --textscale).
+
+    The per-round text entries run at sf0.1's 5,000 documents; this
+    mode drives the curation chain at ≥1M documents
+    (SPARK_GRAFT_DOCS, default 1M): the sf0.1 corpus fanned out with
+    per-copy variant suffixes, every 10th copy repeating its base
+    text verbatim so exact-dup groups exist at scale by construction.
+
+    Phases (timed separately, one JSON line):
+      gen      synthesise + stage to parquet ON DISK (real scan)
+      flags    corpus_pipeline_flags over the full corpus — the
+               five-stage ablation table + keep filter
+      dedup    exact_dedup group/dup counts over the survivors
+      minhash  MinHash-LSH banded candidate pairs over the survivors
+    The claim under test: the curation chain's throughput holds at
+    200× the per-round corpus with no plan change — same operators,
+    same one-pass flags, same banded blocking."""
+    import shutil
+
+    n_docs = int(os.environ.get("SPARK_GRAFT_DOCS", "1000000"))
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    corpus_dir = os.environ.get("SPARK_GRAFT_TEXT_DIR",
+                                "/tmp/textscale-corpus")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    probe_pre = cpu_capacity_probe(8)
+    spark = build_spark(cpus)
+
+    from pyspark.sql import functions as F
+
+    from simplecrawler_spark.operators import dedup as D
+    from simplecrawler_spark.operators.quality import (
+        corpus_pipeline_flags,
+    )
+
+    base = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n_base = base.count()
+    fan = max(1, n_docs // n_base)
+    phases: dict[str, float] = {}
+
+    t0 = time.monotonic()
+    copies = spark.range(fan).select(F.col("id").alias("copy"))
+    # sentence-wrapped multi-line bodies (q_pipeline's shape) so the
+    # Gopher/C4 stages are actually exercised — raw single-line rows
+    # would fail C4's 3-kept-lines floor corpus-wide; every 10th copy
+    # is its base's text VERBATIM so exact-dup groups exist at scale
+    variant = F.when(F.col("copy") % 10 == 0, F.lit("")).otherwise(
+        F.concat(F.lit(" variant "), F.col("copy").cast("string")))
+    body = F.concat(
+        F.lit("This sentence about "), F.col("source"),
+        F.lit(" has plenty of words.\n"), F.col("text"), variant,
+        F.lit(".\nHere is another complete sentence with "
+              "enough words."))
+    corpus = (base.crossJoin(copies)
+              .select(
+                  (F.col("doc_id") * fan + F.col("copy"))
+                  .alias("doc_id"),
+                  "source", body.alias("text")))
+    n_parts = spark.sparkContext.defaultParallelism
+    shutil.rmtree(corpus_dir, ignore_errors=True)
+    corpus.repartition(n_parts).write.mode("overwrite").parquet(
+        corpus_dir)
+    phases["gen"] = round(time.monotonic() - t0, 3)
+
+    corpus = spark.read.parquet(corpus_dir)
+    n_total = corpus.count()
+
+    # the flags phase ends with the survivor set MATERIALISED at full
+    # parallelism: AQE coalesces the tiny keep-join shuffle to one
+    # partition, and the expensive per-row shingle work downstream
+    # must not inherit that
+    t0 = time.monotonic()
+    flags = corpus_pipeline_flags(corpus)
+    kept = (corpus.join(flags.where(F.col("keep")).select("doc_id"),
+                        "doc_id")
+            .repartition(n_parts).persist())
+    n_keep = kept.count()
+    phases["flags"] = round(time.monotonic() - t0, 3)
+
+    # exact dedup over the FULL corpus (the keep filter's canonical
+    # stage already collapsed duplicate groups among survivors)
+    t0 = time.monotonic()
+    groups = D.exact_dedup(corpus).count()
+    phases["dedup"] = round(time.monotonic() - t0, 3)
+
+    # near-dup over survivors: every base doc has ~fan near-dup
+    # variants, so buckets are deep by construction — max_bucket=32
+    # exercises the star-cap guard (pairs linear per bucket, the
+    # documented boilerplate-corpus behaviour) instead of quadratic
+    # all-pairs inside every bucket
+    t0 = time.monotonic()
+    n_pairs = D.minhash_lsh_pairs(kept, max_bucket=32).count()
+    phases["minhash"] = round(time.monotonic() - t0, 3)
+    kept.unpersist()
+
+    probe_post = cpu_capacity_probe(8)
+    wall = sum(v for k, v in phases.items() if k != "gen")
+    print(json.dumps({
+        "docs": n_total, "kept": n_keep, "dedup_groups": groups,
+        "lsh_pairs": n_pairs, "phases": phases,
+        "curation_wall_sec": round(wall, 3),
+        "docs_per_sec": round(n_total / max(wall, 1e-9)),
+        "probe_pre": probe_pre, "probe_post": probe_post,
+    }))
+    spark.stop()
 
 
 def run_imagescale():
@@ -866,5 +1000,7 @@ if __name__ == "__main__":
         run_crawl_only()
     elif "--imagescale" in sys.argv:
         run_imagescale()
+    elif "--textscale" in sys.argv:
+        run_textscale()
     else:
         run_default()

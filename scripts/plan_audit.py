@@ -431,6 +431,20 @@ def main():
                         or n_ops(plan, "BroadcastNestedLoopJoin") >= 1),
                    ""))
 
+    # 14i. readability: per-row HOF gate at scan grain
+    plan = formatted(qs["q_readability"](spark, SF_DIR))
+    sections.append(("q_readability", plan))
+    checks.append(("readability no Exchange and no Python",
+                   n_ops(plan, "Exchange") == 0
+                   and n_python(plan) == 0, ""))
+
+    # 14h. source diversity: two tiny combinable aggs, no Python
+    plan = formatted(qs["q_diversity"](spark, SF_DIR))
+    sections.append(("q_diversity", plan))
+    checks.append(("source diversity partial aggs, no Python",
+                   "partial" in plan.lower()
+                   and n_python(plan) == 0, ""))
+
     # 14j. byte-mode WARC: exactly ONE Python stage — the
     # record-boundary reader itself; everything downstream is JVM
     plan = formatted(qs["q_warc_bytes"](spark, SF_DIR))
