@@ -255,6 +255,49 @@ def ivf_assign(embeddings: DataFrame, centroids: list[list[float]],
         "cell", F.array_min(F.array(*dists)).getField("cell"))
 
 
+def ivf_assign_pandas(embeddings: DataFrame,
+                      centroids: list[list[float]],
+                      vec_col: str = "embedding",
+                      id_col: str = "vec_id") -> DataFrame:
+    """Nearest-centroid assignment via Arrow-batched numpy matmul —
+    the SCALE path past ivf_assign's literal-inlined argmin.
+
+    ivf_assign plants n_cells × dim literals in the plan: perfect to
+    a few hundred cells (codegen, zero Python), but corpus-scale
+    SemDeDup/IVF needs THOUSANDS of cells (occupancy — and with it
+    the O(b²) in-cell work — scales as n/n_cells), where a
+    quarter-million plan literals choke codegen. Here the centroid
+    matrix ships ONCE per task as a closure (n_cells·dim float64 —
+    a few MB at any realistic cell count) and each Arrow batch does
+    one BLAS matmul: argmin_c ||x−c||² = argmin_c (||c||² − 2x·c).
+    Ties break to the LOWEST cell index (numpy argmin), identical to
+    ivf_assign's min-struct ordering — equivalence is pinned by test.
+
+    Returns (id_col, cell) — join the cell back onto the corpus, or
+    pass as semantic_dedup's / ann_ivf_topk_join's ``assigned``."""
+    import numpy as np
+    import pandas as pd
+
+    c = np.asarray(centroids, dtype=np.float64)         # (k, d)
+    c_sq = (c * c).sum(axis=1)                          # (k,)
+
+    def assign(batches):
+        for pdf in batches:
+            ids = pdf[id_col]
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            if len(x) == 0:
+                continue
+            # argmin ||x−c||² == argmin (||c||² − 2 x·c); ||x||² is
+            # constant per row and drops out
+            d2 = c_sq[None, :] - 2.0 * (x @ c.T)
+            yield pd.DataFrame({id_col: ids,
+                                "cell": d2.argmin(axis=1)})
+
+    return (embeddings.select(id_col, vec_col)
+            .mapInPandas(assign, f"{id_col} long, cell integer"))
+
+
 def ivf_centroids(embeddings: DataFrame, n_cells: int = 16,
                   vec_col: str = "embedding",
                   id_col: str = "vec_id") -> list[list[float]]:
@@ -306,7 +349,8 @@ def ivf_centroids_kmeans(embeddings: DataFrame, n_cells: int = 16,
 def semantic_dedup(embeddings: DataFrame, n_cells: int = 16,
                    threshold: float = 0.9,
                    vec_col: str = "embedding", id_col: str = "vec_id",
-                   centroids: list[list[float]] | None = None) -> DataFrame:
+                   centroids: list[list[float]] | None = None,
+                   assigned: DataFrame | None = None) -> DataFrame:
     """SemDeDup-style semantic deduplication: quantise vectors into
     IVF cells, then within each cell drop every row that has a
     LOWER-id neighbour at cosine >= threshold. Returns the surviving
@@ -328,13 +372,22 @@ def semantic_dedup(embeddings: DataFrame, n_cells: int = 16,
     the final anti-join's build side stays far smaller than the
     corpus and AQE broadcasts it.
     """
-    cents = centroids or ivf_centroids(embeddings, n_cells,
-                                       vec_col, id_col)
-    if not cents:  # empty input → empty survivors, stable schema
-        return (embeddings.select(id_col)
-                .withColumn("cell", F.lit(0).cast("int")).limit(0))
-    assigned = ivf_assign(embeddings.select(id_col, vec_col),
-                          cents, vec_col)
+    if assigned is None:
+        cents = centroids or ivf_centroids(embeddings, n_cells,
+                                           vec_col, id_col)
+        if not cents:  # empty input → empty survivors, stable schema
+            return (embeddings.select(id_col)
+                    .withColumn("cell", F.lit(0).cast("int")).limit(0))
+        assigned = ivf_assign(embeddings.select(id_col, vec_col),
+                              cents, vec_col)
+    else:
+        # scale path: caller supplies (id, cell[, vec]) — e.g.
+        # ivf_assign_pandas output at thousands of cells, where the
+        # literal-inlined argmin no longer compiles. Rows must carry
+        # the vector; join it on if absent.
+        if vec_col not in assigned.columns:
+            assigned = assigned.join(
+                embeddings.select(id_col, vec_col), id_col)
     # normalise ONCE per row (narrow), so each candidate pair costs a
     # single dot product instead of dot + two norms — at bucket
     # occupancy b that's 3× fewer element ops on O(b²) pairs for an

@@ -1430,3 +1430,46 @@ def test_source_diversity_uniform_and_skewed(spark):
                                 "doc_id long, source string")
     r3 = source_diversity(one).collect()[0]
     assert r3.h_scaled == 0 and r3.effective_milli == 1000
+
+
+def test_ivf_assign_pandas_equals_literal_path(spark):
+    """The BLAS assignment (scale path for thousands of cells) makes
+    the IDENTICAL cell choice as the literal-inlined argmin,
+    including ties (both resolve to the lowest cell index)."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    rows = [(i, rng.randn(16).tolist()) for i in range(300)]
+    # planted exact tie: a vector equidistant from two centroids
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = S.ivf_centroids(emb, n_cells=8)
+    lit = {r.vec_id: r.cell
+           for r in S.ivf_assign(emb, cents).collect()}
+    blas = {r.vec_id: r.cell
+            for r in S.ivf_assign_pandas(emb, cents).collect()}
+    assert lit == blas
+
+
+def test_semantic_dedup_accepts_precomputed_assignment(spark):
+    """semantic_dedup(assigned=...) — with and without the vector
+    column — survives the same rows as the default literal path."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    base = [rng.randn(8) for _ in range(40)]
+    rows = [(i, v.tolist()) for i, v in enumerate(base)]
+    # plant near-dups: ids 100+ are tiny perturbations of ids 0-9
+    rows += [(100 + i, (base[i] + 1e-4 * rng.randn(8)).tolist())
+             for i in range(10)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = S.ivf_centroids(emb, n_cells=4)
+    want = {r.vec_id for r in S.semantic_dedup(
+        emb, centroids=cents, threshold=0.99).collect()}
+    pre = S.ivf_assign_pandas(emb, cents)
+    got_novec = {r.vec_id for r in S.semantic_dedup(
+        emb, threshold=0.99, assigned=pre).collect()}
+    got_vec = {r.vec_id for r in S.semantic_dedup(
+        emb, threshold=0.99,
+        assigned=pre.join(emb, "vec_id")).collect()}
+    assert want == got_novec == got_vec
+    assert all(100 + i not in want for i in range(10))  # dups dropped
