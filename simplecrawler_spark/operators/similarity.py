@@ -352,7 +352,8 @@ def semantic_dedup(embeddings: DataFrame, n_cells: int = 16,
                    threshold: float = 0.9,
                    vec_col: str = "embedding", id_col: str = "vec_id",
                    centroids: list[list[float]] | None = None,
-                   assigned: DataFrame | None = None) -> DataFrame:
+                   assigned: DataFrame | None = None,
+                   max_cell: int | None = None) -> DataFrame:
     """SemDeDup-style semantic deduplication: quantise vectors into
     IVF cells, then within each cell drop every row that has a
     LOWER-id neighbour at cosine >= threshold. Returns the surviving
@@ -401,16 +402,52 @@ def semantic_dedup(embeddings: DataFrame, n_cells: int = 16,
                                    lambda x: x / nm))
         .otherwise(F.transform(_dbl(F.col(vec_col)),
                                lambda x: x * 0.0)).alias("_vn"))
-    a = unit.select(F.col(id_col).alias("id_a"),
-                    F.col("_vn").alias("va"), "cell")
-    b = unit.select(F.col(id_col).alias("id_b"),
-                    F.col("_vn").alias("vb"), "cell")
-    dropped = (
-        a.join(b, "cell")
-        .where(F.col("id_a") < F.col("id_b"))
-        .where(_dot(F.col("va"), F.col("vb")) >= F.lit(threshold))
-        .select(F.col("id_b").alias(id_col))
-        .distinct())
+    if max_cell is not None:
+        # hot-cell guard (EMBSCALE.md: sampled centroids measured a
+        # 40× max/median occupancy skew, and in-cell work is
+        # QUADRATIC in occupancy — the hottest cell carried ~1600×
+        # the median's pairs). Same star discipline as the dedup
+        # kernel: members of over-full cells compare only against the
+        # cell's lowest-id representative. CONSERVATIVE by
+        # construction — it can only miss drops, never drop a
+        # non-duplicate — and opt-in, because exact SemDeDup
+        # semantics (the oracle's) is the default; prefer k-means
+        # centroids first, the guard is the backstop for residual
+        # skew.
+        from simplecrawler_spark.operators.dedup import (
+            bucket_cap_split,
+        )
+        small, capped, reps = bucket_cap_split(
+            unit, ["cell"], id_col, max_cell, star_reps=1,
+            payload_cols=("_vn",))
+        a = small.select(F.col(id_col).alias("id_a"),
+                         F.col("_vn").alias("va"), "cell")
+        b = small.select(F.col(id_col).alias("id_b"),
+                         F.col("_vn").alias("vb"), "cell")
+        full = (a.join(b, "cell")
+                .where(F.col("id_a") < F.col("id_b"))
+                .where(_dot(F.col("va"), F.col("vb"))
+                       >= F.lit(threshold))
+                .select(F.col("id_b").alias(id_col)))
+        star = (capped.join(
+            reps.select("cell", F.col(id_col).alias("_rep"),
+                        F.col("_vn").alias("vr")), "cell")
+            .where(F.col("_rep") < F.col(id_col))
+            .where(_dot(F.col("_vn"), F.col("vr"))
+                   >= F.lit(threshold))
+            .select(id_col))
+        dropped = full.unionByName(star).distinct()
+    else:
+        a = unit.select(F.col(id_col).alias("id_a"),
+                        F.col("_vn").alias("va"), "cell")
+        b = unit.select(F.col(id_col).alias("id_b"),
+                        F.col("_vn").alias("vb"), "cell")
+        dropped = (
+            a.join(b, "cell")
+            .where(F.col("id_a") < F.col("id_b"))
+            .where(_dot(F.col("va"), F.col("vb")) >= F.lit(threshold))
+            .select(F.col("id_b").alias(id_col))
+            .distinct())
     return (assigned.join(dropped, id_col, "left_anti")
             .select(id_col, "cell"))
 

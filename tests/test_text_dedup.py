@@ -1473,3 +1473,35 @@ def test_semantic_dedup_accepts_precomputed_assignment(spark):
         assigned=pre.join(emb, "vec_id")).collect()}
     assert want == got_novec == got_vec
     assert all(100 + i not in want for i in range(10))  # dups dropped
+
+
+def test_semantic_dedup_max_cell_guard(spark):
+    """Hot-cell star cap: with max_cell high the capped path equals
+    the exact path; 10k identical vectors in ONE cell linearise to a
+    star (all but the representative dropped) instead of an O(n²)
+    self-join — and the guard only ever KEEPS more, never drops a
+    non-duplicate."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    base = [(i, rng.randn(8).tolist()) for i in range(60)]
+    emb = spark.createDataFrame(base, "vec_id long, embedding array<double>")
+    cents = S.ivf_centroids(emb, n_cells=4)
+    exact = {r.vec_id for r in S.semantic_dedup(
+        emb, centroids=cents, threshold=0.95).collect()}
+    capped_hi = {r.vec_id for r in S.semantic_dedup(
+        emb, centroids=cents, threshold=0.95,
+        max_cell=1024).collect()}
+    assert exact == capped_hi
+
+    one = [1.0, 0.0, 0.5, 0.25]
+    clones = [(i, one) for i in range(10_000)]
+    clones.append((50_000, [-1.0, 0.2, -0.5, 0.9]))
+    big = spark.createDataFrame(clones, "vec_id long, embedding array<double>")
+    cents2 = S.ivf_centroids(big, n_cells=2)
+    surv = {r.vec_id for r in S.semantic_dedup(
+        big, centroids=cents2, threshold=0.99,
+        max_cell=64).collect()}
+    # the star drops every clone except the representative (id 0);
+    # the distinct vector survives
+    assert surv == {0, 50_000}
