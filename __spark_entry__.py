@@ -2054,7 +2054,8 @@ def _hits_oracle(n_iter: int = 3, scale: int = 10 ** 12) -> str:
                    AS hub
           FROM verts LEFT JOIN hr{i} USING (v)
         )"""
-    return sql + (f" SELECT h{n_iter}.v, h{n_iter}.hub, a{n_iter}.auth"
+    return sql + (f" SELECT h{n_iter}.v, h{n_iter}.hub::BIGINT AS hub,"
+                  f" a{n_iter}.auth::BIGINT AS auth"
                   f" FROM h{n_iter} JOIN a{n_iter} USING (v)")
 
 
