@@ -624,6 +624,116 @@ def run_textscale():
     spark.stop()
 
 
+def run_embscale():
+    """Embedding-scale bench (opt-in: bench.py --embscale).
+
+    Drives the full corpus-scale SemDeDup recipe at ≥1M × 64-dim
+    vectors and 4096 IVF cells — the regime where the literal-inlined
+    assignment cannot compile and occupancy skew decides the in-cell
+    quadratic cost. Three-stage chain, each phase timed:
+
+      gen      deterministic pseudo-random vectors (xxhash64-derived,
+               pure JVM) staged to parquet on disk
+      sampled  lowest-id centroid pick + BLAS assignment → occupancy
+               skew + candidate-pair count of the UNREFINED quantiser
+      kmeans   Lloyd refinement via the fused BLAS partial-sum engine
+               (ivf_centroids_kmeans assign_mode="pandas")
+      refined  re-assignment on refined centroids → occupancy skew +
+               pair count (the balance the refinement buys)
+      dedup    semantic_dedup(assigned=refined) end-to-end survivors
+
+    The claim under test: refinement collapses the measured ~40×
+    max/median occupancy skew — and with it the (max/median)²
+    hottest-cell pair blowup — so the shipped recipe at 10^9+ vectors
+    is kmeans → ivf_assign_pandas → semantic_dedup(assigned=…)."""
+    import shutil
+
+    n_vecs = int(os.environ.get("SPARK_GRAFT_VECS", "1000000"))
+    dim = int(os.environ.get("SPARK_GRAFT_DIM", "64"))
+    n_cells = int(os.environ.get("SPARK_GRAFT_CELLS", "4096"))
+    n_iters = int(os.environ.get("SPARK_GRAFT_KMEANS_ITERS", "2"))
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    corpus_dir = os.environ.get("SPARK_GRAFT_EMB_DIR",
+                                "/tmp/embscale-corpus")
+    probe_pre = cpu_capacity_probe(8)
+    spark = build_spark(cpus)
+
+    from pyspark.sql import functions as F
+
+    from simplecrawler_spark.operators import similarity as S
+
+    phases: dict[str, float] = {}
+
+    t0 = time.monotonic()
+    # xxhash64-derived uniform doubles in [-1, 1): deterministic,
+    # generated JVM-side, no Python in the gen path
+    cols = [((F.pmod(F.xxhash64(F.col("id"), F.lit(j)), F.lit(100000))
+              .cast("double") / F.lit(50000.0)) - F.lit(1.0))
+            for j in range(dim)]
+    vecs = spark.range(n_vecs).select(
+        F.col("id").alias("vec_id"), F.array(*cols).alias("embedding"))
+    shutil.rmtree(corpus_dir, ignore_errors=True)
+    n_parts = spark.sparkContext.defaultParallelism
+    vecs.repartition(n_parts).write.mode("overwrite").parquet(corpus_dir)
+    phases["gen"] = round(time.monotonic() - t0, 3)
+    emb = spark.read.parquet(corpus_dir)
+
+    def occupancy(assigned):
+        occ = assigned.groupBy("cell").count()
+        st = occ.agg(
+            F.max("count").alias("mx"),
+            F.expr("percentile_approx(count, 0.5)").alias("med"),
+            F.sum(F.col("count") * (F.col("count") - 1) / 2)
+            .alias("pairs"),
+            F.count("*").alias("n_occupied")).first()
+        return (int(st["mx"]), int(st["med"]), int(st["pairs"]),
+                int(st["n_occupied"]))
+
+    t0 = time.monotonic()
+    cents0 = S.ivf_centroids(emb, n_cells=n_cells)
+    a0 = S.ivf_assign_pandas(emb, cents0).persist()
+    mx0, med0, pairs0, occ0 = occupancy(a0)
+    a0.unpersist()
+    phases["sampled_assign"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    cents = S.ivf_centroids_kmeans(
+        emb, n_cells=n_cells, n_iters=n_iters, init=cents0,
+        assign_mode="pandas")
+    phases["kmeans"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    a1 = S.ivf_assign_pandas(emb, cents).persist()
+    mx1, med1, pairs1, occ1 = occupancy(a1)
+    phases["refined_assign"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    survivors = S.semantic_dedup(
+        emb, threshold=0.999, assigned=a1.join(emb, "vec_id")).count()
+    phases["dedup"] = round(time.monotonic() - t0, 3)
+    a1.unpersist()
+
+    probe_post = cpu_capacity_probe(8)
+    spark.stop()
+    wall = sum(v for k, v in phases.items() if k != "gen")
+    print(json.dumps({
+        "mode": "embscale", "n_vecs": n_vecs, "dim": dim,
+        "n_cells": n_cells, "kmeans_iters": n_iters,
+        "phases": phases,
+        "sampled": {"max_occ": mx0, "median_occ": med0,
+                    "pairs": pairs0, "occupied": occ0,
+                    "skew": round(mx0 / max(med0, 1), 1)},
+        "refined": {"max_occ": mx1, "median_occ": med1,
+                    "pairs": pairs1, "occupied": occ1,
+                    "skew": round(mx1 / max(med1, 1), 1)},
+        "pairs_ratio": round(pairs1 / max(pairs0, 1), 3),
+        "dedup_survivors": survivors,
+        "chain_wall_sec": round(wall, 3),
+        "vecs_per_sec": round(n_vecs / max(wall, 1e-9)),
+        "probe_pre": probe_pre, "probe_post": probe_post,
+    }))
+
+
 def run_imagescale():
     """Payload-scale image bench (opt-in: bench.py --imagescale).
 
@@ -1000,6 +1110,8 @@ if __name__ == "__main__":
         run_crawl_only()
     elif "--imagescale" in sys.argv:
         run_imagescale()
+    elif "--embscale" in sys.argv:
+        run_embscale()
     elif "--textscale" in sys.argv:
         run_textscale()
     else:

