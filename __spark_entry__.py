@@ -4089,18 +4089,18 @@ def oracle_sql() -> dict[str, str]:
               SELECT count(*)::BIGINT AS n_sources,
                      sum(n)::BIGINT AS n_docs,
                      sum(n * floor(ln(n::DOUBLE)
-                                   * 1000000000)::BIGINT)::BIGINT
+                                   * 1000000)::BIGINT)::BIGINT
                        AS s
               FROM c
             )
             SELECT n_sources, n_docs,
                    (floor(ln(n_docs::DOUBLE)
-                          * 1000000000)::BIGINT
+                          * 1000000)::BIGINT
                     - (s // n_docs))::BIGINT AS h_scaled,
                    floor(exp((floor(ln(n_docs::DOUBLE)
-                                    * 1000000000)::BIGINT
+                                    * 1000000)::BIGINT
                               - (s // n_docs))::DOUBLE
-                             / 1000000000.0) * 1000)::BIGINT
+                             / 1000000.0) * 1000)::BIGINT
                      AS effective_milli
             FROM a
         """,

@@ -62,8 +62,18 @@ class CrawlConfig:
     # Every deferred row is eventually scheduled, so the visited SET
     # never changes with the source. Deferred rows keep the priority
     # computed at discovery time.
+    #   "rank" — the source-agnostic form of "pagerank": reads the
+    #     parquet at `rank_table_path` and orders by -`rank_column`,
+    #     so ANY precomputed (v, score) table drives scheduling —
+    #     e.g. hits()'s (v, hub, auth) with rank_column="auth"
+    #     (authorities first) or "hub" (link-list pages first), a
+    #     prior crawl's pagerank, or an external quality score.
+    #     Same join shape and unranked-scores-0 semantics as
+    #     "pagerank", which remains the (v, rank)-shaped alias.
     priority_source: str = "indegree"
     pagerank_path: str | None = None
+    rank_table_path: str | None = None
+    rank_column: str = "rank"
     # global per-round fetch cap (resource-bounded rounds): after the
     # per-host window, at most this many urls are scheduled per round
     # (cheapest priority first, distributed TakeOrdered); the rest are

@@ -205,9 +205,16 @@ def temperature_weights(docs: DataFrame, tau: float = 0.7,
                       F.lit(float(tau))) * F.lit(scale)).cast("long")
     ws = counts.withColumn("w_scaled", w)
     tot = ws.agg(F.sum("w_scaled").alias("_wsum"))
+    # the ppm multiply widens through DECIMAL(38,0): in int64,
+    # w_scaled·1e6 overflows once a source passes ~9.2e6 docs at
+    # tau=1 (w_scaled = n_docs·scale) — the decimal product is exact
+    # at any corpus size and the DIV result is back in int64 range
+    # by construction (p_ppm ≤ 1e6). DuckDB's twin needs no cast:
+    # its int multiply already promotes to HUGEINT.
     return (ws.crossJoin(F.broadcast(tot))
             .select(source_col, "n_docs", "w_scaled",
-                    F.expr("CAST((w_scaled * 1000000) DIV _wsum"
+                    F.expr("CAST((CAST(w_scaled AS DECIMAL(38,0))"
+                           " * 1000000) DIV _wsum"
                            " AS BIGINT)").alias("p_ppm")))
 
 

@@ -573,7 +573,7 @@ def corpus_stats(docs: DataFrame, group_col: str = "source",
 
 
 def source_diversity(docs: DataFrame, source_col: str = "source",
-                     ln_scale: int = 10 ** 9) -> DataFrame:
+                     ln_scale: int = 10 ** 6) -> DataFrame:
     """Corpus-level mixture diversity — the dataset-card number next
     to corpus_stats' per-source rows: Shannon entropy of the source
     distribution and its exponential, the EFFECTIVE number of
@@ -591,7 +591,13 @@ def source_diversity(docs: DataFrame, source_col: str = "source",
     (n_sources, n_docs, h_scaled, effective_milli).
 
     Scale shape: one combinable count per source, one tiny agg over
-    source rows — free at any corpus size."""
+    source rows. int64 bound: the per-source term is
+    n·floor(ln(n)·ln_scale), so the default ln_scale=1e6 is exact up
+    to ~3×10^11 docs in a SINGLE source (n·ln(n) ≤ 9.2e12) — beyond
+    the 1e9–1e10-doc corpus target with two orders of margin. Raising
+    ln_scale back to 1e9 tightens entropy resolution but overflows
+    once one source exceeds ~4×10^8 docs; effective_milli keeps
+    milli precision at any scale ≥ ~1e4."""
     counts = (docs.groupBy(source_col)
               .agg(F.count("*").cast("long").alias("n")))
     term = (F.col("n")

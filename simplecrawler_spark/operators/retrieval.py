@@ -265,6 +265,12 @@ def ndcg_at_k(ranked: DataFrame, rels: DataFrame, k: int = 10,
     long arithmetic — the rrf_fuse/recall_at_k discipline, so engines
     can't drift on summation order. Unjudged ranked ids contribute 0.
 
+    Like recall_at_k, the output keys off the JUDGMENTS side: a query
+    present in ``ranked`` but absent from ``rels`` has no IDCG (nDCG
+    is undefined) and is dropped from the result — filter such
+    queries upstream, or join the output back to ranked's query set
+    if their absence must be visible.
+
     Scale shape: one (query, id) equi-join of two bounded top-k
     tables, one window over the judgments (per-query, ≤ judged ids),
     two combinable sums on the query grain. No Python, no text."""

@@ -184,6 +184,12 @@ class FrontierCrawler:
             raise ValueError(
                 "priority_source='pagerank' needs cfg.pagerank_path "
                 "(a parquet of (v, rank) — see operators/graph.py)")
+        if self.cfg.priority_source == "rank" \
+                and not self.cfg.rank_table_path:
+            raise ValueError(
+                "priority_source='rank' needs cfg.rank_table_path "
+                "(a parquet with (v, <rank_column>) — e.g. hits()'s "
+                "(v, hub, auth) with rank_column='auth')")
         self._pr_df = None
         # concurrent streaming ingest (round-3 verdict item 4): while a
         # crawl executes, ingest_stream micro-batches stage here as
@@ -784,13 +790,14 @@ class FrontierCrawler:
                 Window.partitionBy("host"))).cast("double")
         elif cfg.priority_source == "depth":
             priority = F.col("depth").cast("double")
-        elif cfg.priority_source == "pagerank":
-            # offline PageRank (operators/graph.py) joined on at
-            # discovery time: one left join per round of the (small,
-            # already-anti-joined) new frontier onto the precomputed
-            # rank table. Unranked urls — pages no prior crawl saw —
-            # score 0, i.e. schedule after every ranked page.
-            ranks = self._pagerank_ranks()
+        elif cfg.priority_source in ("pagerank", "rank"):
+            # offline rank table (operators/graph.py pagerank/hits, or
+            # any (v, score) parquet) joined on at discovery time: one
+            # left join per round of the (small, already-anti-joined)
+            # new frontier onto the precomputed table. Unranked urls —
+            # pages no prior crawl saw — score 0, i.e. schedule after
+            # every ranked page.
+            ranks = self._rank_table()
             new = new.join(ranks, new["url_norm"] == ranks["_pr_v"],
                            "left").drop("_pr_v")
             priority = (-F.coalesce(F.col("_pr_rank"), F.lit(0))
@@ -956,15 +963,22 @@ class FrontierCrawler:
     def results(self) -> DataFrame:
         return self.store.read("results")
 
-    def _pagerank_ranks(self) -> DataFrame:
-        """The precomputed (v, rank) table for priority_source=
-        "pagerank", read once per crawler and column-renamed so the
-        per-round left join never collides with frontier columns."""
+    def _rank_table(self) -> DataFrame:
+        """The precomputed rank table for priority_source "pagerank"
+        ((v, rank) at cfg.pagerank_path) or "rank" ((v, cfg.
+        rank_column) at cfg.rank_table_path — hits()'s auth/hub, a
+        prior pagerank, any offline score), read once per crawler and
+        column-renamed so the per-round left join never collides with
+        frontier columns."""
         if self._pr_df is None:
+            if self.cfg.priority_source == "rank":
+                path, col = self.cfg.rank_table_path, self.cfg.rank_column
+            else:
+                path, col = self.cfg.pagerank_path, "rank"
             self._pr_df = (
-                self.spark.read.parquet(self.cfg.pagerank_path)
+                self.spark.read.parquet(path)
                 .select(F.col("v").cast("string").alias("_pr_v"),
-                        F.col("rank").cast("long").alias("_pr_rank")))
+                        F.col(col).cast("long").alias("_pr_rank")))
         return self._pr_df
 
     def link_edges(self) -> DataFrame:

@@ -181,7 +181,12 @@ def _carve_records(buf: bytes) -> list[tuple]:
         head = buf[pos:end]
         if not head.startswith(b"WARC/"):
             rows.append((None, None, None, None, None))
-            nxt = buf.find(b"WARC/1.0", end)
+            # resync from pos+1, NOT from the blank line at `end`:
+            # garbage with no blank line of its own swallows the next
+            # record's headers into this chunk, so a valid marker can
+            # sit anywhere in (pos, end) and searching from `end`
+            # would silently drop that record
+            nxt = buf.find(b"WARC/1.0", pos + 1)
             if nxt == -1:
                 break
             pos = nxt

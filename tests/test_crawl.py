@@ -848,3 +848,56 @@ def test_million_seed_crawl_no_driver_seed_state(spark, tmp_path):
     assert c._seed_norms == set() and c._done_seeds == set()
     assert c._n_seeds == n and c._n_done_seeds == n
     assert c.results().count() == n
+
+
+def test_hits_authority_priority_schedules_ranked_pages_first(
+        spark, tmp_path):
+    """G6 round-4 verdict item 7: priority_source='rank' feeds ANY
+    precomputed (v, score) table into scheduling — here hits()'s auth
+    column: the 3-in-edge authority fetches in an earlier round than
+    the 1-in-edge page under a 1/host budget; visited set unchanged."""
+    from simplecrawler_spark.operators.graph import hits
+    from simplecrawler_spark.sources.fixtures import (
+        _row, make_html_from_links,
+    )
+
+    seed = "http://h0.test/"
+    hubs = [f"http://h{i}.test/hub" for i in (1, 2, 3)]
+    tgt = "http://tgt.test"
+    rows = [_row(seed, body=make_html_from_links(hubs))]
+    rows.append(_row(hubs[0],
+                     body=make_html_from_links([tgt + "/hot",
+                                                tgt + "/cold"])))
+    for h in hubs[1:]:
+        rows.append(_row(h, body=make_html_from_links([tgt + "/hot"])))
+    rows.append(_row(tgt + "/hot", body=""))
+    rows.append(_row(tgt + "/cold", body=""))
+
+    cfg1 = CrawlConfig(same_authority_only=False, crawl_log=True)
+    c1 = FrontierCrawler(spark, TableFetcher(site_graph_df(spark, rows),
+                                             cfg1), cfg1,
+                         root=str(tmp_path / "pass1"))
+    c1.crawl(seed)
+    rank_path = str(tmp_path / "hits.parquet")
+    h = hits(c1.link_edges(), n_iter=3)
+    h.write.parquet(rank_path)
+    got = {r.v: r.auth for r in h.collect()}
+    assert got[tgt + "/hot"] > got[tgt + "/cold"]
+
+    cfg2 = CrawlConfig(max_per_host_per_round=1, max_rounds=30,
+                       same_authority_only=False,
+                       priority_source="rank",
+                       rank_table_path=rank_path, rank_column="auth")
+    c2 = FrontierCrawler(spark, TableFetcher(site_graph_df(spark, rows),
+                                             cfg2), cfg2,
+                         root=str(tmp_path / "pass2"))
+    c2.crawl(seed)
+    rounds = {r.url_norm: r.round
+              for r in c2.results().select("url_norm", "round").collect()}
+    assert rounds[tgt + "/hot"] < rounds[tgt + "/cold"]
+
+    import pytest
+    with pytest.raises(ValueError, match="rank_table_path"):
+        FrontierCrawler(
+            spark, None, CrawlConfig(priority_source="rank"),
+            root=str(tmp_path / "bad"))

@@ -216,3 +216,26 @@ def test_wat_record_expr(spark):
     assert rec == ('{"url":"http://a/b","status":200,'
                    '"mime":"text/html","n_links":2,'
                    '"links":["http://c/","http://d/"]}')
+
+
+def test_warc_bytes_garbage_without_blank_line_keeps_next_record(spark):
+    """Garbage that never terminates with a blank line swallows the
+    following record's headers into its chunk — the resync must
+    search from just past the garbage start, not from the chunk's
+    first blank line, or that record is lost (round-4 ADVICE)."""
+    from simplecrawler_spark.sources.warc import parse_warc_bytes
+
+    # garbage has NO blank line before the marker; the record's OWN
+    # header/payload separator is the first blank line in the buffer
+    blob = (b"garbage prefix with no blank line\n"
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: http://a/0\r\n"
+            b"Content-Length: 4\r\n\r\ngood\r\n\r\n")
+    arch = spark.createDataFrame([("f", bytearray(blob))],
+                                 "file_id string, content binary")
+    rows = sorted(parse_warc_bytes(arch).collect(),
+                  key=lambda r: r.record_no)
+    assert len(rows) == 2
+    assert rows[0].warc_type is None          # the garbage row
+    assert rows[1].url == "http://a/0"        # the record SURVIVES
+    assert bytes(rows[1].payload) == b"good"
