@@ -306,6 +306,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pairs = D.minhash_lsh_pairs(docs, n_hashes=4, band_rows=2)
         return D.connected_components(pairs)
 
+    def q_neardup_batch(spark, sf):
+        """Batch twin of the INCREMENTAL streaming near-dup dedup
+        (streaming/neardup_stream.py neardup_survivors — round-4
+        verdict item 6): LSH band collisions → connected components →
+        min-id survivor per component; docs colliding with nothing
+        survive as singletons. The streamed path is pinned equal to
+        this twin by tests/test_streaming.py."""
+        from simplecrawler_spark.streaming.neardup_stream import (
+            neardup_survivors,
+        )
+        docs = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
+        return neardup_survivors(docs, n_hashes=4, band_rows=2)
+
     def q_ngram_jaccard(spark, sf):
         docs = _t(spark, sf, "documents")
         pairs = (docs.where(F.col("doc_id") % 10 == 0)
@@ -1873,6 +1886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash": q_minhash,
         "q_lsh_pairs": q_lsh_pairs,
         "q_dedup_components": q_dedup_components,
+        "q_neardup_batch": q_neardup_batch,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_containment": q_containment,
         "q_substring_dedup": q_substring_dedup,
@@ -2282,6 +2296,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT id::BIGINT AS doc_id, min(comp)::BIGINT AS component,
                    (id = min(comp)) AS is_survivor
             FROM reach GROUP BY id
+        """,
+        # neardup batch twin: the components oracle's survivors plus
+        # every non-colliding doc as its own singleton
+        "q_neardup_batch": sig_cte.format(lim=200).replace(
+            "WITH", "WITH RECURSIVE", 1) + """
+            , bands AS (
+              SELECT doc_id, 0 AS band, mh0 || '|' || mh1 AS key FROM sig
+              WHERE mh0 IS NOT NULL
+              UNION ALL
+              SELECT doc_id, 1, mh2 || '|' || mh3 FROM sig
+              WHERE mh0 IS NOT NULL
+            ), e0 AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.key = b.key
+                AND a.doc_id < b.doc_id
+            ), e AS (
+              SELECT id_a AS src, id_b AS dst FROM e0
+              UNION
+              SELECT id_b, id_a FROM e0
+            ), reach(id, comp) AS (
+              SELECT src, src FROM e
+              UNION
+              SELECT e.src, reach.comp
+              FROM e JOIN reach ON e.dst = reach.id
+            ), comp AS (
+              SELECT id, min(comp) AS comp FROM reach GROUP BY id
+            )
+            SELECT t.doc_id::BIGINT AS doc_id
+            FROM t LEFT JOIN comp ON t.doc_id = comp.id
+            WHERE comp.id IS NULL OR t.doc_id = comp.comp
         """,
         "q_ngram_jaccard": f"""
             WITH t AS (

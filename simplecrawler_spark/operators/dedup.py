@@ -785,26 +785,36 @@ def dedup_against(new_docs: DataFrame, reference_docs: DataFrame,
     if method != "minhash":
         raise ValueError(f"unknown method {method!r}")
 
-    def band_keys(docs):
-        assert n_hashes % band_rows == 0
-        sig = minhash_signature(docs, text_col, id_col, n_hashes, k)
-        n_bands = n_hashes // band_rows
-        bands = F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws("|", *[F.col(f"mh{b * band_rows + r}")
-                                   for r in range(band_rows)])
-                .alias("key"))
-            for b in range(n_bands)
-        ])
-        return (sig.where(F.col("mh0").isNotNull())
-                .select(F.col(id_col), F.explode(bands).alias("bk"))
-                .select(id_col, F.col("bk.band").alias("band"),
-                        F.col("bk.key").alias("key")))
-
-    ref_keys = (band_keys(reference_docs)
+    ref_keys = (minhash_band_keys(reference_docs, text_col, id_col,
+                                  n_hashes, band_rows, k)
                 .select("band", "key").distinct())
-    hit_ids = (band_keys(new_docs)
+    hit_ids = (minhash_band_keys(new_docs, text_col, id_col,
+                                 n_hashes, band_rows, k)
                .join(ref_keys, ["band", "key"], "left_semi")
                .select(id_col).distinct())
     return new_docs.join(hit_ids, id_col, "left_anti")
+
+
+def minhash_band_keys(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n_hashes: int = 8,
+                      band_rows: int = 2, k: int = 3) -> DataFrame:
+    """(id, band, key) LSH band-key rows — the shuffle-friendly
+    near-dup blocking currency shared by dedup_against's minhash mode
+    and the incremental streaming path (streaming/neardup_stream.py):
+    two docs are near-dup CANDIDATES iff they share any (band, key).
+    Docs with no shingles (< k tokens) emit no rows."""
+    assert n_hashes % band_rows == 0
+    sig = minhash_signature(docs, text_col, id_col, n_hashes, k)
+    n_bands = n_hashes // band_rows
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws("|", *[F.col(f"mh{b * band_rows + r}")
+                               for r in range(band_rows)])
+            .alias("key"))
+        for b in range(n_bands)
+    ])
+    return (sig.where(F.col("mh0").isNotNull())
+            .select(F.col(id_col), F.explode(bands).alias("bk"))
+            .select(id_col, F.col("bk.band").alias("band"),
+                    F.col("bk.key").alias("key")))

@@ -499,3 +499,80 @@ def test_warc_stream_matches_batch(spark, tmp_path):
                    r.content_length, r.payload)
                   for r in batch.collect()}
     assert stream_rows == batch_rows
+
+
+# ---------------------------------------------------------------------------
+# streaming NEAR-dup dedup (streaming/neardup_stream.py)
+# ---------------------------------------------------------------------------
+
+def _docs_with_neardups(spark, n_base=30):
+    """Base doc i = 20 distinct tokens; docs 100+i and 200+i are
+    near-dup variants (one appended token — 18 of 20 shingles
+    shared, the pinned dedup_against collision shape). Bases never
+    collide with each other."""
+    rows = []
+    for i in range(n_base):
+        base = " ".join(f"w{i}t{j}" for j in range(20))
+        rows.append((i, base, "en", "s0", len(base)))
+        rows.append((100 + i, base + " extra", "en", "s0", len(base)))
+        rows.append((200 + i, base + " more", "en", "s0", len(base)))
+    return spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long")
+
+
+def test_stream_neardup_matches_batch_twin(spark, tmp_path):
+    """Micro-batched incremental LSH == the one-batch twin
+    (components + min-id survivor) when near-dups collide directly
+    with their base doc — id-ordered files, three micro-batches."""
+    from simplecrawler_spark.streaming.neardup_stream import (
+        neardup_survivors, stream_neardup,
+    )
+
+    docs = _docs_with_neardups(spark)
+    d = str(tmp_path / "docs")
+    for lo, hi in ((0, 100), (100, 200), (200, 300)):
+        (docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+         .coalesce(1).write.mode("append").parquet(d))
+        time.sleep(1.1)
+
+    snd, writer = stream_neardup(
+        spark, d, str(tmp_path / "store"), str(tmp_path / "ck"))
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination(240)
+
+    got = {r.doc_id for r in snd.survivors().collect()}
+    want = {r.doc_id for r in neardup_survivors(docs).collect()}
+    assert got == want
+    # every base survives; the planted variants overwhelmingly drop
+    assert set(range(30)) <= got
+    assert len(got - set(range(30))) <= 3  # FP slack on banded minhash
+    assert snd._batches >= 3
+
+
+def test_stream_neardup_state_survives_restart(spark, tmp_path):
+    """Band-key state lives in the SnapshotStore: a NEW query over a
+    NEW checkpoint still refuses near-dups of docs survived before
+    the restart."""
+    from simplecrawler_spark.streaming.neardup_stream import (
+        stream_neardup,
+    )
+
+    docs = _docs_with_neardups(spark)
+    root = str(tmp_path / "store")
+    d1 = str(tmp_path / "in1")
+    docs.where(F.col("doc_id") < 100).coalesce(1).write.parquet(d1)
+    snd1, w1 = stream_neardup(spark, d1, root, str(tmp_path / "ck1"))
+    w1.trigger(availableNow=True).start().awaitTermination(120)
+    n1 = snd1.survivors().count()
+    assert n1 == 30  # all bases, no variants yet
+
+    d2 = str(tmp_path / "in2")
+    docs.where(F.col("doc_id") >= 100).coalesce(1).write.parquet(d2)
+    snd2, w2 = stream_neardup(spark, d2, root, str(tmp_path / "ck2"))
+    w2.trigger(availableNow=True).start().awaitTermination(120)
+    surv = snd2.survivors()
+    # variants of pre-restart survivors drop (allow banded-minhash
+    # slack); no base is ever displaced
+    assert surv.where(F.col("doc_id") < 100).count() == 30
+    assert surv.where(F.col("doc_id") >= 100).count() <= 3
