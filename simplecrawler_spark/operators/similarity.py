@@ -983,3 +983,72 @@ def pq_adc_topk(embeddings: DataFrame, query: list[float],
         F.round(cosine_expr(F.col(vec_col), query), 6).alias("cosine_q6"))
     return (exact.orderBy(F.col("cosine_q6").desc(), F.col(id_col).asc())
             .limit(k))
+
+
+def pq_adc_topk_pandas(embeddings: DataFrame, query: list[float],
+                       codebooks: list[list[list[float]]], k: int = 10,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       rescore: int = 0,
+                       codes: DataFrame | None = None) -> DataFrame:
+    """pq_adc_topk's scale twin past the literal-lookup ceiling
+    (round-4 verdict item 5, second half): the literal path inlines
+    2·m·n_codes table floats plus the assignment's m·n_codes·subdim
+    centroid literals — fine at 8×16, unusable at production 64×256.
+    Here assignment comes from pq_assign_pandas (or a precomputed
+    ``codes`` (id, codes array<int>) DataFrame — THE stored column a
+    10^10-vector corpus scans instead of re-assigning), and ADC
+    scoring is one numpy gather-and-sum per Arrow batch: the query's
+    (m, n_codes) inner-product and squared-norm tables ship once per
+    task as closures.
+
+    Same contract as pq_adc_topk: returns (id_col, cosine_q6),
+    quantised-reconstruction cosine rounded to 6 places, id-ASC
+    tie-break; ``rescore`` > 0 re-ranks the top pool on the
+    full-precision column (exactness restored when rescore covers the
+    true top-k). Pinned equal to the literal path on the test
+    codebooks; summation runs in subspace order, matching the literal
+    chain, so agreement is bitwise on the fixture."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(codebooks)
+    subdim = len(codebooks[0][0])
+    cb = np.asarray(codebooks, dtype=np.float64)    # (m, n_codes, subdim)
+    q = np.asarray(query, dtype=np.float64)
+    ip_tbl = np.einsum("ms,mcs->mc", q.reshape(m, subdim), cb)
+    n2_tbl = (cb * cb).sum(axis=2)                  # (m, n_codes)
+    qn = float(np.sqrt((q * q).sum()))
+
+    if codes is None:
+        codes = pq_assign_pandas(embeddings, codebooks, vec_col, id_col)
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c = np.vstack(pdf["codes"].to_numpy()).astype(np.int64)
+            rows = np.arange(m)
+            num = ip_tbl[rows[None, :], c].sum(axis=1)
+            n2 = n2_tbl[rows[None, :], c].sum(axis=1)
+            den = np.sqrt(n2) * qn
+            cos = np.where(den > 0, num / np.where(den > 0, den, 1.0),
+                           0.0)
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "cosine_q6": np.round(cos, 6)})
+
+    scored = (codes.select(id_col, "codes")
+              .mapInPandas(score, f"{id_col} long, cosine_q6 double"))
+    if not rescore:
+        return (scored
+                .orderBy(F.col("cosine_q6").desc(), F.col(id_col).asc())
+                .limit(k))
+    cand = (scored
+            .orderBy(F.col("cosine_q6").desc(), F.col(id_col).asc())
+            .limit(max(rescore, k)))
+    exact = (cand.join(embeddings.select(id_col, vec_col), id_col)
+             .select(id_col,
+                     F.round(cosine_expr(F.col(vec_col), query), 6)
+                     .alias("cosine_q6")))
+    return (exact.orderBy(F.col("cosine_q6").desc(), F.col(id_col).asc())
+            .limit(k))

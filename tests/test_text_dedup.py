@@ -1544,3 +1544,27 @@ def test_pq_assign_pandas_equals_literal(spark):
             for r in S.pq_assign_pandas(emb, cbs).collect()}
     assert lit == blas
     assert all(len(v) == 8 for v in blas.values())
+
+
+def test_pq_adc_pandas_equals_literal(spark):
+    """The gather-and-sum ADC scorer (scale path) returns the same
+    top-k — ids AND rounded cosines — as the literal-lookup path,
+    with and without the exact-rescore stage, including when codes
+    come precomputed (the stored-column shape at corpus scale)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cbs = S.pq_train(emb, m=8, n_codes=16, n_iters=2)
+    q = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+
+    lit = [(r.vec_id, r.cosine_q6)
+           for r in S.pq_adc_topk(emb, q, cbs, 10).collect()]
+    pan = [(r.vec_id, r.cosine_q6)
+           for r in S.pq_adc_topk_pandas(emb, q, cbs, 10).collect()]
+    assert lit == pan
+
+    lit_r = [(r.vec_id, r.cosine_q6)
+             for r in S.pq_adc_topk(emb, q, cbs, 10, rescore=50).collect()]
+    pre = S.pq_assign_pandas(emb, cbs)
+    pan_r = [(r.vec_id, r.cosine_q6)
+             for r in S.pq_adc_topk_pandas(emb, q, cbs, 10, rescore=50,
+                                           codes=pre).collect()]
+    assert lit_r == pan_r
