@@ -186,11 +186,41 @@ def main():
     checks.append(("quality buckets pure JVM with partial aggs",
                    n_python(plan) == 0 and "partial" in plan.lower(), ""))
 
-    # 13. substring dedup: the corpus-wide groupBy shuffles 8-byte
-    # window keys, pure JVM, partial agg; no cartesian anywhere
+    # 13. substring dedup (rolling default): the Karp-Rabin key scan
+    # is lazily localCheckpoint-ed, so the consuming plan reads the
+    # materialised RDD (Scan ExistingRDD) instead of inlining the
+    # Python stage twice; partial agg on the key shuffle, no cartesian
     plan = formatted(qs["q_substring_dedup"](spark, SF_DIR))
     sections.append(("q_substring_dedup", plan))
-    checks.append(("substring dedup pure JVM, partial agg, no cartesian",
+    checks.append(("substring dedup rolling: checkpointed key scan "
+                   "(no inline Python), partial agg, no cartesian",
+                   n_python(plan) == 0 and "Scan ExistingRDD" in plan
+                   and "partial" in plan.lower()
+                   and n_ops(plan, "CartesianProduct") == 0,
+                   f"python_ops={n_python(plan)}"))
+
+    # 13a. the key scan itself is exactly one Python stage
+    from simplecrawler_spark.functions.text import tokens_expr
+    from simplecrawler_spark.operators.dedup import (
+        _substring_occ_rolling,
+    )
+    docs13 = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    base13 = docs13.select(
+        F.col("doc_id"), tokens_expr(F.col("text")).alias("_toks"))
+    plan = formatted(_substring_occ_rolling(
+        base13.where(F.size("_toks") >= 10), 10, "doc_id"))
+    sections.append(("substring_occ_rolling", plan))
+    checks.append(("rolling key generator exactly one Python stage",
+                   n_python(plan) == 1,
+                   f"python_ops={n_python(plan)}"))
+
+    # 13b. the md5 oracle twin stays pure JVM
+    from simplecrawler_spark.operators.dedup import substring_dedup
+    docs13 = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = formatted(substring_dedup(docs13, window=10, key_fn="md5"))
+    sections.append(("substring_dedup_md5", plan))
+    checks.append(("substring dedup md5 twin pure JVM, partial agg, "
+                   "no cartesian",
                    n_python(plan) == 0 and "partial" in plan.lower()
                    and n_ops(plan, "CartesianProduct") == 0, ""))
 

@@ -490,7 +490,14 @@ def substring_dedup(docs: DataFrame, window: int = 50,
     base = docs.select(F.col(id_col), toks.alias("_toks"))
     long_enough = base.where(F.size("_toks") >= window)
     if key_fn == "rolling":
-        occ = _substring_occ_rolling(long_enough, window, id_col)
+        # lazy localCheckpoint: occ feeds BOTH the dup-key aggregate
+        # and the occurrence join — without it the plan inlines the
+        # Python scan twice and every token hashes twice (the same
+        # recompute class the minhash kernel fixed; plan-audited to
+        # exactly one Python stage). The md5 path recomputes a cheap
+        # JVM explode instead, which is the right trade there.
+        occ = (_substring_occ_rolling(long_enough, window, id_col)
+               .localCheckpoint(eager=False))
     else:
         win_keys = F.transform(
             F.sequence(F.lit(1), F.size("_toks") - (window - 1)),
