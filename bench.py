@@ -666,11 +666,17 @@ def run_embscale():
 
     t0 = time.monotonic()
     # xxhash64-derived uniform doubles in [-1, 1): deterministic,
-    # generated JVM-side, no Python in the gen path
-    cols = [((F.pmod(F.xxhash64(F.col("id"), F.lit(j)), F.lit(100000))
+    # generated JVM-side, no Python in the gen path. With
+    # SPARK_GRAFT_DUP_VECS=k, the last k rows are EXACT copies of
+    # rows 0..k-1 (the embedding is a pure function of `src`), so the
+    # dedup phase has a known answer: survivors == n_vecs.
+    n_dups = int(os.environ.get("SPARK_GRAFT_DUP_VECS", "0"))
+    src = F.when(F.col("id") < n_vecs, F.col("id")) \
+        .otherwise(F.col("id") - n_vecs)
+    cols = [((F.pmod(F.xxhash64(src, F.lit(j)), F.lit(100000))
               .cast("double") / F.lit(50000.0)) - F.lit(1.0))
             for j in range(dim)]
-    vecs = spark.range(n_vecs).select(
+    vecs = spark.range(n_vecs + n_dups).select(
         F.col("id").alias("vec_id"), F.array(*cols).alias("embedding"))
     shutil.rmtree(corpus_dir, ignore_errors=True)
     n_parts = spark.sparkContext.defaultParallelism
@@ -718,6 +724,8 @@ def run_embscale():
     wall = sum(v for k, v in phases.items() if k != "gen")
     print(json.dumps({
         "mode": "embscale", "n_vecs": n_vecs, "dim": dim,
+        "n_dup_vecs": n_dups, "expected_survivors":
+            (n_vecs if n_dups else None),
         "n_cells": n_cells, "kmeans_iters": n_iters,
         "phases": phases,
         "sampled": {"max_occ": mx0, "median_occ": med0,

@@ -1237,14 +1237,17 @@ class FrontierCrawler:
         # once per resume): seeds = round-0 frontier; done = those
         # already present in results
         seed_df = self._seed_table()
+        n_seed_rows = (None if self._seed_table_mode
+                       else seed_df.count())
         if self._seed_table_mode or (
                 cfg.seed_state_mode == "auto"
-                and seed_df.count() >= cfg.seed_driver_max):
+                and n_seed_rows >= cfg.seed_driver_max):
             # table-mode resume: counters from two joins, the
             # done-seed sidecar rebuilt from results ∩ seeds — no
             # O(|seeds|) collect anywhere
             self._seed_table_mode = True
-            self._n_seeds = seed_df.count()
+            self._n_seeds = (n_seed_rows if n_seed_rows is not None
+                             else seed_df.count())
             shutil.rmtree(self._done_seed_dir, ignore_errors=True)
             done = (self.store.read("results")
                     .join(seed_df, "url_norm", "left_semi")
