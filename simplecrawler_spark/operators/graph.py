@@ -144,7 +144,8 @@ def pagerank(edges: DataFrame, n_iter: int = 10,
 
 def hits(edges: DataFrame, n_iter: int = 5,
          src: str = "src", dst: str = "dst",
-         scale: int = 10 ** 12) -> DataFrame:
+         scale: int = 10 ** 12, tol: int | None = None,
+         stats: dict | None = None) -> DataFrame:
     """Integer-mass HITS (Kleinberg hubs & authorities) over
     ``edges``; returns (v, hub, auth) with both scores int64 shares
     of roughly ``scale``.
@@ -172,6 +173,10 @@ def hits(edges: DataFrame, n_iter: int = 5,
         cross-engine comparison is exact (float HITS cannot be
         hash-gated: see the pagerank module docstring).
       * vertices with no in-edges hold auth=0; no out-edges → hub=0.
+      * ``tol`` (int mass units, optional — the pagerank fixpoint
+        knob): stop once max_v |hub_t(v) − hub_{t−1}(v)| ≤ tol after
+        a full auth+hub step; n_iter stays the hard bound. Pass
+        ``stats`` to read back iters/max_delta.
 
     Overflow headroom: after each normalisation Σ score ≲ scale, so
     raw sums are ≤ scale·max_degree; scale 10^12 is safe for degrees
@@ -196,6 +201,7 @@ def hits(edges: DataFrame, n_iter: int = 5,
                 .withColumn("auth", F.lit(0).cast("long")))
     hub = verts.withColumn("hub", F.lit(scale // n).cast("long"))
     auth = None
+    iters_run, max_delta = 0, None
     for _ in range(n_iter):
         auth_raw = (hub.join(e, hub["v"] == e["src"])
                     .groupBy(F.col("dst").alias("av"))
@@ -212,13 +218,28 @@ def hits(edges: DataFrame, n_iter: int = 5,
         hub_raw = (auth.join(e, auth["v"] == e["dst"])
                    .groupBy(F.col("src").alias("hv"))
                    .agg(F.sum("auth").alias("raw")))
-        hub = (verts.join(hub_raw, verts["v"] == F.col("hv"), "left")
+        new_hub = (verts.join(hub_raw, verts["v"] == F.col("hv"), "left")
                .crossJoin(F.broadcast(
                    hub_raw.agg(F.coalesce(F.sum("raw"), F.lit(0))
                                .cast("long").alias("_sh"))))
                .select("v",
-                       F.expr(f"coalesce(raw, 0) div "
-                              f"greatest(_sh div {scale}, 1)")
-                       .cast("long").alias("hub"))
-               .localCheckpoint(eager=False))
+                        F.expr(f"coalesce(raw, 0) div "
+                               f"greatest(_sh div {scale}, 1)")
+                        .cast("long").alias("hub"))
+               .localCheckpoint(eager=tol is not None))
+        iters_run += 1
+        if tol is not None:
+            max_delta = (
+                new_hub.alias("a").join(hub.alias("b"), "v")
+                .agg(F.coalesce(
+                    F.max(F.abs(F.col("a.hub") - F.col("b.hub"))),
+                    F.lit(0)).alias("d"))
+                .first()["d"])
+            hub = new_hub
+            if max_delta <= tol:
+                break
+        else:
+            hub = new_hub
+    if stats is not None:
+        stats.update(iters=iters_run, max_delta=max_delta)
     return hub.join(auth, "v")

@@ -815,19 +815,72 @@ def sq8_cosine_topk(embeddings: DataFrame, query: list[float],
 # discipline as SQ8 above.
 # ---------------------------------------------------------------------------
 
+def _pq_partials_pandas(embeddings: DataFrame,
+                        codebooks: list[list[list[float]]],
+                        vec_col: str) -> DataFrame:
+    """One fused Arrow pass per PQ training iteration at scale:
+    per-subspace code assignment (same einsum as pq_assign_pandas)
+    plus per-(subspace, code) count/sum accumulated INSIDE each
+    batch, so only n_batches × m × n_codes partial rows leave
+    Python. The caller finishes with a tiny groupBy(j, code)."""
+    import numpy as np
+    import pandas as pd
+
+    cb = np.asarray(codebooks, dtype=np.float64)    # (m, n_codes, s)
+    cb_sq = (cb * cb).sum(axis=2)
+    m, n_codes, subdim = cb.shape
+
+    def part(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.vstack(pdf[vec_col].to_numpy()).astype(
+                np.float64, copy=False)
+            xs = x.reshape(len(x), m, subdim)
+            d2 = cb_sq[None, :, :] - 2.0 * np.einsum(
+                "bms,mcs->bmc", xs, cb, optimize=True)
+            codes = d2.argmin(axis=2)               # (b, m)
+            n = np.zeros((m, n_codes), dtype=np.int64)
+            sums = np.zeros((m, n_codes, subdim))
+            for j in range(m):
+                np.add.at(n[j], codes[:, j], 1)
+                np.add.at(sums[j], codes[:, j], xs[:, j, :])
+            js, cs = np.nonzero(n)
+            yield pd.DataFrame({"j": js.astype("int32"),
+                                "code": cs.astype("int32"),
+                                "n": n[js, cs],
+                                "sums": list(sums[js, cs])})
+
+    return (embeddings.select(vec_col)
+            .mapInPandas(part, "j int, code int, n long, "
+                               "sums array<double>"))
+
+
 def pq_train(embeddings: DataFrame, m: int = 8, n_codes: int = 16,
              n_iters: int = 3, vec_col: str = "embedding",
-             id_col: str = "vec_id") -> list[list[list[float]]]:
+             id_col: str = "vec_id", assign_mode: str = "auto",
+             literal_code_limit: int = 64) -> list[list[list[float]]]:
     """Per-subspace Lloyd's k-means codebooks:
     ``codebooks[j][c]`` is subspace j's centroid c (length dim/m).
 
     Deterministic init — the n_codes lowest-id vectors' subvectors
-    (the ivf_centroids discipline). Each iteration is ONE narrow
-    assignment pass + ONE groupBy(subspace, code) of element-wise
-    partial sums: m·n_codes·(dim/m) = n_codes·dim doubles cross the
-    shuffle per partition and return to the driver to be inlined into
-    the next iteration's plan — no per-row driver traffic at any
-    corpus size. Empty codes keep their previous centroid."""
+    (the ivf_centroids discipline). Each iteration is ONE assignment
+    pass + ONE groupBy(subspace, code) of element-wise partial sums:
+    m·n_codes·(dim/m) = n_codes·dim doubles cross the shuffle per
+    partition and return to the driver to be inlined into the next
+    iteration's plan — no per-row driver traffic at any corpus size.
+    Empty codes keep their previous centroid.
+
+    ``assign_mode`` picks the per-iteration engine (the
+    ivf_centroids_kmeans discipline): ``"literal"`` — pq_assign_expr
+    + posexplode/slice, zero Python, the small-codebook oracle-twin
+    shape; ``"pandas"`` — the fused einsum partial-sum kernel
+    (_pq_partials_pandas), THE path at production codebook shapes
+    (e.g. 16×256, where the literal plan would inline n_codes·dim
+    floats per iteration and m argmin HOF chains); ``"auto"``
+    (default) — literal while n_codes ≤ ``literal_code_limit``,
+    pandas beyond. Engines agree up to FP near-ties (see
+    ivf_assign_pandas); parity pinned by test."""
     first = embeddings.select(F.size(_dbl(F.col(vec_col)))
                               .alias("d")).first()
     if first is None:
@@ -842,19 +895,29 @@ def pq_train(embeddings: DataFrame, m: int = 8, n_codes: int = 16,
         [[float(x) for x in r[1][j * subdim:(j + 1) * subdim]]
          for r in sample]
         for j in range(m)]
+    use_pandas = (assign_mode == "pandas"
+                  or (assign_mode == "auto"
+                      and n_codes > literal_code_limit))
     for _ in range(n_iters):
-        codes = pq_assign_expr(F.col(vec_col), codebooks)
-        ex = (embeddings
-              .select(F.posexplode(codes).alias("j", "code"),
-                      _dbl(F.col(vec_col)).alias("v"))
-              .select("j", "code",
-                      F.slice(F.col("v"),
-                              F.col("j") * subdim + 1,
-                              F.lit(subdim)).alias("sv")))
-        sums = ex.groupBy("j", "code").agg(
-            F.count("*").alias("n"),
-            *[F.sum(F.col("sv").getItem(t)).alias(f"s{t}")
-              for t in range(subdim)])
+        if use_pandas:
+            sums = (_pq_partials_pandas(embeddings, codebooks, vec_col)
+                    .groupBy("j", "code").agg(
+                        F.sum("n").alias("n"),
+                        *[F.sum(F.col("sums").getItem(t))
+                          .alias(f"s{t}") for t in range(subdim)]))
+        else:
+            codes = pq_assign_expr(F.col(vec_col), codebooks)
+            ex = (embeddings
+                  .select(F.posexplode(codes).alias("j", "code"),
+                          _dbl(F.col(vec_col)).alias("v"))
+                  .select("j", "code",
+                          F.slice(F.col("v"),
+                                  F.col("j") * subdim + 1,
+                                  F.lit(subdim)).alias("sv")))
+            sums = ex.groupBy("j", "code").agg(
+                F.count("*").alias("n"),
+                *[F.sum(F.col("sv").getItem(t)).alias(f"s{t}")
+                  for t in range(subdim)])
         by_jc = {(int(r["j"]), int(r["code"])): r
                  for r in sums.collect()}
         codebooks = [

@@ -205,3 +205,22 @@ def test_hits_empty(spark):
 
     empty = spark.createDataFrame([], "src long, dst long")
     assert hits(empty, n_iter=2).count() == 0
+
+
+def test_hits_tol_stops_at_fixpoint(spark):
+    """hits() gains pagerank's convergence knob: on a fast-converging
+    graph tol=0 halts before n_iter with the same (hub, auth) the
+    fully-iterated run produces, and stats reports iters/max_delta.
+    Defaults (tol=None) stay bit-identical to the oracle twin."""
+    from simplecrawler_spark.operators.graph import hits
+
+    edges = [(i, (i + 1) % 4) for i in range(4)]  # cycle → immediate
+    df = spark.createDataFrame(edges, "src long, dst long")
+    stats = {}
+    got = {r.v: (r.hub, r.auth)
+           for r in hits(df, n_iter=50, tol=0, stats=stats).collect()}
+    assert stats["iters"] < 50
+    assert stats["max_delta"] == 0
+    full = {r.v: (r.hub, r.auth)
+            for r in hits(df, n_iter=50).collect()}
+    assert got == full

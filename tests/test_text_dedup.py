@@ -1568,3 +1568,21 @@ def test_pq_adc_pandas_equals_literal(spark):
              for r in S.pq_adc_topk_pandas(emb, q, cbs, 10, rescore=50,
                                            codes=pre).collect()]
     assert lit_r == pan_r
+
+
+def test_pq_train_pandas_engine_matches_literal(spark):
+    """pq_train's fused einsum partial-sum engine (the production-
+    codebook path) trains to the same codebooks as the literal
+    engine, up to FP summation order, and the auto switch picks
+    pandas above literal_code_limit."""
+    import numpy as np
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    lit = S.pq_train(emb, m=8, n_codes=16, n_iters=2,
+                     assign_mode="literal")
+    pan = S.pq_train(emb, m=8, n_codes=16, n_iters=2,
+                     assign_mode="pandas")
+    assert np.allclose(np.array(lit), np.array(pan), atol=1e-9)
+    auto = S.pq_train(emb, m=8, n_codes=16, n_iters=2,
+                      assign_mode="auto", literal_code_limit=4)
+    assert np.allclose(np.array(auto), np.array(pan), atol=1e-9)
