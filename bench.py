@@ -167,7 +167,7 @@ def pipeline_benches(spark, sf_dir: str) -> dict[str, float]:
              "q_bigram_logprob", "q_mojibake", "q_charset_meta",
              "q_recall_at_k", "q_ndcg", "q_temperature",
              "q_rel_canonical", "q_url_features", "q_readability",
-             "q_diversity"]
+             "q_diversity", "q_neardup_batch"]
     qs = E.queries()
     for name in names:
         t0 = time.monotonic()
