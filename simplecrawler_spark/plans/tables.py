@@ -218,6 +218,95 @@ class SnapshotStore:
     def is_empty(self, table: str) -> bool:
         return not self._paths(table) or self.read(table).isEmpty()
 
+    # -- maintenance (Iceberg expireSnapshots / removeOrphanFiles /
+    #    rewriteDataFiles) ---------------------------------------------------
+
+    def compact(self, table: str, partition: str | None = None,
+                min_dirs: int = 2,
+                target_bytes: int = 128 << 20) -> dict:
+        """Rewrite ``table``'s committed data dirs into fewer, larger
+        ones (Iceberg rewriteDataFiles / bin-pack analogue). The
+        append-per-round/per-batch discipline is what makes commits
+        atomic and lineage exact, but at 10^10 URLs it also means a
+        long crawl's seen/results tables accumulate one small dir per
+        round — and a scan's task count (and the object-store LIST
+        cost) grows with FILE count, not data size. Compaction is the
+        standard table-maintenance answer, same cadence as
+        expire_snapshots + vacuum.
+
+        Semantics:
+          * groups committed dirs by partition tag (untagged dirs
+            form their own group) and rewrites every group with at
+            least ``min_dirs`` dirs into ONE new dir, sized to
+            ~``target_bytes`` per output file;
+          * ``partition=`` restricts to one partition's group;
+          * pending (uncommitted) appends are never touched — run
+            between crawls/batches, like vacuum;
+          * old dirs stay on disk so read_at() time travel to prior
+            snapshots still works; they become orphans once the
+            retained manifests stop referencing them and vacuum
+            reclaims them (run expire_snapshots first, as ever);
+          * the swap is in-memory first and becomes DURABLE at the
+            next commit_snapshot — a crash in between leaves the old
+            manifest intact and the new dirs as harmless orphans
+            (exactly the append/commit crash contract).
+
+        Returns {"table", "groups_rewritten", "dirs_before",
+        "dirs_after", "files_before", "files_after"}."""
+        with self._pending_lock:
+            committed = list(self._committed.get(table, []))
+            tags = dict(self._partitions.get(table, {}))
+        groups: dict[str | None, list[str]] = {}
+        for p in committed:
+            tag = tags.get(p)
+            if partition is not None and tag != partition:
+                continue
+            groups.setdefault(tag, []).append(p)
+
+        def _files(dirs):
+            out = []
+            for d in dirs:
+                out.extend(glob.glob(os.path.join(d, "*.parquet")))
+            return out
+
+        schema = self.schemas.get(table)
+        reader = (self.spark.read.schema(schema) if schema is not None
+                  else self.spark.read)
+        rewritten: dict[str | None, dict] = {}
+        files_before = len(_files(committed))
+        for tag, dirs in groups.items():
+            if len(dirs) < min_dirs:
+                continue
+            total = sum(os.path.getsize(f) for f in _files(dirs))
+            n_out = max(1, int(total // target_bytes) + 1)
+            newdir = os.path.join(self.root, "data", table,
+                                  "c" + uuid.uuid4().hex[:11])
+            (reader.parquet(*dirs).repartition(n_out)
+             .write.mode("errorifexists").parquet(newdir))
+            rewritten[tag] = {"old": dirs, "new": newdir}
+        if rewritten:
+            replaced = {p for rw in rewritten.values() for p in rw["old"]}
+            newlist = [p for p in committed if p not in replaced]
+            for tag, rw in rewritten.items():
+                newlist.append(rw["new"])
+                if tag is not None:
+                    tags[rw["new"]] = tag
+                for p in rw["old"]:
+                    tags.pop(p, None)
+            with self._pending_lock:
+                self._committed[table] = newlist
+                if tags:
+                    self._partitions[table] = tags
+                else:
+                    self._partitions.pop(table, None)
+        final = self._committed.get(table, [])
+        return {"table": table,
+                "groups_rewritten": len(rewritten),
+                "dirs_before": len(committed),
+                "dirs_after": len(final),
+                "files_before": files_before,
+                "files_after": len(_files(final))}
+
     # -- maintenance (Iceberg expireSnapshots / removeOrphanFiles) ---------
 
     def expire_snapshots(self, keep_last: int = 2) -> list[str]:

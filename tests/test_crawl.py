@@ -901,3 +901,25 @@ def test_hits_authority_priority_schedules_ranked_pages_first(
         FrontierCrawler(
             spark, None, CrawlConfig(priority_source="rank"),
             root=str(tmp_path / "bad"))
+
+
+def test_compact_after_crawl_preserves_state(spark, tmp_path):
+    """Table maintenance between crawls: compacting the seen/results
+    tables changes file layout only — result set identical, resume
+    from the compacted manifest reaches the same fixpoint."""
+    rows = crawler_server_rows(BASE)
+    crawler = crawl(spark, tmp_path / "c", rows, BASE)
+    before = crawler.result_urls()
+    out_r = crawler.store.compact("results", min_dirs=1)
+    out_s = crawler.store.compact("seen", min_dirs=1)
+    assert out_r["dirs_after"] <= out_r["dirs_before"]
+    assert out_s["dirs_after"] <= out_s["dirs_before"]
+    assert crawler.result_urls() == before
+    crawler.store.commit_snapshot(99)
+
+    cfg2 = CrawlConfig()
+    fetcher = TableFetcher(site_graph_df(spark, rows), cfg2)
+    resumed = FrontierCrawler.resume(
+        spark, fetcher, str(tmp_path / "c" / "crawl"), cfg2)
+    resumed.continue_crawl()
+    assert resumed.result_urls() == before

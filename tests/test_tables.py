@@ -97,3 +97,71 @@ def test_expire_and_vacuum(spark, tmp_path):
     st3 = _store(spark, tmp_path)
     assert st3.read("seen").count() == n_before
     assert st3.latest_round() == 4
+
+
+def test_compact_rewrites_small_dirs(spark, tmp_path):
+    """compact() (Iceberg rewriteDataFiles analogue): many per-round
+    appends collapse to one dir per partition group, rowsets and
+    partition pruning are unchanged, time travel to pre-compaction
+    snapshots still works, and after expire+vacuum the old dirs are
+    reclaimed while reads stay correct."""
+    st = _store(spark, tmp_path)
+    for r in range(6):
+        df = spark.createDataFrame(
+            [(r * 10 + i, f"http://h{r}/{i}", 0, r) for i in range(5)],
+            schemas.SEEN)
+        st.append("seen", df, partition=f"r{r % 2}")
+        st.commit_snapshot(r)
+    before = st.read("seen").count()
+    p0_before = {r.url_norm for r in st.read("seen", partition="r0")
+                 .collect()}
+    snap_pre = st.last_snapshot["id"]
+
+    out = st.compact("seen")
+    assert out["groups_rewritten"] == 2          # r0 + r1 groups
+    assert out["dirs_before"] == 6 and out["dirs_after"] == 2
+    assert st.read("seen").count() == before
+    assert {r.url_norm for r in st.read("seen", partition="r0")
+            .collect()} == p0_before
+    # time travel to the pre-compaction snapshot still reads old dirs
+    assert st.read_at("seen", snap_pre).count() == before
+
+    st.commit_snapshot(6)                        # compaction durable
+    # vacuum alone removes nothing (old dirs still referenced by
+    # retained manifests); expire + vacuum reclaims them
+    assert st.vacuum() == []
+    st.expire_snapshots(keep_last=1)
+    removed = st.vacuum()
+    assert len(removed) == 6
+    assert st.read("seen").count() == before
+    assert {r.url_norm for r in st.read("seen", partition="r0")
+            .collect()} == p0_before
+
+    # resume from the compacted manifest
+    st2 = _store(spark, tmp_path)
+    assert st2.read("seen").count() == before
+    assert {r.url_norm for r in st2.read("seen", partition="r0")
+            .collect()} == p0_before
+
+
+def test_compact_leaves_pending_and_small_groups(spark, tmp_path):
+    """Pending appends are never compacted; groups under min_dirs are
+    left alone; partition= restricts the rewrite."""
+    st = _store(spark, tmp_path)
+    for r in range(4):
+        st.append("seen", spark.createDataFrame(
+            [(r, f"http://h{r}/", 0, r)], schemas.SEEN),
+            partition="rA" if r < 3 else "rB")
+    st.commit_snapshot(0)
+    st.append("seen", spark.createDataFrame(
+        [(99, "http://pending/", 0, 9)], schemas.SEEN), partition="rA")
+
+    out = st.compact("seen", partition="rA")
+    assert out["groups_rewritten"] == 1
+    # 4 committed dirs -> rA's 3 became 1, rB's single dir untouched
+    assert out["dirs_before"] == 4 and out["dirs_after"] == 2
+    assert st.read("seen").count() == 5          # pending still visible
+    # the pending append commits as its own dir afterwards
+    st.commit_snapshot(1)
+    assert st.read("seen", partition="rA").count() == 4
+    assert st.read("seen", partition="rB").count() == 1
