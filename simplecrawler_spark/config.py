@@ -135,6 +135,14 @@ class CrawlConfig:
     # arriving as a DataFrame — always uses table).
     seed_state_mode: str = "auto"
     seed_driver_max: int = 100_000
+    # table maintenance cadence: every N rounds (after that round's
+    # snapshot commits) compact the seen/results tables' committed
+    # append dirs (SnapshotStore.compact — Iceberg rewriteDataFiles
+    # analogue). 0 = off (the default; run compact/expire/vacuum
+    # between crawls instead). A 10^4-round crawl at one append dir
+    # per table per round otherwise scales every seen-table scan's
+    # task count with ROUND count, not data size.
+    compact_every: int = 0
     # S5 per-URL log sink: append a crawl_log table row per
     # CRAWLING/VISITED/FOUND/ERROR/robots-blocked event (the
     # reference's console transcript, crawler.py:147-179). Off by

@@ -414,6 +414,19 @@ class FrontierCrawler:
                 # commit_snapshot(r) has run — the swept batches are
                 # durable in the manifest; drop their staged files
                 self._drop_consumed_stream_dirs()
+                # opt-in table maintenance on a round cadence: compact
+                # the ever-growing membership tables AFTER the round's
+                # commit (pending is empty, so this only rewrites
+                # durable dirs; the swap itself becomes durable with
+                # the NEXT round's commit — a crash in between replays
+                # from the uncompacted manifest, losing nothing)
+                if cfg.compact_every and (r + 1) % cfg.compact_every == 0:
+                    # merge_partitions: seen/results tag dirs by the
+                    # round that WROTE them, but are never pruned-read
+                    # by tag (the round lives in a column), so the
+                    # cross-round merge is what shrinks the scan
+                    for t in ("seen", "results"):
+                        self.store.compact(t, merge_partitions=True)
                 row_count = next_count
                 r += 1
         finally:

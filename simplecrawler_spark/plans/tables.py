@@ -223,7 +223,8 @@ class SnapshotStore:
 
     def compact(self, table: str, partition: str | None = None,
                 min_dirs: int = 2,
-                target_bytes: int = 128 << 20) -> dict:
+                target_bytes: int = 128 << 20,
+                merge_partitions: bool = False) -> dict:
         """Rewrite ``table``'s committed data dirs into fewer, larger
         ones (Iceberg rewriteDataFiles / bin-pack analogue). The
         append-per-round/per-batch discipline is what makes commits
@@ -240,6 +241,14 @@ class SnapshotStore:
             least ``min_dirs`` dirs into ONE new dir, sized to
             ~``target_bytes`` per output file;
           * ``partition=`` restricts to one partition's group;
+          * ``merge_partitions=True`` collapses EVERY selected dir
+            into one untagged group — right for tables whose tags are
+            write-provenance only (seen/results tag one dir per
+            round but are never pruned-read; the round lives in a
+            COLUMN). Safe by the store's pruning contract: untagged
+            dirs are conservatively kept by every pruned read, and
+            readers guard with a .where — pruning is an optimisation,
+            never a correctness dependency;
           * pending (uncommitted) appends are never touched — run
             between crawls/batches, like vacuum;
           * old dirs stay on disk so read_at() time travel to prior
@@ -261,7 +270,8 @@ class SnapshotStore:
             tag = tags.get(p)
             if partition is not None and tag != partition:
                 continue
-            groups.setdefault(tag, []).append(p)
+            groups.setdefault(None if merge_partitions else tag,
+                              []).append(p)
 
         def _files(dirs):
             out = []

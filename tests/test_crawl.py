@@ -923,3 +923,24 @@ def test_compact_after_crawl_preserves_state(spark, tmp_path):
         spark, fetcher, str(tmp_path / "c" / "crawl"), cfg2)
     resumed.continue_crawl()
     assert resumed.result_urls() == before
+
+
+def test_compact_every_round_parity(spark, tmp_path):
+    """compact_every=1 (in-loop table maintenance) reaches the same
+    visited set and depths as the default crawl, and the compacted
+    checkpoint resumes cleanly."""
+    rows = crawler_server_rows(BASE)
+    a = crawl(spark, tmp_path / "plain", rows, BASE)
+    b = crawl(spark, tmp_path / "compacted", rows, BASE,
+              CrawlConfig(compact_every=1))
+    assert a.result_urls() == b.result_urls()
+    da = {r.url_norm: r.depth for r in a.results().collect()}
+    db = {r.url_norm: r.depth for r in b.results().collect()}
+    assert da == db
+    # the compacted root still resumes (nothing left to crawl)
+    cfg2 = CrawlConfig(compact_every=1)
+    fetcher = TableFetcher(site_graph_df(spark, rows), cfg2)
+    resumed = FrontierCrawler.resume(
+        spark, fetcher, str(tmp_path / "compacted" / "crawl"), cfg2)
+    resumed.continue_crawl()
+    assert resumed.result_urls() == a.result_urls()

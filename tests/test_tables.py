@@ -165,3 +165,25 @@ def test_compact_leaves_pending_and_small_groups(spark, tmp_path):
     st.commit_snapshot(1)
     assert st.read("seen", partition="rA").count() == 4
     assert st.read("seen", partition="rB").count() == 1
+
+
+def test_compact_merge_partitions(spark, tmp_path):
+    """merge_partitions=True collapses every committed dir into one
+    untagged dir; rowset unchanged, and pruned reads keep the
+    untagged dir by the conservative contract (callers' .where guards
+    stay correct)."""
+    st = _store(spark, tmp_path)
+    for r in range(5):
+        st.append("seen", spark.createDataFrame(
+            [(r, f"http://h{r}/", 0, r)], schemas.SEEN),
+            partition=f"r{r}")
+    st.commit_snapshot(0)
+    out = st.compact("seen", merge_partitions=True)
+    assert out["groups_rewritten"] == 1
+    assert out["dirs_after"] == 1
+    assert st.read("seen").count() == 5
+    # untagged dir is conservatively included in any pruned read
+    assert st.read("seen", partition="r3").count() == 5
+    st.commit_snapshot(1)
+    st2 = _store(spark, tmp_path)
+    assert st2.read("seen").count() == 5
